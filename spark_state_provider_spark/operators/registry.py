@@ -1,0 +1,55 @@
+"""Query registry backing the driver contract.
+
+Each entry couples a PySpark query callable ``(spark, sf_dir) -> DataFrame``
+with (optionally) the equivalent DuckDB ANSI-SQL oracle string. Column names
+MUST match between the two — the driver sorts columns by name before
+hashing values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None for non-SQL-expressible ops
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn`` under ``name`` with an optional oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in sorted(_REGISTRY.items())}
+
+
+def all_oracles() -> dict[str, str]:
+    return {
+        name: spec.oracle
+        for name, spec in sorted(_REGISTRY.items())
+        if spec.oracle is not None
+    }
+
+
+def get(name: str) -> QuerySpec:
+    return _REGISTRY[name]

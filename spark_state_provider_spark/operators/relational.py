@@ -1,0 +1,843 @@
+"""Batch relational operator inventory (SURVEY.md §2-C, Q1-Q19 + Q27).
+
+Every query here is declared with the DataFrame API so Catalyst owns the
+physical strategy (pushdown, pruning, join selection, AQE). Each query is
+paired with a DuckDB oracle; computed columns are aliased identically on
+both sides (the driver sorts columns by name before hashing).
+
+Float policy: every numeric column in the testdata is an exact 2-decimal
+value, so aggregates over doubles are computed in DECIMAL (exact, summation-
+order-independent) and cast back to DOUBLE — both engines then produce
+bit-identical results with no rounding races. The shared aggregate SQL
+snippets below are used verbatim by both the Spark side (``F.expr``) and the
+DuckDB oracle. Per-row double arithmetic (products, round, sqrt on identical
+operands) is deterministic and shared as-is.
+
+Reference anchors are cited per query (files under /root/reference).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_state_provider_spark.operators.registry import register
+from spark_state_provider_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def dsum(col: str, scale: int = 2) -> str:
+    """Exact decimal sum of a 2dp double column, surfaced as DOUBLE."""
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def davg(col: str) -> str:
+    """Exact-sum average: identical double division on both engines."""
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
+
+
+# Revenue / charge expressions shared verbatim by Spark (F.expr) and DuckDB.
+SQL_SUM_DISC_PRICE = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
+)
+SQL_SUM_CHARGE = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+    " * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Q1 — scan/source: parquet scan with projection + filter pushdown.
+# Reference anchor: driver testdata (TESTDATA.md); streaming analog is the
+# MemoryStream source in RedistateTest.scala:24.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pruned_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_quantity < 10
+    """,
+)
+def q01_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate reach the parquet scan (PushedFilters/ReadSchema)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_quantity") < 10)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+# ---------------------------------------------------------------------------
+# Q2 — sink: batch file sink round-trip (streaming sinks live in
+# streaming_queries.py). Reference anchor: memory sink, RedistateTest.scala:33-38.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q02_sink_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def q02_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a filtered projection to parquet, read it back (sink + source)."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"ssps_sink_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    (
+        orders.where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# Q3 — projection: select / rename / compute.
+# Reference anchor: the state handler's field projection (redis/package.scala:40-42).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q03_projection",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           upper(c_name) AS name_upper,
+           c_acctbal AS acctbal,
+           c_acctbal * 1.1 AS acctbal_bumped
+    FROM customer
+    """,
+)
+def q03_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column select / rename / computed column."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.upper("c_name").alias("name_upper"),
+        F.col("c_acctbal").alias("acctbal"),
+        (F.col("c_acctbal") * 1.1).alias("acctbal_bumped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — filter. Reference anchor: strict-expire iterator filter
+# (RocksDbStateStoreProvider.scala:259).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q04_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000 AND 100000
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderstatus <> 'F'
+    """,
+)
+def q04_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive / range / IN predicates, all pushed to the scan."""
+    o = _t(spark, sf_dir, "orders")
+    return o.where(
+        F.col("o_totalprice").between(50000, 100000)
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & (F.col("o_orderstatus") != "F")
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Q5 — broadcast equi-join over the dimension chain.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q05_broadcast_join",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           n.n_name AS nation_name,
+           count(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q05_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ broadcast(nation) ⋈ broadcast(region): no shuffle for dims."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)").alias(
+                "total_acctbal"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — large shuffle (sort-merge/AQE-chosen) equi-join chain, TPC-H Q3 shape.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q06_shuffle_join",
+    oracle=f"""
+    SELECT o.o_orderkey AS orderkey,
+           {SQL_SUM_DISC_PRICE} AS revenue,
+           o.o_orderdate AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    """,
+)
+def q06_shuffle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join on shuffled keys; dims filtered before the join."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
+        .agg(F.expr(SQL_SUM_DISC_PRICE).alias("revenue"))
+        .select("orderkey", "revenue", "orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — semi / anti joins (existence predicates).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q07_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+    """,
+)
+def q07_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having at least one big order (left semi join)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q07b_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
+    """,
+)
+def q07b_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who never placed a >250k order (left anti join)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Q8 — theta/range join: orders banded by a broadcast price-band dim.
+# The band table is tiny and broadcast, so the non-equi condition never
+# becomes a cartesian shuffle at scale.
+# ---------------------------------------------------------------------------
+
+_N_BANDS = 12
+_BAND_WIDTH = 50_000
+
+
+@register(
+    "q08_range_join",
+    oracle=f"""
+    SELECT b.band_id,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS band_total
+    FROM orders o
+    JOIN (
+        SELECT i AS band_id,
+               i * {_BAND_WIDTH} AS lo,
+               (i + 1) * {_BAND_WIDTH} AS hi
+        FROM generate_series(0, {_N_BANDS - 1}) AS t(i)
+    ) b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band_id
+    """,
+)
+def q08_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a broadcast band dimension."""
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.range(_N_BANDS).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * _BAND_WIDTH).alias("lo"),
+        ((F.col("id") + 1) * _BAND_WIDTH).alias("hi"),
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").alias(
+                "band_total"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8b — as-of join: each event matched to the user's most recent order at or
+# before the event time. Implemented as ONE shuffle: union both sides tagged,
+# then a running `last(..., ignorenulls)` window — scales linearly, never a
+# per-key cross product. (DuckDB oracle uses its native ASOF JOIN.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q08b_asof_join",
+    oracle="""
+    WITH o1 AS (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        FROM orders
+        GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, o1.o_orderkey AS asof_orderkey
+    FROM events e
+    ASOF LEFT JOIN o1
+      ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
+    """,
+)
+def q08b_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via tagged union + running last() — one shuffle, no N²."""
+    ev = _t(spark, sf_dir, "events")
+    # Deduplicate orders to one per (custkey, orderdate) so the as-of pick is
+    # deterministic on both engines.
+    o1 = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    left = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    right = o1.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey"),
+    )
+    # Orders sort before events at equal timestamps (is_event asc) => "<=".
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .where(F.col("is_event") == 1)
+        .select("event_id", F.col("k").alias("user_id"), "asof_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — hash aggregation, TPC-H Q1 shape. Reference anchor: the per-user fold
+# `totalVisits + 1` (redis/package.scala:41) is a grouped aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q09_hash_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {dsum('l_quantity')} AS sum_qty,
+           {dsum('l_extendedprice')} AS sum_base_price,
+           {SQL_SUM_DISC_PRICE} AS sum_disc_price,
+           {davg('l_quantity')} AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q09_hash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped sum/avg/count with map-side partial aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(dsum("l_quantity")).alias("sum_qty"),
+            F.expr(dsum("l_extendedprice")).alias("sum_base_price"),
+            F.expr(SQL_SUM_DISC_PRICE).alias("sum_disc_price"),
+            F.expr(davg("l_quantity")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — distinct + approximate distinct. Reference anchor: numKeys estimation
+# (RocksDbStateStoreProvider.scala:189-191).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q10_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column count distinct (expand + two-phase agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@register("q10b_approx_distinct", oracle=None)  # HLL sketches differ per engine
+def q10b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB-scale path.
+
+    No DuckDB oracle (sketch implementations differ); tests assert the
+    estimate is within rsd bounds of the exact count.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — rollup / cube / grouping sets.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q11_rollup",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {dsum('l_quantity')} AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.expr(dsum("l_quantity")).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "q11b_cube",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {dsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q11b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cross-dimensional subtotals via cube."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.expr(dsum("l_extendedprice")).alias("sum_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — ranking window functions: top-N per group with deterministic ties.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q12_window_rank",
+    oracle="""
+    SELECT custkey, orderkey, totalprice, rn
+    FROM (
+        SELECT o_custkey AS custkey,
+               o_orderkey AS orderkey,
+               o_totalprice AS totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def q12_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (row_number over partitioned window)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — analytic window frame: lag + moving sum.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_window_frame",
+    oracle=f"""
+    SELECT o_orderkey AS orderkey,
+           o_custkey AS custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS moving_total,
+           lag(o_totalprice, 1) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+           ) AS prev_price
+    FROM orders
+    """,
+)
+def q13_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving 3-row sum and lag with a deterministic order key."""
+    o = _t(spark, sf_dir, "orders")
+    order = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w_frame = Window.partitionBy("o_custkey").orderBy(*order).rowsBetween(-2, 0)
+    w_lag = Window.partitionBy("o_custkey").orderBy(*order)
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w_frame)
+        .cast("double")
+        .alias("moving_total"),
+        F.lag("o_totalprice", 1).over(w_lag).alias("prev_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — global sort / limit (top-k). Spark plans TakeOrderedAndProject —
+# per-partition top-k then merge, no global sort at scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q14_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q14_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 by price with deterministic tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — set operations. Reference anchor: version-set union
+# (RocksDbStateStoreProvider.scala:376).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q15_union",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+    UNION
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+    """,
+)
+def q15_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    a = o.where(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("custkey"))
+    b = c.where(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("custkey"))
+    return a.union(b).distinct()
+
+
+@register(
+    "q15b_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def q15b_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of two key sets."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.where(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@register(
+    "q15c_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q15c_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) between two key sets."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    a = c.select(F.col("c_custkey").alias("custkey"))
+    b = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Q16 — string functions. Reference anchor: versioned key prefix building
+# `s"$prefix:$version:"` (redis/package.scala:7).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q16_string_fns",
+    oracle="""
+    SELECT p_partkey AS partkey,
+           concat_ws(':', p_brand, CAST(p_size AS VARCHAR)) AS brand_size_key,
+           lower(p_name) AS name_lower,
+           split_part(p_type, ' ', 1) AS type_head,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS name_tail,
+           length(p_name) AS name_len
+    FROM part
+    WHERE p_size >= 25
+    """,
+)
+def q16_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat_ws / lower / split_part / regexp_extract / length."""
+    p = _t(spark, sf_dir, "part")
+    return p.where(F.col("p_size") >= 25).select(
+        F.col("p_partkey").alias("partkey"),
+        F.concat_ws(":", F.col("p_brand"), F.col("p_size").cast("string")).alias(
+            "brand_size_key"
+        ),
+        F.lower("p_name").alias("name_lower"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("name_tail"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — date/time functions. Reference anchor: PageVisit.timestamp
+# (redis/package.scala:13).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q17_datetime",
+    oracle="""
+    SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+           event_type,
+           count(*) AS n_events,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts,
+           max(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')) AS max_days_to_feb
+    FROM events
+    GROUP BY CAST(date_trunc('month', ts) AS TIMESTAMP), event_type
+    """,
+)
+def q17_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc / min / max / datediff over event timestamps."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("month", "ts").alias("month_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.max(F.datediff(F.lit("2024-02-01").cast("date"), F.col("ts").cast("date"))).alias(
+            "max_days_to_feb"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — math / arithmetic. Reference anchor: size-estimate math
+# (RocksDbStateStoreProvider.scala:270).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q18_math",
+    oracle=f"""
+    SELECT l_returnflag,
+           {SQL_SUM_CHARGE} AS sum_charge,
+           {davg('l_discount')} AS avg_disc,
+           sqrt({dsum('l_quantity')}) AS qty_sqrt,
+           max(abs(l_extendedprice - l_quantity * 1000)) AS max_abs_dev
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q18_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic expression pipeline inside whole-stage codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(SQL_SUM_CHARGE).alias("sum_charge"),
+        F.expr(davg("l_discount")).alias("avg_disc"),
+        F.expr(f"sqrt({dsum('l_quantity')})").alias("qty_sqrt"),
+        F.max(F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000)).alias(
+            "max_abs_dev"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — nested data: JSON extraction + array explode. Reference anchor: the
+# `visits: Seq[PageVisit]` nested state value (redis/package.scala:15,41).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q19_json",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q19_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json-style extraction of a JSON property column."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q19b_explode",
+    oracle="""
+    SELECT user_id,
+           unnest(generate_series(1, CAST(month(ts) AS BIGINT))) AS m,
+           event_id
+    FROM events
+    WHERE event_id < 50
+    """,
+)
+def q19b_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction (sequence) + explode into rows."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") < 50)
+    return e.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.month("ts").cast("long"))).alias("m"),
+        "event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q27 — pandas UDF (Arrow-vectorized). Reference anchor: the user-supplied
+# state function updateUserStatistics (redis/package.scala:33-45) is the
+# "user code in the query" capability.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q27_pandas_udf",
+    oracle="""
+    SELECT l_orderkey AS orderkey,
+           l_linenumber AS linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_linenumber = 1
+    """,
+)
+def q27_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas UDF (NOT a row-at-a-time Python UDF).
+
+    The same expression is pure-SQL expressible — the point of this entry is
+    exercising the vectorized Python path the engine uses when built-ins
+    genuinely can't express an operator.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def charge(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1.0 - discount) * (1.0 + tax)
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_returnflag") == "R") & (F.col("l_linenumber") == 1))
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.round(charge("l_extendedprice", "l_discount", "l_tax"), 2).alias("charge"),
+        )
+    )

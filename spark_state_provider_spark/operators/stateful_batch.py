@@ -1,0 +1,248 @@
+"""Batch twins of the stateful/streaming operators (SURVEY.md §2-C Q20-Q25).
+
+Each streaming operator in ``streaming_queries.py`` has a deterministic batch
+equivalent here so the DuckDB oracle can check the *semantics*; the streaming
+variants exercise the actual state-store path (native RocksDB provider).
+
+Reference anchors:
+* dedup           — StateStore ``put`` upsert semantics (RocksDbStateStoreProvider.scala:138-148)
+* windowed agg    — state store as agg backing store (reference README.md:3)
+* session window  — TTL-as-session-gap analog (SURVEY.md §2-B)
+* stateful fold   — ``updateUserStatistics`` (redis/package.scala:33-45)
+* TTL liveness    — state-timeout semantics (RocksDbStateStoreProvider.scala:57-80)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_state_provider_spark.operators.registry import register
+from spark_state_provider_spark.tables import load_table
+
+SESSION_GAP_MINUTES = 30
+TTL_DAYS = 3
+
+
+# ---------------------------------------------------------------------------
+# Q20 — exact deduplication, batch. Deterministic representative per key
+# (lowest event_id) rather than dropDuplicates' arbitrary pick.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q20_dedup_exact",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts
+    FROM (
+        SELECT user_id, event_type, event_id, ts,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type ORDER BY event_id
+               ) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def q20_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the first event per (user_id, event_type) — deterministic dedup.
+
+    ``dropDuplicates(subset)`` keeps an arbitrary row; at scale (and for the
+    oracle) the engine's dedup keeps a deterministic representative via a
+    ranked window — same single shuffle, stable output.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+@register(
+    "q20b_distinct",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q20b_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure key-set distinct (hash-aggregate dedup)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select("user_id", "event_type").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Q21 — tumbling window aggregation (batch twin of the streaming version).
+# Spark's window() aligns buckets to the epoch; DuckDB's time_bucket with a
+# sub-day width aligns to 2000-01-01, which lies on the same 15-minute grid.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q21_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q21_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute tumbling-window counts per event type."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q21b_sliding_window",
+    oracle="""
+    WITH offsets AS (SELECT unnest([0, 15, 30, 45]) AS off_min)
+    SELECT time_bucket(INTERVAL '1 hour', ts - to_minutes(off_min)) + to_minutes(off_min)
+               AS window_start,
+           count(*) AS n_events
+    FROM events, offsets
+    WHERE ts >= time_bucket(INTERVAL '1 hour', ts - to_minutes(off_min)) + to_minutes(off_min)
+    GROUP BY 1
+    """,
+)
+def q21b_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes (each event in 4 windows)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — session windows (batch). New session when the gap since the previous
+# event is >= SESSION_GAP (matches Spark session_window's half-open
+# [start, last_ts + gap) semantics).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q22_session_window",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '{SESSION_GAP_MINUTES} minutes'
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sess_id
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS last_event_ts,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def q22_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session aggregation with a 30-minute inactivity gap."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event_ts"),
+            F.count("*").alias("n_events"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").alias("sum_value"),
+        )
+        .select("user_id", "session_start", "last_event_ts", "n_events", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q24 — batch twin of the mapGroupsWithState user-statistics fold
+# (redis/package.scala:33-45): per-user visit accumulation. Scalar outputs
+# keep the oracle hash stable (the streaming twin materializes the full
+# visits array, as the reference does).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q24_user_statistics",
+    oracle="""
+    SELECT user_id,
+           count(*) AS total_visits,
+           min(event_id) AS first_event_id,
+           max(event_id) AS last_event_id,
+           count(DISTINCT event_type) AS n_event_types,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q24_user_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalent of the reference's UserStatistics accumulation."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("total_visits"),
+        F.min("event_id").alias("first_event_id"),
+        F.max("event_id").alias("last_event_id"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q25 — batch twin of the state-TTL operator: a key is live at the dataset's
+# high-watermark T iff last_access + ttl > T (non-strict lazy expiry view).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q25_ttl_liveness",
+    oracle=f"""
+    WITH hw AS (SELECT max(ts) AS t FROM events)
+    SELECT user_id,
+           max(ts) AS last_access,
+           (max(ts) + INTERVAL '{TTL_DAYS} days' > (SELECT t FROM hw)) AS is_live
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q25_ttl_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which state keys survive a TTL sweep at the stream's high watermark."""
+    e = load_table(spark, sf_dir, "events")
+    hw = e.agg(F.max("ts").alias("t"))
+    per_key = e.groupBy("user_id").agg(F.max("ts").alias("last_access"))
+    return per_key.join(F.broadcast(hw)).select(
+        "user_id",
+        "last_access",
+        (
+            F.col("last_access") + F.expr(f"INTERVAL {TTL_DAYS} DAYS") > F.col("t")
+        ).alias("is_live"),
+    )

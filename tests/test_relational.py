@@ -1,0 +1,44 @@
+"""Oracle-compare every registered relational + stateful-batch query."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_state_provider_spark import operators
+from spark_state_provider_spark.operators import registry
+
+from tests.oracle import compare_query
+
+operators.load_all()
+
+ORACLE_QUERIES = sorted(registry.all_oracles())
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, sf_dir, name):
+    compare_query(spark, sf_dir, name)
+
+
+def test_approx_distinct_within_bounds(spark, sf_dir):
+    exact = {
+        r["l_returnflag"]: r["n_parts"]
+        for r in registry.get("q10_count_distinct").fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in registry.get("q10b_approx_distinct").fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(5, 0.1 * n), (k, approx[k], n)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"userId", "visits", "totalVisits"}
+    total = sum(r["totalVisits"] for r in rows)
+    assert total == sum(len(r["visits"]) for r in rows)
