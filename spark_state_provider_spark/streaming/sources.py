@@ -1,0 +1,79 @@
+"""Streaming sources over the driver testdata.
+
+The reference's end-to-end test feeds a ``MemoryStream[PageVisit]`` in two
+micro-batches (RedistateTest.scala:24,42-59). PySpark has no public
+MemoryStream, so the deterministic analog is a *file* source: the events
+table split into N time-ordered parquet files, streamed with
+``maxFilesPerTrigger=1`` + ``Trigger.AvailableNow`` → N reproducible
+micro-batches. At production scale the same code reads a Kafka topic or a
+cloud-storage drop directory — only the ``readStream`` options change.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_state_provider_spark.tables import load_table
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def split_events_dir(
+    spark: SparkSession, sf_dir: str, n_batches: int = 2, tag: str = "default"
+) -> str:
+    """Materialize events as ``n_batches`` time-ordered parquet files.
+
+    File k holds the k-th time-contiguous slice, so streaming them in name
+    order replays the stream in event-time order — a deterministic
+    micro-batch schedule (the MemoryStream analog).
+    """
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"ssps_stream_{tag}_{os.path.basename(os.path.normpath(sf_dir))}_{n_batches}",
+    )
+    done_marker = os.path.join(base, "_SSPS_DONE")
+    if os.path.exists(done_marker):
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    events = load_table(spark, sf_dir, "events").orderBy("ts", "event_id")
+    rows = events.count()
+    per = (rows + n_batches - 1) // n_batches
+    ranked = events.withColumn(
+        "_slice",
+        F.floor((F.row_number().over(Window.orderBy("ts", "event_id")) - 1) / per).cast(
+            "int"
+        ),
+    )
+    for k in range(n_batches):
+        (
+            ranked.where(F.col("_slice") == k)
+            .drop("_slice")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, f"slice={k:03d}"))
+        )
+    open(done_marker, "w").close()
+    return base
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, n_batches: int = 2, tag: str = "default"
+) -> DataFrame:
+    """Streaming DataFrame replaying the events table in n micro-batches."""
+    path = split_events_dir(spark, sf_dir, n_batches, tag)
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )

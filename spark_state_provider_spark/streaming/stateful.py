@@ -1,0 +1,150 @@
+"""Arbitrary stateful streaming operators (``applyInPandasWithState``).
+
+The centerpiece is the reference's end-to-end scenario: a per-user fold of
+page-visit events into ``UserStatistics`` via
+``groupByKey(_.id).mapGroupsWithState(NoTimeout)(updateUserStatistics)``
+(RedistateTest.scala:29-31, redis/package.scala:33-45). Here the same fold
+runs as an Arrow-batched pandas handler over Spark's native RocksDB state
+store, plus a TTL-aware variant applying the strict-expiry deadline rules
+from ``ttl.py``.
+
+State crosses micro-batches through the state store; each shuffle partition
+owns its slice of keys (the reference's one-store-per-partition model,
+RocksDbStateStoreProvider.scala:39-40) — nothing here ever collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from spark_state_provider_spark.streaming.state_timeout import NO_TTL, STATELESS
+
+# State tuple layout (timestamps as epoch-micros longs keep the state row
+# arrow-friendly): (total, first_id, last_id, types, first_ts_us, last_ts_us)
+STATE_SCHEMA = (
+    "total bigint, first_id bigint, last_id bigint, types array<string>, "
+    "first_ts_us bigint, last_ts_us bigint"
+)
+OUTPUT_SCHEMA = (
+    "user_id bigint, total_visits bigint, first_event_id bigint, "
+    "last_event_id bigint, n_event_types bigint, first_ts_us bigint, "
+    "last_ts_us bigint"
+)
+
+_ZERO = (0, None, None, [], None, None)
+
+
+def _fold(state_tuple, pdf: pd.DataFrame):
+    """Fold one micro-batch of a user's events into the state tuple.
+
+    Pure function — the python twin of the reference's
+    ``updateUserStatistics`` (visits accumulate, totalVisits increments).
+    """
+    total, first_id, last_id, types, first_us, last_us = state_tuple
+    ids = pdf["event_id"]
+    ts_us = pdf["ts"].astype("int64") // 1000  # pandas ns → µs
+    total += len(pdf)
+    first_id = ids.min() if first_id is None else min(first_id, ids.min())
+    last_id = ids.max() if last_id is None else max(last_id, ids.max())
+    types = sorted(set(types) | set(pdf["event_type"].tolist()))
+    first_us = ts_us.min() if first_us is None else min(first_us, ts_us.min())
+    last_us = ts_us.max() if last_us is None else max(last_us, ts_us.max())
+    return (int(total), int(first_id), int(last_id), types, int(first_us), int(last_us))
+
+
+def _emit(user_id, st) -> pd.DataFrame:
+    total, first_id, last_id, types, first_us, last_us = st
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "total_visits": [total],
+            "first_event_id": [first_id],
+            "last_event_id": [last_id],
+            "n_event_types": [len(types)],
+            "first_ts_us": [first_us],
+            "last_ts_us": [last_us],
+        }
+    )
+
+
+def user_statistics_handler(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """NoTimeout user-statistics fold (reference parity handler)."""
+    st = state.get if state.exists else _ZERO
+    for pdf in pdfs:
+        if len(pdf):
+            st = _fold(st, pdf)
+    state.update(st)
+    yield _emit(key[0], st)
+
+
+def make_ttl_handler(ttl_secs: int):
+    """TTL-aware fold: strict event-time expiry at the deadline rules of
+    ``ttl.py`` — state whose ``last_access + ttl <= now`` is discarded
+    before folding (now = the batch's max event time for the key, so the
+    semantics are deterministic and replayable; wall-clock-independent
+    firing would use processing-time timers, a documented deviation —
+    SURVEY.md §7 Stage 3)."""
+
+    def handler(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if ttl_secs == STATELESS:
+            # stateless mode: fold only this batch, keep nothing
+            st = _ZERO
+            for pdf in pdfs:
+                if len(pdf):
+                    st = _fold(st, pdf)
+            state.remove()
+            yield _emit(key[0], st)
+            return
+        st = state.get if state.exists else _ZERO
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            if ttl_secs != NO_TTL and st[5] is not None:
+                now_us = int(pdf["ts"].astype("int64").max() // 1000)
+                if now_us - st[5] >= ttl_secs * 1_000_000:
+                    st = _ZERO  # deadline passed → expired before this batch
+            st = _fold(st, pdf)
+        state.update(st)
+        yield _emit(key[0], st)
+
+    return handler
+
+
+def user_statistics_stream(
+    events: DataFrame,
+    ttl_secs: int | None = None,
+) -> DataFrame:
+    """Per-user UserStatistics over a (streaming) events DataFrame.
+
+    ``ttl_secs=None`` → NoTimeout parity handler; otherwise the TTL fold.
+    Output timestamps are surfaced as real timestamps for oracle parity.
+    """
+    handler = (
+        user_statistics_handler if ttl_secs is None else make_ttl_handler(ttl_secs)
+    )
+    out = events.groupBy("user_id").applyInPandasWithState(
+        handler,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return out.select(
+        "user_id",
+        "total_visits",
+        "first_event_id",
+        "last_event_id",
+        "n_event_types",
+        F.timestamp_micros(F.col("first_ts_us")).alias("first_ts"),
+        F.timestamp_micros(F.col("last_ts_us")).alias("last_ts"),
+    )
