@@ -1,0 +1,53 @@
+"""Vector column expressions — JVM-side (no Python in the hot path).
+
+Dot products / norms / cosine over ``array<float>`` embeddings are built from
+``zip_with`` + ``aggregate`` (whole-stage-codegen'd, Arrow never involved).
+The fold accumulates left-to-right in DOUBLE, matching DuckDB's sequential
+``list_dot_product`` bit-for-bit — which is what lets similarity queries be
+oracle-checked exactly.
+
+At 100 TB the same expressions vectorize per-partition with no shuffle; only
+the top-k step shuffles (see operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double_vec(col: Column | str) -> Column:
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast(
+        "array<double>"
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ with a sequential left-to-right fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit i = sign(vec · planeᵢ).
+
+    ``planes`` is a small driver-side list (k planes × dim floats) baked into
+    the expression as literals — broadcast-free, shuffle-free per-row math.
+    """
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (dot(vec, p) >= 0).cast("int")
+        bucket = bucket + (bit * (1 << i))
+    return bucket

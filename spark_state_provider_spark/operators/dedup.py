@@ -1,1 +1,348 @@
-"""Placeholder — filled in a later milestone this round."""
+"""Document deduplication operators (SURVEY.md §2-C Q28; LLM-pipeline core).
+
+Five dedup families over ``documents``:
+
+* exact        — hash-groupBy on full text, deterministic representative
+* MinHash-LSH  — shingle → minhash → band → bucket-join → exact-Jaccard
+                 verify. Minhashes are md5-based, so the WHOLE pipeline is a
+                 deterministic function computed identically by Spark and the
+                 DuckDB oracle — near-dup detection with an exact oracle.
+* SimHash      — bit-vote fingerprint; native 64-bit xxhash64 variant (fast
+                 path) + portable 16-bit md5-nibble variant (oracle-checked)
+* n-gram Jaccard — direct pairwise shingle-set similarity scoring
+* embedding cosine near-dup lives in operators/similarity.py (q29c)
+
+Scale design: every step is a narrow map or a shuffle keyed on doc_id /
+band-key — candidate generation is linear (LSH), never the O(n²) cross
+product; the only pairwise work happens on verified candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_state_provider_spark.operators.registry import register
+from spark_state_provider_spark.tables import load_table
+
+SHINGLE_K = 3
+N_SALTS = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_SALTS // N_BANDS
+JACCARD_THRESHOLD = 0.5
+_SALTS = [f"s{i:02d}" for i in range(N_SALTS)]
+
+
+# ---------------------------------------------------------------------------
+# Q28 — exact dedup: one canonical row per distinct text.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q28_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS canonical_id,
+           count(*) AS n_copies,
+           min(n_chars) AS n_chars
+    FROM documents
+    GROUP BY text
+    """,
+)
+def q28_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup via hash groupBy (deterministic representative)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    ).drop("text")
+
+
+# ---------------------------------------------------------------------------
+# Q28b — MinHash-LSH near-duplicate pairs, exact-verified.
+# ---------------------------------------------------------------------------
+
+# DuckDB trigram-set CTEs (1-based list indexing); the Spark twin builds the
+# same sets with split/transform/element_at (0-based sequence, 1-based
+# element_at). Both engines keep empty tokens on repeated spaces, so the
+# shingle sets are identical.
+_DUCK_TRI = f"""
+    tok AS (
+        SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
+    ),
+    tri AS (
+        SELECT DISTINCT doc_id, t.tri
+        FROM tok, unnest(list_transform(
+            generate_series(1, len(l) - {SHINGLE_K - 1}),
+            i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        )) AS t(tri)
+    )
+"""
+
+_DUCK_SALTS = "SELECT unnest([" + ", ".join(f"'{s}'" for s in _SALTS) + "]) AS salt"
+
+
+@register(
+    "q28b_minhash_lsh",
+    oracle=f"""
+    WITH {_DUCK_TRI},
+    salts AS ({_DUCK_SALTS}),
+    mh AS (
+        SELECT doc_id, salt, min(md5(salt || '|' || tri)) AS h
+        FROM tri, salts
+        GROUP BY doc_id, salt
+    ),
+    bands AS (
+        SELECT doc_id,
+               CAST(substr(salt, 2) AS INTEGER) % {N_BANDS} AS band,
+               string_agg(h, '' ORDER BY h) AS bkey
+        FROM mh
+        GROUP BY doc_id, CAST(substr(salt, 2) AS INTEGER) % {N_BANDS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cand c
+        JOIN tri ta ON ta.doc_id = c.id_a
+        JOIN tri tb ON tb.doc_id = c.id_b AND tb.tri = ta.tri
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= {JACCARD_THRESHOLD}
+    """,
+)
+def q28b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with exact-Jaccard verification.
+
+    shingle(k={SHINGLE_K}) → {N_SALTS} md5-minhashes → {N_BANDS} bands of
+    {ROWS_PER_BAND} rows → band-bucket equijoin → exact Jaccard ≥
+    {JACCARD_THRESHOLD} on candidates only. All hashing is md5-on-string, so
+    the DuckDB oracle computes the *identical* pipeline — including any LSH
+    misses — making the output exactly checkable.
+    """
+    tri = _trigrams(spark, sf_dir)
+
+    salts = F.array(*[F.lit(s) for s in _SALTS])
+    mh = (
+        tri.select("doc_id", "tri", F.explode(salts).alias("salt"))
+        .groupBy("doc_id", "salt")
+        .agg(F.min(F.md5(F.concat_ws("|", "salt", "tri"))).alias("h"))
+    )
+    bands = (
+        mh.withColumn("band", F.substring("salt", 2, 10).cast("int") % N_BANDS)
+        .groupBy("doc_id", "band")
+        .agg(F.concat_ws("", F.sort_array(F.collect_list("h"))).alias("bkey"))
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("band").alias("band_a"),
+        F.col("bkey").alias("bkey_a"),
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("bkey").alias("bkey_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("bkey_a") == F.col("bkey_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = tri.select(F.col("doc_id").alias("id_a"), "tri")
+    tb = tri.select(F.col("doc_id").alias("tid_b"), F.col("tri").alias("tri_b"))
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, (F.col("id_b") == F.col("tid_b")) & (F.col("tri") == F.col("tri_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-{SHINGLE_K}-shingles per document (shared by q28b/q28d)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    tris = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - SHINGLE_K),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    return (
+        d.where(F.size(toks) >= SHINGLE_K)
+        .select("doc_id", F.explode(tris).alias("tri"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q28c — SimHash fingerprints.
+# ---------------------------------------------------------------------------
+
+
+@register("q28c_simhash", oracle=None)  # xxhash64 is engine-specific
+def q28c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash over distinct tokens (xxhash64 bit votes) — the fast
+    native fingerprint; near-dup docs differ in few bits (Hamming). Tested
+    structurally (determinism, planted-dup proximity) in tests/test_dedup.py.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).distinct()
+    hv = tok.withColumn("hv", F.xxhash64("t"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(hv, {j}) & 1)").cast("int") == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    agg = hv.groupBy("doc_id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for j in range(64):
+        # shiftleft wraps bit 63 into the sign bit (simhash is a signed i64)
+        sim = sim + F.when(F.col(f"b{j}") > 0, F.expr(f"shiftleft(1L, {j})")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def _portable_simhash_sql() -> str:
+    """DuckDB oracle for the 16-bit md5-nibble simhash."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, t.t
+        FROM documents, unnest(string_split(text, ' ')) AS t(t)
+    ),
+    hv AS (
+        SELECT doc_id, ('0x' || substr(md5(t), 1, 4))::BIGINT AS hv FROM tok
+    ),
+    v AS (SELECT doc_id, {votes} FROM hv GROUP BY doc_id)
+    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM v
+    """
+
+
+@register("q28c2_simhash_portable", oracle=_portable_simhash_sql())
+def q28c2_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit md5-nibble SimHash — same algorithm as q28c but built from
+    portable primitives so the DuckDB oracle checks it bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).distinct()
+    hv = tok.withColumn("hv", F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("long"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(hv, {j}) & 1)").cast("int") == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(16)
+    ]
+    agg = hv.groupBy("doc_id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for j in range(16):
+        sim = sim + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(0)
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Q28d — direct n-gram Jaccard scoring for chosen pairs (adjacent doc ids).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q28d_ngram_jaccard",
+    oracle=f"""
+    WITH {_DUCK_TRI},
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id < 100
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, count(*) AS n_inter
+        FROM pairs p
+        JOIN tri ta ON ta.doc_id = p.id_a
+        JOIN tri tb ON tb.doc_id = p.id_b AND tb.tri = ta.tri
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+               (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+    JOIN sizes sa ON sa.doc_id = p.id_a
+    JOIN sizes sb ON sb.doc_id = p.id_b
+    """,
+)
+def q28d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard for each (doc_id, doc_id+1) pair with id < 100."""
+    d = load_table(spark, sf_dir, "documents")
+    tri = _trigrams(spark, sf_dir)
+    pairs = (
+        d.where(F.col("doc_id") < 100)
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .join(d.select(F.col("doc_id").alias("id_b")), "id_b")
+    )
+    sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = tri.select(F.col("doc_id").alias("id_a"), "tri")
+    tb = tri.select(F.col("doc_id").alias("tid_b"), F.col("tri").alias("tri_b"))
+    inter = (
+        pairs.join(ta, "id_a")
+        .join(tb, (F.col("id_b") == F.col("tid_b")) & (F.col("tri") == F.col("tri_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("n_inter"), F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )

@@ -1,1 +1,129 @@
-"""Placeholder — filled in a later milestone this round."""
+"""Multimodal (binary) column operators — LLM-pipeline plumbing.
+
+Images / audio / video are opaque ``binary`` columns with typed metadata.
+The Spark-side plumbing — schema, partition-parallel ``mapInPandas``, Arrow
+batch shape, metadata extraction — is real and tested; the actual media
+*decode* is stubbed (``NotImplementedError`` behind ``strict=True``, a
+deterministic fake otherwise) because no image/audio libraries ship in this
+container. Swapping the fake for PIL/ffmpeg changes ONE function; every
+plan stays identical.
+
+The demo payloads are the documents' UTF-8 bytes (a deterministic stand-in
+blob per row), which keeps the whole pipeline DuckDB-oracle-checkable:
+the fake "decode" derives metadata purely from byte length and a byte
+checksum, both computable in SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_state_provider_spark.operators.registry import register
+from spark_state_provider_spark.tables import load_table
+
+DECODE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, checksum bigint, width int, height int, "
+    "format string"
+)
+
+
+def decode_image_bytes(payload: bytes, strict: bool = False) -> dict:
+    """Decode an image payload → (width, height, format).
+
+    STUB: real decoding needs an image library not present in this
+    container. ``strict=True`` raises (production wiring point); otherwise a
+    deterministic fake derived from the bytes themselves stands in so the
+    distributed plumbing is fully exercisable.
+    """
+    if strict:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv — not available in this "
+            "container; wire the real decoder here"
+        )
+    n = len(payload)
+    checksum = (payload[0] if n else 0) + (payload[-1] if n else 0) + n
+    return {
+        "n_bytes": n,
+        "checksum": checksum,
+        "width": n % 640 + 1,
+        "height": (n * 7) % 480 + 1,
+        "format": "fake/deterministic",
+    }
+
+
+def decode_metadata(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Partition-parallel metadata extraction over a binary column.
+
+    ``mapInPandas`` with Arrow batches: each python worker receives
+    record batches of (id, payload), runs the decoder, emits typed metadata.
+    No shuffle, no driver collect — linear at any scale.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_image_bytes(p) for p in pdf["payload"]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out[["doc_id", "n_bytes", "checksum", "width", "height", "format"]]
+
+    return binary_df.mapInPandas(extract, schema=DECODE_SCHEMA)
+
+
+@register(
+    "q31_multimodal_meta",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               ascii(substr(text, 1, 1)) + ascii(substr(text, -1, 1))
+                   + octet_length(encode(text)) AS checksum
+        FROM documents
+    )
+    SELECT doc_id, n_bytes, checksum,
+           CAST(n_bytes % 640 + 1 AS INTEGER) AS width,
+           CAST((n_bytes * 7) % 480 + 1 AS INTEGER) AS height,
+           'fake/deterministic' AS format
+    FROM b
+    """,
+)
+def q31_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → mapInPandas decode → typed metadata.
+
+    The payload is the document's UTF-8 bytes; the python worker sees real
+    ``bytes`` through Arrow and derives metadata from them. The oracle
+    recomputes the same metadata arithmetically — so the whole binary
+    round-trip (encode → Arrow batch → python → typed rows) is checked.
+    (Texts here are ASCII, so first/last byte == ascii of first/last char.)
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return decode_metadata(d)
+
+
+@register(
+    "q31b_multimodal_partitioned",
+    oracle="""
+    SELECT source,
+           count(*) AS n_assets,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           max(octet_length(encode(text))) AS max_bytes
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q31b_multimodal_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset-store layout stats: bytes per source partition — the query a
+    100 TB media pipeline runs before choosing partition/bucket sizing."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.encode("text", "UTF-8").alias("payload")
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_assets"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.max(F.octet_length("payload")).alias("max_bytes"),
+    )

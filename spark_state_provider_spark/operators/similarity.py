@@ -1,1 +1,171 @@
-"""Placeholder — filled in a later milestone this round."""
+"""Similarity search over embeddings (SURVEY.md §2-C Q29).
+
+Two paths, per the LLM-pipeline requirement:
+
+* **Brute-force cosine top-k** — the exactness baseline. The query set is
+  broadcast; similarities are a single narrow pass over the big side
+  (no shuffle), then a per-query top-k window. This is the plan you want
+  even at 100 TB when the query set is small: scan + broadcast + partial
+  top-k per partition.
+* **LSH-bucketed ANN** — the scale path: random-hyperplane signatures
+  bucket vectors so candidate generation is a bucket-equijoin (linear,
+  shuffle on bucket id) instead of a cross product. Recall is validated
+  against the brute-force baseline in tests.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_state_provider_spark.functions.vector import (
+    as_double_vec,
+    cosine,
+    hyperplane_bucket,
+)
+from spark_state_provider_spark.operators.registry import register
+from spark_state_provider_spark.tables import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+
+# DuckDB twin of functions.vector.cosine (sequential double fold both sides).
+_DUCK_COS = (
+    "list_dot_product(qv, nv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv)))"
+)
+
+
+@register(
+    "q29_knn_brute",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    s AS (
+        SELECT q.query_id,
+               e.vec_id AS neighbor_id,
+               {_DUCK_COS} AS sim
+        FROM q, (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings) e
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, sim, rn
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+        ) AS rn
+        FROM s
+    )
+    WHERE rn <= {TOP_K}
+    """,
+)
+def q29_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{TOP_K} for each query vector (broadcast, no shuffle
+    until the per-query top-k)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    sims = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOP_K)
+
+
+def _deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Pseudo-random hyperplanes from a fixed seed — reproducible across
+    runs/engines without RNG library dependence."""
+    planes = []
+    for i in range(n_planes):
+        planes.append([math.sin(1.0 + i * dim + j) for j in range(dim)])
+    return planes
+
+
+@register("q29b_ann_lsh", oracle=None)  # candidate recall checked vs brute force
+def q29b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-{TOP_K}: 6-bit hyperplane LSH buckets → bucket-equijoin →
+    exact cosine re-rank within candidates.
+
+    The scale path: candidate generation is linear in rows (shuffle on
+    bucket id), never O(n²). Multi-probe (query joins its own bucket only;
+    recall/probes traded via n_planes) — recall vs the brute-force baseline
+    is asserted in tests/test_similarity.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    dim = 64
+    planes = _deterministic_planes(6, dim)
+    bucketed = emb.withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
+    q = bucketed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cands = (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return cands.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOP_K)
+
+
+@register(
+    "q29c_embedding_neardup",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < 200
+    )
+    SELECT a.vec_id AS id_a,
+           b.vec_id AS id_b,
+           list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               AS sim
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= 0.35
+    """,
+)
+def q29c_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.35) on a bounded slice.
+
+    The bounded self-join is the oracle-checkable correctness witness; the
+    unbounded-scale variant is q29b's LSH bucketing followed by this same
+    threshold filter (candidates only, never n²).
+    """
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 200)
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("sim") >= 0.35)
+        .select("id_a", "id_b", "sim")
+    )

@@ -1,0 +1,128 @@
+"""Semantic tests for the LLM-pipeline operators beyond the oracle compare:
+LSH recall vs brute force, SimHash near-dup proximity, multimodal stub
+gating, ANN candidate quality.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_state_provider_spark import operators
+from spark_state_provider_spark.operators import registry
+from spark_state_provider_spark.operators.multimodal import decode_image_bytes
+from spark_state_provider_spark.tables import load_table
+
+operators.load_all()
+
+
+@pytest.fixture(scope="module")
+def brute_pairs(spark, sf_dir):
+    """Ground-truth near-dup pairs (trigram Jaccard >= 0.5) by brute force."""
+    from spark_state_provider_spark.operators.dedup import _trigrams
+
+    tri = _trigrams(spark, sf_dir).cache()
+    sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = tri.select(F.col("doc_id").alias("id_a"), "tri")
+    tb = tri.select(F.col("doc_id").alias("tid_b"), F.col("tri").alias("tri_b"))
+    inter = (
+        ta.join(tb, (F.col("id_a") < F.col("tid_b")) & (F.col("tri") == F.col("tri_b")))
+        .groupBy("id_a", "tid_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("tid_b"), F.col("n").alias("nb"))
+    rows = (
+        inter.join(sa, "id_a")
+        .join(sb, "tid_b")
+        .withColumn(
+            "j",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .where(F.col("j") >= 0.5)
+        .collect()
+    )
+    return {(r["id_a"], r["tid_b"]) for r in rows}
+
+
+def test_minhash_lsh_finds_planted_neardups(spark, sf_dir, brute_pairs):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in registry.get("q28b_minhash_lsh").fn(spark, sf_dir).collect()
+    }
+    assert brute_pairs, "testdata should contain planted near-duplicates"
+    # LSH output must be a subset of truth (verification step guarantees it)
+    assert got <= brute_pairs
+    # and recall must be high (4 bands x 4 rows at j~0.98 → ~100%)
+    assert len(got) >= 0.9 * len(brute_pairs), (len(got), len(brute_pairs))
+
+
+def test_simhash_neardups_are_hamming_close(spark, sf_dir, brute_pairs):
+    sh = {
+        r["doc_id"]: r["simhash"]
+        for r in registry.get("q28c_simhash").fn(spark, sf_dir).collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    near = [ham(sh[a], sh[b]) for a, b in brute_pairs]
+    assert near and max(near) <= 12, near  # near-dups within ~12/64 bits
+    # random pairs should be far (~32 bits expected)
+    ids = sorted(sh)[:50]
+    far = [
+        ham(sh[ids[i]], sh[ids[i + 25]])
+        for i in range(20)
+        if (ids[i], ids[i + 25]) not in brute_pairs
+    ]
+    # shared small vocabulary keeps absolute distances low corpus-wide, so
+    # assert statistical separation rather than an absolute floor
+    assert sum(far) / len(far) > sum(near) / len(near), (near, far)
+
+
+def test_ann_lsh_recall_vs_brute(spark, sf_dir):
+    brute = registry.get("q29_knn_brute").fn(spark, sf_dir).collect()
+    ann = registry.get("q29b_ann_lsh").fn(spark, sf_dir).collect()
+    brute_top = {(r["query_id"], r["neighbor_id"]) for r in brute if r["rn"] <= 3}
+    ann_all = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    # 6-bit LSH on weakly-clustered vectors: require meaningful overlap with
+    # the exact top-3 (recall floor, not exactness — that's what brute is for)
+    recall = len(brute_top & ann_all) / len(brute_top)
+    assert recall >= 0.2, recall
+    # every ANN result must come from the same bucket as its query → its sim
+    # must match the brute-force sim for that pair exactly
+    brute_sims = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in brute}
+    for r in ann:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute_sims:
+            assert r["sim"] == brute_sims[key]
+
+
+def test_multimodal_strict_stub_raises():
+    with pytest.raises(NotImplementedError, match="image decode"):
+        decode_image_bytes(b"\x89PNG...", strict=True)
+
+
+def test_multimodal_fake_decode_deterministic():
+    a = decode_image_bytes(b"hello world")
+    b = decode_image_bytes(b"hello world")
+    assert a == b
+    assert a["n_bytes"] == 11 and 1 <= a["width"] <= 640 and 1 <= a["height"] <= 480
+
+
+def test_lang_id_mostly_english_corpus(spark, sf_dir):
+    """The synthetic corpus is English word-soup regardless of label — the
+    heuristic should be deterministic and dominated by 'en'."""
+    out = registry.get("q30b_lang_id").fn(spark, sf_dir).collect()
+    preds = [r["predicted_lang"] for r in out]
+    assert all(p is not None for p in preds)
+    assert preds.count("en") > len(preds) * 0.8
+
+
+def test_exact_dedup_keys_match_fingerprint_groups(spark, sf_dir):
+    n_texts = (
+        load_table(spark, sf_dir, "documents").select("text").distinct().count()
+    )
+    assert registry.get("q28_dedup_exact").fn(spark, sf_dir).count() == n_texts
+    assert registry.get("q30d_fingerprint").fn(spark, sf_dir).count() == n_texts
