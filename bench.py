@@ -1,0 +1,96 @@
+"""Bench harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is executed to completion
+(collect for small results, count for large ones) on the engine's tuned
+session (AQE, broadcast threshold, RocksDB state store).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_state_provider_spark import operators
+from spark_state_provider_spark.operators import registry
+from spark_state_provider_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative headline set: scan, filter, joins (broadcast/shuffle/asof),
+# aggs (hash/distinct/rollup), windows (rank/frame/topk), stateful batch
+# twins, streaming state ops, and every LLM-pipeline family.
+HEADLINE = [
+    "q01_pruned_scan",
+    "q04_filter",
+    "q05_broadcast_join",
+    "q06_shuffle_join",
+    "q08b_asof_join",
+    "q09_hash_agg",
+    "q10_count_distinct",
+    "q11_rollup",
+    "q12_window_rank",
+    "q13_window_frame",
+    "q14_topk",
+    "q18_math",
+    "q21_tumbling_window",
+    "q22_session_window",
+    "q24_user_statistics",
+    "q27_pandas_udf",
+    "q21s_stream_window",
+    "q24s_stream_user_stats",
+    "q28b_minhash_lsh",
+    "q28c_simhash",
+    "q29_knn_brute",
+    "q29b_ann_lsh",
+    "q30c_token_freq",
+    "q31_multimodal_meta",
+]
+
+
+def main() -> None:
+    operators.load_all()
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = get_spark(app_name="ssps-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen path once with a trivial action
+    spark.range(1000).count()
+    # pre-materialize the streaming replay slices (one-time fixture build;
+    # not part of query wall-clock)
+    from spark_state_provider_spark.streaming.sources import split_events_dir
+
+    for tag in ("w", "us"):
+        split_events_dir(spark, SF_DIR, 2, tag=tag)
+
+    sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.get(name).fn
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

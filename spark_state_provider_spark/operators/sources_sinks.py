@@ -1,0 +1,73 @@
+"""Source/sink format coverage beyond parquet (SURVEY.md §2-C Q1/Q2).
+
+The reference delegates all I/O to Spark ("file-format implementations: it
+depends on whatever Spark provides" — SURVEY.md §2-C); the rebuild's surface
+is the native DataFrameReader/Writer matrix. Round-trips are exercised on
+the small dimension tables (schema-explicit reads — never inference in a
+production path — and deterministic contents for the oracle).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_state_provider_spark.operators.registry import register
+from spark_state_provider_spark.tables import load_table
+
+
+def _out(sf_dir: str, name: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"ssps_{name}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+
+
+@register("q02b_csv_roundtrip", oracle="SELECT r_regionkey, r_name FROM region")
+def q02b_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema-explicit CSV source round-trip."""
+    out = _out(sf_dir, "csv")
+    load_table(spark, sf_dir, "region").write.mode("overwrite").option(
+        "header", True
+    ).csv(out)
+    return spark.read.schema("r_regionkey int, r_name string").option(
+        "header", True
+    ).csv(out)
+
+
+@register(
+    "q02c_json_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q02c_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema-explicit JSON source round-trip."""
+    out = _out(sf_dir, "json")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").json(out)
+    return (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .json(out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@register(
+    "q02d_partitioned_sink",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def q02d_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink (partition pruning on read-back).
+
+    The 100 TB layout decision: partitionBy on a low-cardinality column so
+    downstream per-priority reads prune files instead of scanning.
+    """
+    out = _out(sf_dir, "part_parquet")
+    o = load_table(spark, sf_dir, "orders").where("o_orderstatus = 'O'")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderpriority").count().withColumnRenamed("count", "n")

@@ -1,0 +1,56 @@
+"""State-store inspection — parity with the reference's ``iterator`` /
+``latestIterator`` / ``metrics`` surface.
+
+The reference exposes committed state through provider methods
+(``RocksDbStateStoreProvider.scala:228-264`` full scan, ``:642-647`` latest
+version, ``:269-270`` metrics). Spark ≥ 4 exposes exactly this through the
+``statestore`` / ``state-metadata`` batch readers over a checkpoint — no
+custom provider needed; these helpers wrap them as the engine's public API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_state(
+    spark: SparkSession,
+    checkpoint_location: str,
+    operator_id: int = 0,
+    batch_id: int | None = None,
+    store_name: str | None = None,
+) -> DataFrame:
+    """Iterate a query's committed state (reference ``iterator``/
+    ``latestIterator``): one row per state key with its value struct.
+
+    ``batch_id=None`` reads the latest committed version, matching
+    ``latestIterator`` (RocksDbStateStoreProvider.scala:642-647); passing an
+    older ``batch_id`` replays a past version — the reference's versioned
+    ``getStore(version)`` re-execution semantics (``:53-55``).
+    """
+    reader = (
+        spark.read.format("statestore")
+        .option("path", checkpoint_location)
+        .option("operatorId", operator_id)
+    )
+    if batch_id is not None:
+        reader = reader.option("batchId", batch_id)
+    if store_name is not None:
+        reader = reader.option("storeName", store_name)
+    return reader.load()
+
+
+def state_metadata(spark: SparkSession, checkpoint_location: str) -> DataFrame:
+    """Operator/partition/batch metadata for every state store under a
+    checkpoint (the reference's ``metrics``/version-listing analog,
+    ``fetchVersions`` RocksDbStateStoreProvider.scala:584-600)."""
+    return (
+        spark.read.format("state-metadata").option("path", checkpoint_location).load()
+    )
+
+
+def state_key_count(
+    spark: SparkSession, checkpoint_location: str, operator_id: int = 0
+) -> int:
+    """numKeys metric (reference ``metrics`` — ``ROCKS:269-270``)."""
+    return read_state(spark, checkpoint_location, operator_id).count()

@@ -1,0 +1,92 @@
+"""Physical-plan quality gates: the plans that must survive a 100× scale-up.
+
+Each assertion encodes a scale requirement from the build brief: filters
+reach the parquet scan, projections prune the read schema, small dims
+broadcast, top-k never globally sorts, aggregates partial-aggregate
+map-side, and nothing ever falls back to a cartesian product.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_state_provider_spark import operators
+from spark_state_provider_spark.operators import registry
+from spark_state_provider_spark.plans.explain import (
+    assert_in_plan,
+    assert_not_in_plan,
+    plan_string,
+)
+
+operators.load_all()
+
+
+def _df(spark, sf_dir, name):
+    return registry.get(name).fn(spark, sf_dir)
+
+
+def test_q01_filter_pushdown_and_column_pruning(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q01_pruned_scan"))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "LessThan(l_quantity" in plan
+    # read schema must contain only the 4 projected columns
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" not in rs and "l_comment" not in rs
+    assert "l_orderkey" in rs and "l_shipdate" in rs
+
+
+def test_q04_in_predicate_pushed(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q04_filter"))
+    assert "PushedFilters: [" in plan
+    assert "In(o_orderpriority" in plan
+
+
+def test_q05_dims_broadcast(spark, sf_dir):
+    plan = assert_in_plan(_df(spark, sf_dir, "q05_broadcast_join"), "BroadcastHashJoin")
+    # both dim joins broadcast (tree + detail sections each repeat the node)
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q08_range_join_broadcasts_band_dim(spark, sf_dir):
+    assert_in_plan(
+        _df(spark, sf_dir, "q08_range_join"), "BroadcastNestedLoopJoin"
+    )
+    assert_not_in_plan(_df(spark, sf_dir, "q08_range_join"), "CartesianProduct")
+
+
+def test_q09_partial_aggregation(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q09_hash_agg"))
+    assert "partial_sum" in plan or "Partial" in plan
+    assert "HashAggregate" in plan
+
+
+def test_q14_topk_never_global_sorts(spark, sf_dir):
+    assert_in_plan(_df(spark, sf_dir, "q14_topk"), "TakeOrderedAndProject")
+
+
+def test_q29_knn_broadcasts_queries(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q29_knn_brute"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q28b_lsh_no_cartesian(spark, sf_dir):
+    assert_not_in_plan(
+        _df(spark, sf_dir, "q28b_minhash_lsh"), "CartesianProduct"
+    )
+
+
+def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
+    # "codegen" explain mode compiles the plan and reports WSCG subtrees
+    for name in ("q09_hash_agg", "q18_math", "q30_text_stats"):
+        plan = plan_string(_df(spark, sf_dir, name), "codegen")
+        assert "WholeStageCodegen subtree" in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q06_shuffle_join", "q12_window_rank", "q24_user_statistics"],
+)
+def test_no_cartesian_anywhere(spark, sf_dir, name):
+    assert_not_in_plan(_df(spark, sf_dir, name), "CartesianProduct")
