@@ -144,6 +144,87 @@ def q24s_stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema=schema)
 
 
+from spark_state_provider_spark.streaming.processor import HAS_TWS_DEPS
+
+if HAS_TWS_DEPS:
+    # transformWithStateInPandas needs protobuf for its state-server
+    # protocol; register these only where the dependency exists (the
+    # applyInPandasWithState path above covers the semantics regardless).
+    # ---------------------------------------------------------------------------
+    # Q24t — same fold through the Spark 4 transformWithStateInPandas API
+    # (StatefulProcessor + ValueState). Same oracle as the batch twin.
+    # ---------------------------------------------------------------------------
+
+
+    @register(
+        "q24t_transform_with_state",
+        oracle="""
+        SELECT user_id,
+               count(*) AS total_visits,
+               min(event_id) AS first_event_id,
+               max(event_id) AS last_event_id,
+               count(DISTINCT event_type) AS n_event_types,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts
+        FROM events
+        GROUP BY user_id
+        """,
+    )
+    def q24t_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """UserStatistics fold via transformWithStateInPandas (ValueState)."""
+        from spark_state_provider_spark.streaming.processor import (
+            user_statistics_transform,
+        )
+
+        _prep_streaming(spark)
+        ev = stream_events(spark, sf_dir, N_BATCHES, tag="tws")
+        out = user_statistics_transform(ev)
+        rows = run_upsert_collect(out, ["user_id"])
+        schema = (
+            "user_id bigint, total_visits bigint, first_event_id bigint, "
+            "last_event_id bigint, n_event_types bigint, first_ts timestamp, "
+            "last_ts timestamp"
+        )
+        return spark.createDataFrame(rows, schema=schema)
+
+
+    @register(
+        "q25t_transform_native_ttl",
+        oracle="""
+        SELECT user_id,
+               count(*) AS total_visits,
+               min(event_id) AS first_event_id,
+               max(event_id) AS last_event_id,
+               count(DISTINCT event_type) AS n_event_types,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts
+        FROM events
+        GROUP BY user_id
+        """,
+    )
+    def q25t_transform_native_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Same fold with NATIVE store-level state TTL (ttlDurationMs) — the
+        reference's non-strict lazy mode handled by the state store itself. The
+        1-hour TTL deliberately exceeds the run's wall-clock, so the output
+        still equals the batch oracle while exercising the TTL-wired state path
+        end-to-end (timer/eviction firing is covered deterministically in
+        tests/test_transform_state.py)."""
+        from spark_state_provider_spark.streaming.processor import (
+            user_statistics_transform,
+        )
+
+        _prep_streaming(spark)
+        ev = stream_events(spark, sf_dir, N_BATCHES, tag="twsttl")
+        out = user_statistics_transform(ev, ttl_ms=3600 * 1000)
+        rows = run_upsert_collect(out, ["user_id"])
+        schema = (
+            "user_id bigint, total_visits bigint, first_event_id bigint, "
+            "last_event_id bigint, n_event_types bigint, first_ts timestamp, "
+            "last_ts timestamp"
+        )
+        return spark.createDataFrame(rows, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # Q25 streaming — TTL fold (strict event-time deadline, ttl.py rules). With
 # a 3-day TTL, users idle >3 days between their batch-1 and batch-2 events

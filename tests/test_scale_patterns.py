@@ -1,0 +1,86 @@
+"""Skew-salting and bucketed-join scale patterns: correctness equivalence
+plus the physical-plan properties that make them worth it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_state_provider_spark import operators
+from spark_state_provider_spark.functions.skew import salted_join, with_salt
+from spark_state_provider_spark.plans.explain import plan_string
+from spark_state_provider_spark.tables import load_table
+
+from tests.oracle import compare_query
+
+operators.load_all()
+
+
+def test_salted_agg_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q32_salted_agg")
+
+
+def test_salt_is_deterministic_and_bounded(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    s1 = with_salt(e, "event_id", 16).select("event_id", "_salt")
+    s2 = with_salt(e, "event_id", 16).select("event_id", "_salt")
+    assert {tuple(r) for r in s1.collect()} == {tuple(r) for r in s2.collect()}
+    salts = {r["_salt"] for r in s1.collect()}
+    assert salts <= set(range(16)) and len(salts) > 8
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn("type_tag", F.upper("event_type"))
+    )
+    plain = e.join(dim, "event_type").select("event_id", "type_tag")
+    salted = salted_join(e, dim, "event_type", buckets=8, salt_from="event_id").select(
+        "event_id", "type_tag"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path_factory):
+    """Pre-bucketed tables on the join key co-locate rows: the sort-merge
+    join runs with NO Exchange on either side — the layout decision that
+    turns a 100 TB repeated join from shuffle-bound to scan-bound."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        spark.sql("DROP TABLE IF EXISTS ssps_orders_b")
+        spark.sql("DROP TABLE IF EXISTS ssps_lineitem_b")
+        (
+            orders.write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable("ssps_orders_b")
+        )
+        (
+            li.write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable("ssps_lineitem_b")
+        )
+        ob = spark.table("ssps_orders_b")
+        lb = spark.table("ssps_lineitem_b")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).select(
+            "o_orderkey", "l_quantity"
+        )
+        plan = plan_string(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:3000]
+        # and it computes the same thing as the unbucketed join
+        n_plain = (
+            orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+        )
+        assert joined.count() == n_plain
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS ssps_orders_b")
+        spark.sql("DROP TABLE IF EXISTS ssps_lineitem_b")
