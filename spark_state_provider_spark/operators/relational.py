@@ -841,3 +841,38 @@ def q27_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(charge("l_extendedprice", "l_discount", "l_tax"), 2).alias("charge"),
         )
     )
+
+
+@register(
+    "q27b_python_udtf",
+    oracle="""
+    SELECT p.p_partkey AS partkey,
+           t.word AS word,
+           length(t.word) AS wlen
+    FROM part p, unnest(list_distinct(string_split(p.p_type, ' '))) AS t(word)
+    WHERE p.p_size >= 40
+    """,
+)
+def q27b_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one row per distinct word of p_type.
+
+    The user-defined *table* function surface (SURVEY §2-C Q27 "UDTF via
+    Python UDTF 3.5+") — a lateral join expanding each input row.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, wlen int")
+    class SplitTypeWords:
+        def eval(self, p_type: str):
+            for w in sorted(set(p_type.split(" "))):
+                yield w, len(w)
+
+    spark.udtf.register("ssps_split_type_words", SplitTypeWords)
+    _t(spark, sf_dir, "part").createOrReplaceTempView("ssps_part_v")
+    return spark.sql(
+        """
+        SELECT p.p_partkey AS partkey, t.word, t.wlen
+        FROM ssps_part_v p, LATERAL ssps_split_type_words(p.p_type) t
+        WHERE p.p_size >= 40
+        """
+    )

@@ -86,10 +86,10 @@ def test_ann_lsh_recall_vs_brute(spark, sf_dir):
     ann = registry.get("q29b_ann_lsh").fn(spark, sf_dir).collect()
     brute_top = {(r["query_id"], r["neighbor_id"]) for r in brute if r["rn"] <= 3}
     ann_all = {(r["query_id"], r["neighbor_id"]) for r in ann}
-    # 6-bit LSH on weakly-clustered vectors: require meaningful overlap with
-    # the exact top-3 (recall floor, not exactness — that's what brute is for)
+    # multi-table LSH on weakly-clustered vectors: recall floor vs exact
+    # top-3 (brute force remains the exactness baseline)
     recall = len(brute_top & ann_all) / len(brute_top)
-    assert recall >= 0.2, recall
+    assert recall >= 0.5, recall
     # every ANN result must come from the same bucket as its query → its sim
     # must match the brute-force sim for that pair exactly
     brute_sims = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in brute}
