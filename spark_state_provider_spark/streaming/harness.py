@@ -40,9 +40,13 @@ def run_to_memory(
         .start()
     )
     try:
-        q.awaitTermination(timeout_secs)
+        finished = q.awaitTermination(timeout_secs)
     finally:
         q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"streaming query {name!r} did not drain within {timeout_secs}s"
+        )
     return spark.table(name)
 
 
@@ -73,9 +77,13 @@ def run_upsert_collect(
         .start()
     )
     try:
-        q.awaitTermination(timeout_secs)
+        finished = q.awaitTermination(timeout_secs)
     finally:
         q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"streaming upsert did not drain within {timeout_secs}s"
+        )
     return list(state.values())
 
 

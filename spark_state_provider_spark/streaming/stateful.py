@@ -120,6 +120,22 @@ def make_ttl_handler(ttl_secs: int):
     return handler
 
 
+def user_statistics_stream_for_query(
+    events: DataFrame, query_name: str | None
+) -> DataFrame:
+    """EP3 closed loop: resolve the TTL the user configured for this query
+    through ``stateTimeout``/RuntimeConfig (reference per-query conf,
+    RocksDbStateStoreProvider.scala:725-729) and build the fold with it.
+    ``-1`` (or unset) → NoTimeout parity handler."""
+    from spark_state_provider_spark.streaming.state_timeout import (
+        NO_TTL,
+        get_expiration_by_query,
+    )
+
+    ttl = get_expiration_by_query(events.sparkSession.conf, query_name)
+    return user_statistics_stream(events, None if ttl == NO_TTL else ttl)
+
+
 def user_statistics_stream(
     events: DataFrame,
     ttl_secs: int | None = None,

@@ -1,0 +1,74 @@
+"""Connector builders: rate source produces rows; conf-driven TTL wiring
+resolves through state_timeout (the EP3 loop end to end)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_state_provider_spark.sources.connectors import stream_rate
+from spark_state_provider_spark.streaming.harness import run_upsert_collect
+from spark_state_provider_spark.streaming.sources import stream_events
+from spark_state_provider_spark.streaming.state_timeout import state_timeout
+from spark_state_provider_spark.streaming.stateful import (
+    user_statistics_stream_for_query,
+)
+from spark_state_provider_spark.tables import load_table
+
+
+def test_rate_source_produces_rows(spark):
+    df = stream_rate(spark, rows_per_second=500, num_partitions=2)
+    assert df.isStreaming
+    q = (
+        df.writeStream.format("memory")
+        .queryName("mem_rate")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table("mem_rate").count() == 0:
+            time.sleep(0.5)
+        assert spark.table("mem_rate").count() > 0
+        assert set(spark.table("mem_rate").columns) == {"timestamp", "value"}
+    finally:
+        q.stop()
+
+
+def test_conf_driven_ttl_resolves_through_state_timeout(spark, sf_dir, tmp_path):
+    """EP3 closed loop: stateTimeout writes the per-query conf; the fold
+    builder reads it back and applies the TTL fold for that query name."""
+    ev = stream_events(spark, sf_dir, 4, tag="ep3")
+    out = user_statistics_stream_for_query(ev, None)  # placeholder writer
+    writer = out.writeStream
+    state_timeout(
+        writer,
+        spark.conf,
+        query_name="ep3_query",
+        expiry_secs=3 * 24 * 3600,
+        checkpoint_location=str(tmp_path / "ckpt"),
+    )
+    # now that the conf is set, build the real fold for that query name
+    out = user_statistics_stream_for_query(ev, "ep3_query")
+    rows = run_upsert_collect(out, ["user_id"])
+    batch = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    finals = {r["user_id"]: r["total_visits"] for r in rows}
+    assert set(finals) == set(batch)
+    # TTL fold: totals never exceed the batch count (resets only shrink)
+    assert all(finals[u] <= batch[u] for u in finals)
+    # and with no conf set, the same builder produces the NoTimeout fold
+    spark.conf.unset(
+        "spark.sql.streaming.stateStore.stateExpirySecs.ep3_query"
+    )
+    out2 = user_statistics_stream_for_query(
+        stream_events(spark, sf_dir, 2, tag="ep3b"), "ep3_query"
+    )
+    rows2 = run_upsert_collect(out2, ["user_id"])
+    assert {r["user_id"]: r["total_visits"] for r in rows2} == batch
