@@ -73,9 +73,11 @@ def main() -> None:
         fn = registry.get(name).fn
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
-        n = df.count()
+        # noop sink materializes EVERY column — count() would let Catalyst
+        # prune the very operator under test (windows, UDFs, projections)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -52,17 +52,20 @@ def salted_join(
     skewed: DataFrame,
     small: DataFrame,
     key: str,
-    buckets: int = 16,
-    salt_from: str | None = None,
+    buckets: int,
+    salt_from: str,
 ) -> DataFrame:
     """Equi-join a skewed fact to a replicable build side without hot
     reducers: the fact gets a deterministic salt, the build side is
     replicated ``buckets`` times, and the join key becomes (key, salt).
 
+    ``salt_from`` is REQUIRED and must vary within a key (a row id, event
+    id, …) — salting from the join key itself would put every row of a hot
+    key in one bucket, replicating the build side for nothing.
+
     Use when broadcast is too big and AQE's split heuristic misses the skew.
     """
-    salt_src = salt_from or key
-    left = with_salt(skewed, salt_src, buckets)
+    left = with_salt(skewed, salt_from, buckets)
     right = small.crossJoin(
         F.broadcast(
             skewed.sparkSession.range(buckets).select(

@@ -96,8 +96,11 @@ def q01_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q02_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write a filtered projection to parquet, read it back (sink + source)."""
+    # pid-scoped path: concurrent processes (pytest + driver) must not race
+    # on overwrite-vs-read of the same sink dir
     out = os.path.join(
-        tempfile.gettempdir(), f"ssps_sink_{os.path.basename(os.path.normpath(sf_dir))}"
+        tempfile.gettempdir(),
+        f"ssps_sink_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
     )
     orders = _t(spark, sf_dir, "orders")
     (

@@ -118,7 +118,9 @@ def q29b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec("embedding").alias("v")
     )
-    dim = 64
+    # derive the dimension from the data — a hardcoded dim would make
+    # zip_with null-pad on mismatch and silently empty every bucket
+    dim = len(emb.select("v").first()["v"])
     tables = F.array(
         *[
             F.struct(

@@ -19,9 +19,10 @@ from spark_state_provider_spark.tables import load_table
 
 
 def _out(sf_dir: str, name: str) -> str:
+    # pid-scoped: concurrent processes must not race on overwrite-vs-read
     return os.path.join(
         tempfile.gettempdir(),
-        f"ssps_{name}_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"ssps_{name}_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
     )
 
 

@@ -12,6 +12,8 @@ judge sees real streaming exercised under the t2 gate.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -24,11 +26,21 @@ from spark_state_provider_spark.streaming.stateful import user_statistics_stream
 N_BATCHES = 2
 
 
-def _prep_streaming(spark: SparkSession) -> None:
-    """Pin streaming confs on the caller's session (runtime-settable)."""
+@contextmanager
+def _streaming_session(spark: SparkSession):
+    """Pin streaming confs for the duration of one streaming run, restoring
+    the caller's shuffle parallelism afterwards (a leaked
+    shuffle.partitions=8 would under-parallelize every later batch query
+    on the same session)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set(STATE_STORE_PROVIDER_CONF, ROCKSDB_PROVIDER)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        yield
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 # ---------------------------------------------------------------------------
@@ -51,21 +63,21 @@ def _prep_streaming(spark: SparkSession) -> None:
 )
 def q21s_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming windowed agg, RocksDB-backed state, 2 micro-batches."""
-    _prep_streaming(spark)
-    ev = stream_events(spark, sf_dir, N_BATCHES, tag="w")
-    agg = (
-        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").alias(
-                "sum_value"
-            ),
+    with _streaming_session(spark):
+        ev = stream_events(spark, sf_dir, N_BATCHES, tag="w")
+        agg = (
+            ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").alias(
+                    "sum_value"
+                ),
+            )
+            .select(
+                F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+            )
         )
-        .select(
-            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
-        )
-    )
-    return run_to_memory(agg, "mem_q21s", "complete")
+        return run_to_memory(agg, "mem_q21s", "complete")
 
 
 # ---------------------------------------------------------------------------
@@ -80,10 +92,10 @@ def q21s_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q20s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicates: keys seen in batch 1 suppress batch 2."""
-    _prep_streaming(spark)
-    ev = stream_events(spark, sf_dir, N_BATCHES, tag="d")
-    dedup = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
-    return run_to_memory(dedup, "mem_q20s", "append")
+    with _streaming_session(spark):
+        ev = stream_events(spark, sf_dir, N_BATCHES, tag="d")
+        dedup = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+        return run_to_memory(dedup, "mem_q20s", "append")
 
 
 # ---------------------------------------------------------------------------
@@ -97,15 +109,15 @@ def q20s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q23_watermark", oracle=None)
 def q23_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked hourly counts: only watermark-closed windows are emitted."""
-    _prep_streaming(spark)
-    ev = stream_events(spark, sf_dir, 4, tag="wm")
-    agg = (
-        ev.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count("*").alias("n_events"))
-        .select(F.col("w.start").alias("window_start"), "n_events")
-    )
-    return run_to_memory(agg, "mem_q23", "append")
+    with _streaming_session(spark):
+        ev = stream_events(spark, sf_dir, 4, tag="wm")
+        agg = (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_events")
+        )
+        return run_to_memory(agg, "mem_q23", "append")
 
 
 # ---------------------------------------------------------------------------
@@ -132,16 +144,16 @@ def q23_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q24s_stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful fold over RocksDB state, 2 micro-batches."""
-    _prep_streaming(spark)
-    ev = stream_events(spark, sf_dir, N_BATCHES, tag="us")
-    out = user_statistics_stream(ev)
-    rows = run_upsert_collect(out, ["user_id"])
-    schema = (
-        "user_id bigint, total_visits bigint, first_event_id bigint, "
-        "last_event_id bigint, n_event_types bigint, first_ts timestamp, "
-        "last_ts timestamp"
-    )
-    return spark.createDataFrame(rows, schema=schema)
+    with _streaming_session(spark):
+        ev = stream_events(spark, sf_dir, N_BATCHES, tag="us")
+        out = user_statistics_stream(ev)
+        rows = run_upsert_collect(out, ["user_id"])
+        schema = (
+            "user_id bigint, total_visits bigint, first_event_id bigint, "
+            "last_event_id bigint, n_event_types bigint, first_ts timestamp, "
+            "last_ts timestamp"
+        )
+        return spark.createDataFrame(rows, schema=schema)
 
 
 from spark_state_provider_spark.streaming.processor import HAS_TWS_DEPS
@@ -176,16 +188,16 @@ if HAS_TWS_DEPS:
             user_statistics_transform,
         )
 
-        _prep_streaming(spark)
-        ev = stream_events(spark, sf_dir, N_BATCHES, tag="tws")
-        out = user_statistics_transform(ev)
-        rows = run_upsert_collect(out, ["user_id"])
-        schema = (
-            "user_id bigint, total_visits bigint, first_event_id bigint, "
-            "last_event_id bigint, n_event_types bigint, first_ts timestamp, "
-            "last_ts timestamp"
-        )
-        return spark.createDataFrame(rows, schema=schema)
+        with _streaming_session(spark):
+            ev = stream_events(spark, sf_dir, N_BATCHES, tag="tws")
+            out = user_statistics_transform(ev)
+            rows = run_upsert_collect(out, ["user_id"])
+            schema = (
+                "user_id bigint, total_visits bigint, first_event_id bigint, "
+                "last_event_id bigint, n_event_types bigint, first_ts timestamp, "
+                "last_ts timestamp"
+            )
+            return spark.createDataFrame(rows, schema=schema)
 
 
     @register(
@@ -213,16 +225,16 @@ if HAS_TWS_DEPS:
             user_statistics_transform,
         )
 
-        _prep_streaming(spark)
-        ev = stream_events(spark, sf_dir, N_BATCHES, tag="twsttl")
-        out = user_statistics_transform(ev, ttl_ms=3600 * 1000)
-        rows = run_upsert_collect(out, ["user_id"])
-        schema = (
-            "user_id bigint, total_visits bigint, first_event_id bigint, "
-            "last_event_id bigint, n_event_types bigint, first_ts timestamp, "
-            "last_ts timestamp"
-        )
-        return spark.createDataFrame(rows, schema=schema)
+        with _streaming_session(spark):
+            ev = stream_events(spark, sf_dir, N_BATCHES, tag="twsttl")
+            out = user_statistics_transform(ev, ttl_ms=3600 * 1000)
+            rows = run_upsert_collect(out, ["user_id"])
+            schema = (
+                "user_id bigint, total_visits bigint, first_event_id bigint, "
+                "last_event_id bigint, n_event_types bigint, first_ts timestamp, "
+                "last_ts timestamp"
+            )
+            return spark.createDataFrame(rows, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -236,16 +248,16 @@ if HAS_TWS_DEPS:
 @register("q25s_stream_ttl", oracle=None)
 def q25s_stream_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-stats fold where state expires 3 days after last access."""
-    _prep_streaming(spark)
-    ev = stream_events(spark, sf_dir, 4, tag="ttl")
-    out = user_statistics_stream(ev, ttl_secs=3 * 24 * 3600)
-    rows = run_upsert_collect(out, ["user_id"])
-    schema = (
-        "user_id bigint, total_visits bigint, first_event_id bigint, "
-        "last_event_id bigint, n_event_types bigint, first_ts timestamp, "
-        "last_ts timestamp"
-    )
-    return spark.createDataFrame(rows, schema=schema)
+    with _streaming_session(spark):
+        ev = stream_events(spark, sf_dir, 4, tag="ttl")
+        out = user_statistics_stream(ev, ttl_secs=3 * 24 * 3600)
+        rows = run_upsert_collect(out, ["user_id"])
+        schema = (
+            "user_id bigint, total_visits bigint, first_event_id bigint, "
+            "last_event_id bigint, n_event_types bigint, first_ts timestamp, "
+            "last_ts timestamp"
+        )
+        return spark.createDataFrame(rows, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -272,31 +284,31 @@ def q25s_stream_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q26_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two streams joined on key + event-time range (state on both sides)."""
-    _prep_streaming(spark)
-    clicks = (
-        stream_events(spark, sf_dir, N_BATCHES, tag="j1")
-        .where(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
+    with _streaming_session(spark):
+        clicks = (
+            stream_events(spark, sf_dir, N_BATCHES, tag="j1")
+            .where(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
         )
-    )
-    purchases = (
-        stream_events(spark, sf_dir, N_BATCHES, tag="j2")
-        .where(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
+        purchases = (
+            stream_events(spark, sf_dir, N_BATCHES, tag="j2")
+            .where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
         )
-    )
-    joined = clicks.join(
-        purchases,
-        F.expr(
-            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 6 HOURS"
-        ),
-    ).select(
-        "click_id", "purchase_id", F.col("c_user").alias("user_id")
-    )
-    return run_to_memory(joined, "mem_q26", "append")
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 6 HOURS"
+            ),
+        ).select(
+            "click_id", "purchase_id", F.col("c_user").alias("user_id")
+        )
+        return run_to_memory(joined, "mem_q26", "append")

@@ -143,7 +143,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config(
-            "spark.sql.streaming.checkpointLocation.root",
+            # default checkpoint ROOT: queries without an explicit
+            # checkpointLocation get a subdir under tmp
+            "spark.sql.streaming.checkpointLocation",
             tempfile.gettempdir(),
         )
     )

@@ -16,7 +16,7 @@ from __future__ import annotations
 import tempfile
 import threading
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 
 
 def run_to_memory(
@@ -86,6 +86,3 @@ def run_upsert_collect(
         )
     return list(state.values())
 
-
-def rows_to_df(spark: SparkSession, rows: list, schema) -> DataFrame:
-    return spark.createDataFrame(rows, schema=schema)

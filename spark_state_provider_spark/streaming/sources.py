@@ -36,9 +36,12 @@ def split_events_dir(
     order replays the stream in event-time order — a deterministic
     micro-batch schedule (the MemoryStream analog).
     """
+    # pid-scoped: another process rmtree-ing the slice dir mid-stream would
+    # yank files out from under an active FileStreamSource
     base = os.path.join(
         tempfile.gettempdir(),
-        f"ssps_stream_{tag}_{os.path.basename(os.path.normpath(sf_dir))}_{n_batches}",
+        f"ssps_stream_{tag}_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{n_batches}_{os.getpid()}",
     )
     done_marker = os.path.join(base, "_SSPS_DONE")
     if os.path.exists(done_marker):

@@ -37,8 +37,6 @@ def _norm(v):
         return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, datetime.date):
         return v.isoformat()
-    if isinstance(v, float) and v == int(v) and abs(v) < 2**52:
-        return v  # keep as float; int-valued floats compare fine via ==
     return v
 
 

@@ -54,7 +54,7 @@ def test_minhash_lsh_finds_planted_neardups(spark, sf_dir, brute_pairs):
     assert brute_pairs, "testdata should contain planted near-duplicates"
     # LSH output must be a subset of truth (verification step guarantees it)
     assert got <= brute_pairs
-    # and recall must be high (4 bands x 4 rows at j~0.98 → ~100%)
+    # and recall must be high (2 bands x 4 rows at j~0.98 → ~99%)
     assert len(got) >= 0.9 * len(brute_pairs), (len(got), len(brute_pairs))
 
 
