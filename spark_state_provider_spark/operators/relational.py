@@ -440,6 +440,32 @@ def q10_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q10c_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.95) AS p95,
+           min(l_extendedprice) AS p_min,
+           max(l_extendedprice) AS p_max
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q10c_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``: both linear-interpolate over the sorted set).
+    The sketch-based scale path is ``approx_percentile`` (like q10b, no
+    cross-engine oracle for sketches)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        F.min("l_extendedprice").alias("p_min"),
+        F.max("l_extendedprice").alias("p_max"),
+    )
+
+
 @register("q10b_approx_distinct", oracle=None)  # HLL sketches differ per engine
 def q10b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB-scale path.
@@ -493,6 +519,76 @@ def q11b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.expr(dsum("l_extendedprice")).alias("sum_price")
+    )
+
+
+@register(
+    "q11c_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q11c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets (neither rollup nor cube shape)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("ssps_lineitem_v")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {dsum('l_quantity')} AS sum_qty
+        FROM ssps_lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "q18b_variance",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           n
+    FROM s
+    """,
+)
+def q18b_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev from exact decimal moments.
+
+    Spark's ``var_samp`` (streaming Welford) and DuckDB's differ in float
+    round-off; computing both engines' results from the same exact decimal
+    sums makes them bit-identical — and the two-moment form is also the
+    map-side-combinable shape a 100 TB aggregate wants.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("sx"),
+        F.expr(
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))"
+            " * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("sxx"),
+        F.count("*").alias("n"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    return s.select(
+        "l_returnflag",
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+        "n",
     )
 
 
