@@ -45,9 +45,39 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     ``planes`` is a small driver-side list (k planes × dim floats) baked into
     the expression as literals — broadcast-free, shuffle-free per-row math.
     """
-    bucket = F.lit(0)
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = (dot(vec, p) >= 0).cast("int")
-        bucket = bucket + (bit * (1 << i))
-    return bucket
+    return hyperplane_buckets(vec, [planes])[0]
+
+
+def hyperplane_buckets(vec: Column, tables: list[list[list[float]]]) -> Column:
+    """Bucket ids for MULTIPLE LSH tables as one array column.
+
+    One nested transform/aggregate expression instead of tables×planes
+    separate dot-product trees: the literal plane matrix appears once, so
+    the generated code stays small (24 unrolled dot expressions measurably
+    dominate cold compile time).
+    """
+    # one parsed SQL literal: building this as nested F.array(F.lit(...))
+    # costs thousands of py4j round-trips (measured seconds of driver time
+    # for 6 tables × 4 planes × 64 dims)
+    def arr(xs):
+        return "array(" + ", ".join(xs) + ")"
+
+    tables_lit = F.expr(
+        arr(
+            arr(arr(f"{float(x)}D" for x in plane) for plane in planes)
+            for planes in tables
+        )
+    )
+    return F.transform(
+        tables_lit,
+        lambda tplanes: F.aggregate(
+            F.transform(
+                tplanes,
+                # pyspark's shiftleft only takes a literal shift; 2^i via pow
+                lambda p, i: (dot(vec, p) >= 0).cast("int")
+                * F.pow(F.lit(2.0), i).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ),
+    )

@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 from spark_state_provider_spark.functions.vector import (
     as_double_vec,
     cosine,
-    hyperplane_bucket,
+    hyperplane_buckets,
 )
 from spark_state_provider_spark.operators.registry import register
 from spark_state_provider_spark.tables import load_table
@@ -121,20 +121,14 @@ def q29b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derive the dimension from the data — a hardcoded dim would make
     # zip_with null-pad on mismatch and silently empty every bucket
     dim = len(emb.select("v").first()["v"])
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                hyperplane_bucket(
-                    F.col("v"), _deterministic_planes(N_PLANES, dim, seed=t)
-                ).alias("bucket"),
-            )
-            for t in range(N_TABLES)
-        ]
-    )
+    planes = [
+        _deterministic_planes(N_PLANES, dim, seed=t) for t in range(N_TABLES)
+    ]
     bucketed = emb.select(
-        "vec_id", "v", F.explode(tables).alias("tb")
-    ).select("vec_id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        "vec_id",
+        "v",
+        F.posexplode(hyperplane_buckets(F.col("v"), planes)).alias("tbl", "bucket"),
+    )
     q = bucketed.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

@@ -18,10 +18,15 @@ from spark_state_provider_spark.tables import load_table
 def test_rate_source_produces_rows(spark):
     df = stream_rate(spark, rows_per_second=500, num_partitions=2)
     assert df.isStreaming
+    import tempfile
+
     q = (
         df.writeStream.format("memory")
         .queryName("mem_rate")
         .outputMode("append")
+        # explicit fresh checkpoint: with a default checkpoint ROOT set,
+        # name-derived dirs persist across runs and memory sinks can't recover
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ssps_rate_"))
         .start()
     )
     try:
