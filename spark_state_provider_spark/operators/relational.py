@@ -233,6 +233,41 @@ def q06_shuffle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q06b_outer_join",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           count(o.o_orderkey) AS n_orders,
+           CAST(coalesce(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+               AS total_spent
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 250000
+    GROUP BY c.c_custkey
+    """,
+)
+def q06b_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with an ON-clause filter (nulls preserved, count of
+    nullable column skips nulls)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_totalprice > 250000),
+            "left",
+        )
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.expr(
+                "CAST(coalesce(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0)"
+                " AS DOUBLE)"
+            ).alias("total_spent"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q7 — semi / anti joins (existence predicates).
 # ---------------------------------------------------------------------------
@@ -542,6 +577,92 @@ def q11c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ssps_lineitem_v
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q11d_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(
+               f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q11d_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one count column per event type (explicit value list keeps the
+    schema static — required for both determinism and a sane plan at scale)."""
+    e = load_table(spark, sf_dir, "events")
+    out = e.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    for t in _EVENT_TYPES:
+        out = out.withColumn(f"n_{t}", F.coalesce(F.col(t), F.lit(0))).drop(t)
+    return out
+
+
+@register(
+    "q17b_scalar_subquery",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
+    FROM lineitem l
+    WHERE l.l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+    )
+    """,
+)
+def q17b_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems below half
+    their part's average quantity. Catalyst de-correlates this into an
+    aggregate + join — no per-row subquery execution."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("ssps_li_v")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                   AS avg_yearly
+        FROM ssps_li_v l
+        WHERE l.l_quantity < (
+            SELECT 0.5 * avg(l2.l_quantity)
+            FROM ssps_li_v l2
+            WHERE l2.l_partkey = l.l_partkey
+        )
+        """
+    )
+
+
+@register(
+    "q03b_null_handling",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_defaulted,
+           (CASE WHEN o_totalprice > 300000 THEN o_totalprice END) AS big_price,
+           (nullif(o_orderstatus, 'O') IS NULL) AS is_open
+    FROM orders
+    WHERE o_orderkey < 5000
+    """,
+)
+def q03b_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics: nullif/coalesce/conditional-null/IS NULL (the
+    testdata itself has no nulls, so they are manufactured here)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 5000)
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("OPEN")).alias("status_defaulted"),
+        F.when(F.col("o_totalprice") > 300000, F.col("o_totalprice")).alias(
+            "big_price"
+        ),
+        status_or_null.isNull().alias("is_open"),
     )
 
 
