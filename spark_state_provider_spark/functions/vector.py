@@ -56,6 +56,11 @@ def hyperplane_buckets(vec: Column, tables: list[list[list[float]]]) -> Column:
     the generated code stays small (24 unrolled dot expressions measurably
     dominate cold compile time).
     """
+    max_planes = max((len(p) for p in tables), default=0)
+    if max_planes > 31:
+        # bit weights accumulate in INT (pow→cast int); beyond 31 bits the
+        # weights saturate and distinct signatures silently collide
+        raise ValueError(f"at most 31 planes per LSH table (got {max_planes})")
     # one parsed SQL literal: building this as nested F.array(F.lit(...))
     # costs thousands of py4j round-trips (measured seconds of driver time
     # for 6 tables × 4 planes × 64 dims)

@@ -377,7 +377,11 @@ def q08_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q08b_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join via tagged union + running last() — one shuffle, no N²."""
-    ev = _t(spark, sf_dir, "events")
+    from spark_state_provider_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("o_custkey"), "ts"
+    )
     # Deduplicate orders to one per (custkey, orderdate) so the as-of pick is
     # deterministic on both engines.
     o1 = (
@@ -385,31 +389,18 @@ def q08b_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey", "o_orderdate")
         .agg(F.max("o_orderkey").alias("o_orderkey"))
     )
-    left = ev.select(
-        F.col("user_id").alias("k"),
-        F.col("ts").alias("t"),
-        F.lit(1).alias("is_event"),
-        F.col("event_id"),
-        F.lit(None).cast("long").alias("o_orderkey"),
-    )
-    right = o1.select(
-        F.col("o_custkey").alias("k"),
-        F.col("o_orderdate").alias("t"),
-        F.lit(0).alias("is_event"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.col("o_orderkey"),
-    )
-    # Orders sort before events at equal timestamps (is_event asc) => "<=".
-    w = (
-        Window.partitionBy("k")
-        .orderBy("t", "is_event")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        left.unionByName(right)
-        .withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
-        .where(F.col("is_event") == 1)
-        .select("event_id", F.col("k").alias("user_id"), "asof_orderkey")
+    return asof_join(
+        ev,
+        o1,
+        key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_value="o_orderkey",
+        left_id="event_id",
+    ).select(
+        "event_id",
+        F.col("o_custkey").alias("user_id"),
+        F.col("asof_o_orderkey").alias("asof_orderkey"),
     )
 
 
@@ -568,7 +559,6 @@ def q11b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q11c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit grouping sets (neither rollup nor cube shape)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("ssps_lineitem_v")
     return spark.sql(
         f"""
@@ -600,9 +590,10 @@ def q11d_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema static — required for both determinism and a sane plan at scale)."""
     e = load_table(spark, sf_dir, "events")
     out = e.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
-    for t in _EVENT_TYPES:
-        out = out.withColumn(f"n_{t}", F.coalesce(F.col(t), F.lit(0))).drop(t)
-    return out
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
 
 
 @register(
@@ -622,7 +613,6 @@ def q17b_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (TPC-H Q17 shape): lineitems below half
     their part's average quantity. Catalyst de-correlates this into an
     aggregate + join — no per-row subquery execution."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("ssps_li_v")
     return spark.sql(
         """

@@ -1,42 +1,13 @@
-"""As-of join edge cases on hand-built frames (the testdata never exercises
-"no prior order" — every event postdates every order — so these pin the
-semantics the oracle can't reach there)."""
+"""As-of join edge cases on hand-built frames, driven through the SHARED
+production helper (operators/asof.asof_join — the same code q08b uses).
+The testdata never exercises "no prior order" — every event postdates every
+order — so these pin the semantics the oracle can't reach there."""
 
 from __future__ import annotations
 
 import datetime
 
-from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
-
-def _asof(events_df, orders_df):
-    """Same tagged-union + running-last construction as q08b_asof_join."""
-    left = events_df.select(
-        F.col("user_id").alias("k"),
-        F.col("ts").alias("t"),
-        F.lit(1).alias("is_event"),
-        F.col("event_id"),
-        F.lit(None).cast("long").alias("o_orderkey"),
-    )
-    right = orders_df.select(
-        F.col("o_custkey").alias("k"),
-        F.col("o_orderdate").alias("t"),
-        F.lit(0).alias("is_event"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.col("o_orderkey"),
-    )
-    w = (
-        Window.partitionBy("k")
-        .orderBy("t", "is_event")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        left.unionByName(right)
-        .withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
-        .where(F.col("is_event") == 1)
-        .select("event_id", F.col("k").alias("user_id"), "asof_orderkey")
-    )
+from spark_state_provider_spark.operators.asof import asof_join
 
 
 def _ts(s):
@@ -62,5 +33,14 @@ def test_asof_edges(spark):
         ],
         "o_orderkey long, o_custkey long, o_orderdate timestamp",
     )
-    got = {r["event_id"]: r["asof_orderkey"] for r in _asof(events, orders).collect()}
+    out = asof_join(
+        events.withColumnRenamed("user_id", "o_custkey"),
+        orders,
+        key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_value="o_orderkey",
+        left_id="event_id",
+    )
+    got = {r["event_id"]: r["asof_o_orderkey"] for r in out.collect()}
     assert got == {1: 102, 2: 101, 3: None, 4: 201, 5: None}

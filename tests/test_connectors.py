@@ -15,18 +15,16 @@ from spark_state_provider_spark.streaming.stateful import (
 from spark_state_provider_spark.tables import load_table
 
 
-def test_rate_source_produces_rows(spark):
+def test_rate_source_produces_rows(spark, tmp_path):
     df = stream_rate(spark, rows_per_second=500, num_partitions=2)
     assert df.isStreaming
-    import tempfile
-
     q = (
         df.writeStream.format("memory")
         .queryName("mem_rate")
         .outputMode("append")
         # explicit fresh checkpoint: with a default checkpoint ROOT set,
         # name-derived dirs persist across runs and memory sinks can't recover
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ssps_rate_"))
+        .option("checkpointLocation", str(tmp_path / "rate_ckpt"))
         .start()
     )
     try:
