@@ -1012,6 +1012,43 @@ def q19b_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q19c_map_type",
+    oracle="""
+    SELECT event_type,
+           'n' AS stat_key,
+           CAST(count(*) AS DOUBLE) AS stat_value
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT event_type,
+           'sum_k' AS stat_key,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+               AS stat_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q19c_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: build a map column of per-type stats, then
+    explode it back to rows (maps don't hash portably across engines, so
+    the oracle checks the exploded entries)."""
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("int"))
+        .cast("double")
+        .alias("sum_k"),
+    )
+    with_map = agg.select(
+        "event_type",
+        F.create_map(
+            F.lit("n"), F.col("n"), F.lit("sum_k"), F.col("sum_k")
+        ).alias("stats"),
+    )
+    return with_map.select(
+        "event_type", F.explode("stats").alias("stat_key", "stat_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q27 — pandas UDF (Arrow-vectorized). Reference anchor: the user-supplied
 # state function updateUserStatistics (redis/package.scala:33-45) is the

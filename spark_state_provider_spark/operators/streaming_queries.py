@@ -261,6 +261,32 @@ def q25s_stream_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q22 streaming — session windows over the state store. Append mode emits a
+# session only once the watermark passes its close; with a finite replay the
+# trailing sessions never close, so the emitted set is schedule-dependent →
+# rows-only check here, subset-vs-batch asserted in tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+
+@register("q22s_stream_session_window", oracle=None)
+def q22s_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap) with a 1-hour watermark."""
+    with _streaming_session(spark):
+        ev = stream_events(spark, sf_dir, 4, tag="sess")
+        agg = (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("sw.start").alias("session_start"),
+                "n_events",
+            )
+        )
+        return run_to_memory(agg, "mem_q22s", "append")
+
+
+# ---------------------------------------------------------------------------
 # Q26 — stream-stream inner join: purchases joined to same-user clicks
 # within the following 6 hours. Inner join with both sides drained ⇒ equals
 # the batch join ⇒ oracle-checkable.

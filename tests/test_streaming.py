@@ -53,6 +53,23 @@ def test_watermark_emits_only_closed_windows(spark, sf_dir):
     assert 0 < len(emitted) < len(batch)
 
 
+def test_stream_session_windows_subset_of_batch(spark, sf_dir):
+    """Every emitted (closed) streaming session must exist with identical
+    bounds/counts in the batch session computation; open sessions withheld."""
+    out = registry.get("q22s_stream_session_window").fn(spark, sf_dir)
+    emitted = {
+        (r["user_id"], r["session_start"]): r["n_events"] for r in out.collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in registry.get("q22_session_window").fn(spark, sf_dir).collect()
+    }
+    assert emitted, "expected at least one closed session"
+    for key, n in emitted.items():
+        assert batch[key] == n, (key, n, batch.get(key))
+    assert len(emitted) < len(batch)  # trailing sessions stay open
+
+
 def test_stream_ttl_resets_long_idle_users(spark, sf_dir):
     """With a 3-day TTL, a user idle >3 days between batches restarts their
     fold — total_visits must be <= the batch count, and < for some user iff
