@@ -38,6 +38,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Timestamp semantics (date_trunc, window, collected values) must match
     # the DuckDB oracle regardless of the caller's session defaults.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # AQE on for any caller session (runtime re-plan + post-shuffle
+    # coalescing; a plain session's static 200 shuffle partitions would
+    # drag every small-scale run)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects. Read nanos as long and truncate to microseconds —
