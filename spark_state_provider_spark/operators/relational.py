@@ -743,6 +743,33 @@ def q12_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q12b_window_distribution",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           ntile(4) OVER w AS quartile,
+           first_value(o_orderkey) OVER w AS cheapest_key
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q12b_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist / ntile /
+    first_value with fully deterministic ordering."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q13 — analytic window frame: lag + moving sum.
 # ---------------------------------------------------------------------------
@@ -901,6 +928,34 @@ def q16_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q16b_string_fns_extended",
+    oracle="""
+    SELECT p_partkey AS partkey,
+           translate(p_brand, '#', '-') AS brand_dashed,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           reverse(p_name) AS name_reversed,
+           left(p_type, 5) AS type_prefix,
+           repeat('*', p_size % 5) AS stars,
+           replace(p_type, ' ', '_') AS type_snake
+    FROM part
+    WHERE p_partkey < 100
+    """,
+)
+def q16b_string_fns_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """translate / lpad / reverse / left / repeat / replace."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") < 100)
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_name").alias("name_reversed"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5)).alias("stars"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q17 — date/time functions. Reference anchor: PageVisit.timestamp
 # (redis/package.scala:13).
@@ -933,6 +988,36 @@ def q17_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.datediff(F.lit("2024-02-01").cast("date"), F.col("ts").cast("date"))).alias(
             "max_days_to_feb"
         ),
+    )
+
+
+@register(
+    "q17c_datetime_extended",
+    oracle="""
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec,
+           CAST(date_part('dow', ts) + 1 AS INTEGER) AS dow_sunday1,
+           CAST(date_part('hour', ts) AS INTEGER) AS hour_of_day,
+           CAST(last_day(CAST(ts AS DATE)) AS DATE) AS month_last_day,
+           CAST(CAST(ts AS DATE) + INTERVAL '1 month' AS DATE) AS next_month
+    FROM events
+    WHERE event_id < 200
+    """,
+)
+def q17c_datetime_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """epoch / day-of-week / hour / last_day / add_months.
+
+    Dialect note: DuckDB's dow is 0=Sunday, Spark's dayofweek is 1=Sunday —
+    the oracle aligns with +1.
+    """
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    return e.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_sec"),
+        F.dayofweek("ts").alias("dow_sunday1"),
+        F.hour("ts").alias("hour_of_day"),
+        F.last_day("ts").alias("month_last_day"),
+        F.add_months(F.col("ts").cast("date"), 1).alias("next_month"),
     )
 
 
