@@ -69,15 +69,25 @@ def main() -> None:
 
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.get(name).fn
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        # noop sink materializes EVERY column — count() would let Catalyst
-        # prune the very operator under test (windows, UDFs, projections)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # Warm protocol (BASELINE.md): run twice, report min. The first run
+        # pays one-time JIT/codegen-compile + Python-worker-fork costs that a
+        # long-lived cluster session amortizes away; min-of-2 measures the
+        # query, not the JVM warmup. Cold timings are kept alongside.
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            # noop sink materializes EVERY column — count() would let
+            # Catalyst prune the very operator under test (windows, UDFs,
+            # projections)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        cold[name] = runs[0]
+        timings[name] = min(runs)
+        print(f"# {name}: {timings[name]:.3f}s (cold {runs[0]:.3f}s)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -87,6 +97,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_queries": cold,
+                "cold_total": round(sum(cold.values()), 3),
                 "sf": float(sf),
             }
         )

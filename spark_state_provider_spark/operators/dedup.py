@@ -273,6 +273,9 @@ def q28c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     structurally (planted-dup proximity) in tests/test_northstar.py.
     """
     d = load_table(spark, sf_dir, "documents")
+    # single-row-group input ⇒ the scan is one task; spread docs across
+    # cores before the CPU-heavy split/explode (same rationale as _trigrams)
+    d = d.repartition(max(spark.sparkContext.defaultParallelism, 8), "doc_id")
     tok = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
     ).distinct()
@@ -318,6 +321,7 @@ def q28c2_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit md5-nibble SimHash — same algorithm as q28c but built from
     portable primitives so the DuckDB oracle checks it bit-for-bit."""
     d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(max(spark.sparkContext.defaultParallelism, 8), "doc_id")
     tok = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
     ).distinct()
