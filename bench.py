@@ -47,6 +47,9 @@ HEADLINE = [
     "q28c_simhash",
     "q29_knn_brute",
     "q29b_ann_lsh",
+    "q29d_ivf_ann",
+    "q33_tpch_q3",
+    "q34_tpch_q5",
     "q30c_token_freq",
     "q31_multimodal_meta",
 ]

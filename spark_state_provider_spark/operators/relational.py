@@ -1208,3 +1208,98 @@ def q27b_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p.p_size >= 40
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q33/Q34 — TPC-H-shaped composite queries: multi-way joins + filtered agg +
+# top-k. The reference serves exactly these Spark operators from under the
+# state-store SPI (capability rows, SURVEY §2-C Q5/Q6/Q9/Q14 composed);
+# these entries exercise Catalyst's join reordering, broadcast selection and
+# AQE on a realistic plan shape.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q33_tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey AS orderkey,
+           {SQL_SUM_DISC_PRICE} AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-01'
+      AND l_shipdate > TIMESTAMP '1997-06-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q33_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): 3-way join, grouped revenue,
+    deterministic top-10. customer is the small side (broadcast under the
+    64 MB threshold); orders⋈lineitem shuffles on the order key once."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.expr(SQL_SUM_DISC_PRICE).alias("revenue"))
+        .select(F.col("l_orderkey").alias("orderkey"), "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q34_tpch_q5",
+    oracle=f"""
+    SELECT n_name AS nation, {SQL_SUM_DISC_PRICE} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q34_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): 6-way join where region,
+    nation, supplier and customer are broadcast dims and the only shuffle
+    joins are on the fact keys; the c_nationkey = s_nationkey condition
+    rides on the lineitem⋈supplier join."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.expr(SQL_SUM_DISC_PRICE).alias("revenue"))
+        .select(F.col("n_name").alias("nation"), "revenue")
+    )

@@ -154,6 +154,109 @@ def q29b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOP_K)
 
 
+# IVF coarse quantizer: centroids are the vectors at fixed ids (deterministic
+# across engines — no RNG, no k-means iterations to reproduce). NPROBE=2
+# clusters searched per query.
+CENTROID_MOD = 50
+NPROBE = 3
+
+_DUCK_COS_AV = _DUCK_COS.replace("qv", "cv").replace("nv", "v")  # assignment step
+
+
+@register(
+    "q29d_ivf_ann",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {CENTROID_MOD} = 0
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cid, {_DUCK_COS_AV} AS sim,
+               row_number() OVER (
+                   PARTITION BY e.vec_id ORDER BY {_DUCK_COS_AV} DESC, c.cid
+               ) AS rn
+        FROM e, c
+    ),
+    assign AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+    probe AS (
+        SELECT vec_id AS query_id, cid
+        FROM scored WHERE rn <= {NPROBE} AND vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probe p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+    ),
+    rescored AS (
+        SELECT cd.query_id, cd.neighbor_id, {_DUCK_COS} AS sim
+        FROM cand cd
+        JOIN (SELECT vec_id, v AS qv FROM e) q ON q.vec_id = cd.query_id
+        JOIN (SELECT vec_id, v AS nv FROM e) n ON n.vec_id = cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rn
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+        ) AS rn
+        FROM rescored
+    )
+    WHERE rn <= {TOP_K}
+    """,
+)
+def q29d_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-{TOP_K}: coarse-quantize to the nearest of n/{CENTROID_MOD}
+    deterministic centroids, probe the {NPROBE} nearest clusters per query,
+    exact-cosine re-rank inside them — the inverted-file scale path named in
+    SURVEY §2-C Q29.
+
+    Scale shape: assignment is one broadcast (centroids) + a map-side-combined
+    groupBy(vec_id) argmax — no n×K shuffle survives; search touches only the
+    probed clusters (~{NPROBE}/K of the corpus vs 100% for brute force). At
+    100 TB the centroid set comes from sampled k-means (K ≈ √n, still
+    broadcast-able); the plumbing here is identical and the fixed-id rule is
+    what keeps the DuckDB oracle exact.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    cent = emb.where(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "cid", cosine(F.col("cv"), F.col("v")).alias("sim")
+    )
+    # argmax centroid per vector as an aggregation (partial map-side combine),
+    # not a window — ties broken (sim DESC, cid ASC) to match the oracle.
+    # first(v) is safe: v is functionally dependent on the grouping key.
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.expr("-sim").alias("ns"), F.col("cid").alias("cid"))).alias("m"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", "v", F.col("m.cid").alias("cid"))
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    probe = (
+        scored.where(F.col("vec_id") < N_QUERIES)
+        .withColumn("prn", F.row_number().over(w_probe))
+        .where(F.col("prn") <= NPROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid")
+    )
+    # each vector lives in exactly one cluster and the NPROBE probed cids are
+    # distinct, so candidates are already unique — no dedup needed
+    cands = probe.join(
+        assign, (probe.cid == assign.cid) & (F.col("vec_id") != F.col("query_id"))
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return cands.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOP_K)
+
+
 @register(
     "q29c_embedding_neardup",
     oracle=f"""

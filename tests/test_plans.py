@@ -90,3 +90,24 @@ def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
 )
 def test_no_cartesian_anywhere(spark, sf_dir, name):
     assert_not_in_plan(_df(spark, sf_dir, name), "CartesianProduct")
+
+
+def test_q33_broadcasts_customer_no_cartesian(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q33_tpch_q3"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # top-10 must not globally sort the grouped output
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q34_all_dims_broadcast(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q34_tpch_q5"))
+    assert plan.count("BroadcastExchange") >= 3  # supplier, customer, nation, region
+    assert "CartesianProduct" not in plan
+
+
+def test_q29d_ivf_no_cartesian_on_big_side(spark, sf_dir):
+    # the only nested-loop is the broadcast centroid assignment; candidate
+    # search and re-rank must stay hash joins / window — never cartesian
+    plan = plan_string(_df(spark, sf_dir, "q29d_ivf_ann"))
+    assert "CartesianProduct" not in plan
