@@ -403,3 +403,123 @@ def q28d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q28e — near-dup CLUSTER formation: connected components over the LSH pair
+# graph. The production dedup step after pair detection: every document maps
+# to a canonical representative (the min doc_id of its component).
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 20  # components converge in O(graph diameter) rounds
+
+
+@register(
+    "q28e_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM (
+            WITH {_DUCK_TRI},
+            salts AS ({_DUCK_SALTS}),
+            mh AS (
+                SELECT doc_id, salt, min(md5(salt || '|' || tri)) AS h
+                FROM tri, salts
+                GROUP BY doc_id, salt
+            ),
+            bands AS (
+                SELECT doc_id,
+                       CAST(substr(salt, 2) AS INTEGER) % {N_BANDS} AS band,
+                       string_agg(h, '' ORDER BY h) AS bkey
+                FROM mh
+                GROUP BY doc_id, CAST(substr(salt, 2) AS INTEGER) % {N_BANDS}
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+            inter AS (
+                SELECT c.id_a, c.id_b, count(*) AS n_inter
+                FROM cand c
+                JOIN tri ta ON ta.doc_id = c.id_a
+                JOIN tri tb ON tb.doc_id = c.id_b AND tb.tri = ta.tri
+                GROUP BY c.id_a, c.id_b
+            )
+            SELECT i.id_a, i.id_b
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)
+                  >= {JACCARD_THRESHOLD}
+        ) q
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+    FROM reach
+    GROUP BY a
+    """,
+)
+def q28e_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pair graph:
+    (doc_id, cluster_id = min doc_id of its component) for every doc that
+    has at least one near-duplicate.
+
+    Iterative min-label propagation — each round is one shuffle join + one
+    map-side-combined groupBy; rounds = graph diameter (near-dup components
+    are shallow: dup clusters are cliques or near-cliques, so 2-3 rounds).
+    Per-round `localCheckpoint` truncates the plan lineage, keeping round N
+    from re-running rounds 1..N-1 (and the LSH pipeline) from scratch. The
+    driver-side loop only reads ONE scalar (the changed-row count) per round
+    — never row data. At 100 TB scale the same loop applies with the
+    large-star/small-star optimization (alternate join orders) bounding
+    message volume; the DuckDB oracle computes the identical fixpoint via a
+    recursive transitive closure.
+    """
+    pairs = q28b_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.localCheckpoint()  # LSH pipeline runs exactly once
+
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -72,3 +72,17 @@ def q02d_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
     back = spark.read.parquet(out)
     return back.groupBy("o_orderpriority").count().withColumnRenamed("count", "n")
+
+
+@register(
+    "q02e_orc_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def q02e_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip (the third columnar format after
+    parquet/CSV/JSON; same pushdown/pruning surface as parquet)."""
+    out = _out(sf_dir, "orc")
+    load_table(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )

@@ -225,3 +225,38 @@ def q30e_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.when(F.col("stopword_ratio").between(0.01, 0.5), 1.0).otherwise(0.5)
         ).alias("quality_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q30f — regex tokenization: a BPE-style pre-tokenizer pattern (letter runs,
+# digit runs, single punctuation) counted per document. The real token-count
+# op of a training pipeline (q30_text_stats' est_bpe_tokens is the cheap
+# chars/4 heuristic; this is the regex path).
+# ---------------------------------------------------------------------------
+
+# identical regex semantics in Java (Spark) and RE2 (DuckDB): character
+# classes, alternation, + — no lookaround, no \w ambiguity
+_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "q30f_regex_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT)
+               AS n_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '{_TOKEN_RE}')))
+               AS BIGINT) AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def q30f_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts under a BPE-style pre-tokenizer regex —
+    whole-stage-codegen'd (regexp_extract_all is JVM-side, no Python)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+    )

@@ -154,3 +154,20 @@ def test_ivf_ann_recall_and_exact_sims(spark, sf_dir):
     for q, rns in per_q.items():
         assert sorted(rns) == list(range(1, len(rns) + 1)), (q, rns)
         assert len(rns) <= 5
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    """Every near-dup pair's endpoints land in the same cluster, and each
+    cluster is labeled by its own minimum member."""
+    pairs = registry.get("q28b_minhash_lsh").fn(spark, sf_dir).collect()
+    clusters = registry.get("q28e_dedup_clusters").fn(spark, sf_dir).collect()
+    label = {r["doc_id"]: r["cluster_id"] for r in clusters}
+    for r in pairs:
+        assert label[r["id_a"]] == label[r["id_b"]], r
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for doc, lbl in label.items():
+        members[lbl].append(doc)
+    for lbl, docs in members.items():
+        assert lbl == min(docs), (lbl, docs)
