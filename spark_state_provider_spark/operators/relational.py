@@ -1303,3 +1303,60 @@ def q34_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr(SQL_SUM_DISC_PRICE).alias("revenue"))
         .select(F.col("n_name").alias("nation"), "revenue")
     )
+
+
+@register(
+    "q27c_grouped_agg_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+           / CAST(100 * SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+               AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q27c_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE function: grouped-agg pandas UDF (Arrow batch
+    per group) computing a quantity-weighted mean price — the UDAF leg of
+    SURVEY §2-C Q27.
+
+    Numeric policy: the 2-decimal inputs are scaled to exact int64 cents
+    inside the UDAF, summed exactly, and divided once — giving the same
+    double as the oracle's BIGINT-sum formulation regardless of pandas'
+    pairwise vs DuckDB's sequential float summation order.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        pc = (price * 100).round().astype("int64")
+        qc = (qty * 100).round().astype("int64")
+        return float(int((pc * qc).sum()) / (100 * int(qc.sum())))
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        wavg("l_extendedprice", "l_quantity").alias("wavg_price")
+    )
+
+
+@register("q10d_hll_sketch", oracle=None)  # sketch binary is engine-specific
+def q10d_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL): per-type
+    user cardinality plus a global row built by UNIONING the per-type
+    sketches — the 100 TB primitive: partial sketches combine map-side and
+    merge across partitions/days without re-scanning, unlike exact distinct.
+    Estimate accuracy vs exact countDistinct is bounds-tested in
+    tests/test_relational.py."""
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_row = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    total = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    ).select(F.lit("__all__").alias("event_type"), "approx_users")
+    return per_row.unionByName(total)

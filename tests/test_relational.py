@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from spark_state_provider_spark import operators
 from spark_state_provider_spark.operators import registry
@@ -42,3 +43,23 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"userId", "visits", "totalVisits"}
     total = sum(r["totalVisits"] for r in rows)
     assert total == sum(len(r["visits"]) for r in rows)
+
+
+def test_hll_sketch_estimates_within_bounds(spark, sf_dir):
+    """DataSketches HLL estimates within 5% of exact per-type cardinality,
+    and the unioned global sketch within 5% of the global exact count."""
+    from spark_state_provider_spark.tables import load_table
+
+    rows = registry.get("q10d_hll_sketch").fn(spark, sf_dir).collect()
+    est = {r["event_type"]: r["approx_users"] for r in rows}
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["__all__"] = e.select("user_id").distinct().count()
+    assert set(est) == set(exact)
+    for k, v in exact.items():
+        assert abs(est[k] - v) <= max(2.0, 0.05 * v), (k, est[k], v)
