@@ -338,3 +338,73 @@ def q26_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_id", "purchase_id", F.col("c_user").alias("user_id")
         )
         return run_to_memory(joined, "mem_q26", "append")
+
+
+# ---------------------------------------------------------------------------
+# Q20s2 — dropDuplicatesWithinWatermark: the watermark-SCOPED dedup variant
+# whose state self-evicts once the watermark passes (bounded state — the
+# production form of streaming dedup, and the closest native analog of the
+# reference's TTL-bounded keys, RocksDbStateStoreProvider.scala:61-64). The
+# events replay spans 30 days < the 40-day delay, so no key expires
+# mid-replay and the result equals global DISTINCT ⇒ oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q20s2_stream_dedup_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q20s2_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with watermark-bounded state (40-day delay)."""
+    with _streaming_session(spark):
+        ev = stream_events(spark, sf_dir, N_BATCHES, tag="dw")
+        dedup = (
+            ev.withWatermark("ts", "40 days")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+        return run_to_memory(dedup, "mem_q20s2", "append")
+
+
+# ---------------------------------------------------------------------------
+# Q26b — stream-stream LEFT OUTER join: matched rows stream out like the
+# inner join; unmatched left rows emit null-padded only after the watermark
+# passes their join window. With a finite replay the trailing window never
+# closes, so the null-side set is schedule-dependent ⇒ rows-only check; the
+# matched-subset-equals-inner-join property is asserted in
+# tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+
+@register("q26b_stream_stream_left_join", oracle=None)
+def q26b_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer stream-stream join (watermarks both sides + time bound)."""
+    with _streaming_session(spark):
+        clicks = (
+            stream_events(spark, sf_dir, N_BATCHES, tag="lj1")
+            .where(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            stream_events(spark, sf_dir, N_BATCHES, tag="lj2")
+            .where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 6 HOURS"
+            ),
+            "left_outer",
+        ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
+        return run_to_memory(joined, "mem_q26b", "append")

@@ -124,3 +124,21 @@ def test_state_timeout_requires_checkpoint(spark, sf_dir):
     spark.conf.unset("spark.sql.streaming.checkpointLocation")
     with pytest.raises(ValueError, match="checkpointLocation"):
         state_timeout(writer, spark.conf, query_name="x", expiry_secs=5)
+
+
+def test_left_outer_stream_join_contains_inner(spark, sf_dir):
+    """Matched rows of the streaming left join == the batch inner join;
+    null-padded rows only for clicks with no purchase in-window."""
+    inner = {
+        (r["click_id"], r["purchase_id"])
+        for r in registry.get("q26_stream_stream_join").fn(spark, sf_dir).collect()
+    }
+    left = registry.get("q26b_stream_stream_left_join").fn(spark, sf_dir).collect()
+    matched = {
+        (r["click_id"], r["purchase_id"]) for r in left if r["purchase_id"] is not None
+    }
+    assert matched == inner
+    inner_clicks = {c for c, _ in inner}
+    for r in left:
+        if r["purchase_id"] is None:
+            assert r["click_id"] not in inner_clicks, r
