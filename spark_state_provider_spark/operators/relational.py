@@ -1360,3 +1360,60 @@ def q10d_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
     ).select(F.lit("__all__").alias("event_type"), "approx_users")
     return per_row.unionByName(total)
+
+
+@register(
+    "q27d_grouped_map_udf",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(SUM(vc) AS DOUBLE) AS s,
+               CAST(SUM(vc * vc) AS DOUBLE) AS ss,
+               COUNT(*) AS n
+        FROM c GROUP BY event_type
+    )
+    SELECT c.event_id,
+           c.event_type,
+           (CAST(c.vc AS DOUBLE) - s / n) / sqrt((ss - s * s / n) / (n - 1))
+               AS zscore
+    FROM c JOIN g USING (event_type)
+    """,
+)
+def q27d_grouped_map_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-MAP pandas UDF (``applyInPandas``): per-event-type z-score
+    normalization, each group handed to Python as one Arrow-backed pandas
+    frame — the grouped-map leg of SURVEY §2-C Q27 (scalar → q27, UDTF →
+    q27b, grouped-agg → q27c).
+
+    Numeric policy: moments accumulate as exact int64 cents; the double
+    formula ``(vc - s/n) / sqrt((ss - s²/n)/(n-1))`` then runs on
+    bit-identical operands in both engines (same rationale as q18b's
+    moment-based variance).
+    """
+    import math
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        vc = (pdf["value"] * 100).round().astype("int64")
+        n = len(vc)
+        s = float(vc.sum())
+        ss = float((vc * vc).sum())
+        std = math.sqrt((ss - s * s / n) / (n - 1))
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "zscore": (vc.astype("float64") - s / n) / std,
+            }
+        )
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(zscore, schema="event_id bigint, event_type string, zscore double")
+    )

@@ -13,6 +13,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spark_state_provider_spark.operators.registry import register
 from spark_state_provider_spark.tables import load_table
@@ -85,4 +86,43 @@ def q02e_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
     return spark.read.orc(out).select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+
+
+_SYNTH_N = 10_000
+_SYNTH_PARTS = 8
+
+
+@register(
+    "q37_python_datasource",
+    oracle=f"""
+    SELECT CAST(i % 10 AS INTEGER) AS bucket,
+           count(*) AS n,
+           CAST(SUM(CAST((i * 2654435761) % 1000 AS BIGINT)) AS DOUBLE) / 100
+               AS sum_score
+    FROM generate_series(0, {_SYNTH_N - 1}) t(i)
+    GROUP BY 1
+    """,
+)
+def q37_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (PySpark 4 extensibility SPI): partitioned
+    deterministic generator registered by name, read in parallel, then
+    aggregated. sum_score sums exact int64 hundredths before one double
+    division, so the oracle matches bit-for-bit."""
+    from spark_state_provider_spark.sources.python_source import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("ssps_synthetic")
+        .option("n", _SYNTH_N)
+        .option("parts", _SYNTH_PARTS)
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.round(F.col("score") * 100).cast("long")).cast("double") / 100
+        ).alias("sum_score"),
     )
