@@ -54,3 +54,32 @@ def state_key_count(
 ) -> int:
     """numKeys metric (reference ``metrics`` — ``ROCKS:269-270``)."""
     return read_state(spark, checkpoint_location, operator_id).count()
+
+
+def read_state_changes(
+    spark: SparkSession,
+    checkpoint_location: str,
+    start_batch_id: int,
+    end_batch_id: int | None = None,
+    operator_id: int = 0,
+) -> DataFrame:
+    """Per-version state CHANGE feed: (batch_id, change_type, key, value)
+    rows for every update/delete between two committed versions.
+
+    The reader analog of the reference's versioned-delta model — each
+    version namespace holds that batch's updates (RedisStateStoreProvider's
+    ``$prefix:$version:`` keyspace, redis/package.scala:7;
+    RocksDbStateStoreProvider.scala:53-55 re-apply semantics). Requires the
+    RocksDB store with changelog checkpointing (the engine default —
+    session.py), because the feed is read from the changelogs themselves.
+    """
+    reader = (
+        spark.read.format("statestore")
+        .option("path", checkpoint_location)
+        .option("operatorId", operator_id)
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", start_batch_id)
+    )
+    if end_batch_id is not None:
+        reader = reader.option("changeEndBatchId", end_batch_id)
+    return reader.load()

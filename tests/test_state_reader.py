@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from spark_state_provider_spark.streaming.sources import stream_events
 from spark_state_provider_spark.streaming.state_reader import (
     read_state,
+    read_state_changes,
     state_key_count,
     state_metadata,
 )
@@ -76,3 +77,57 @@ def test_state_reader_sees_dedup_keys(spark, sf_dir):
     meta = state_metadata(spark, ckpt)
     ops = {r["operatorName"] for r in meta.collect()}
     assert "dedupe" in ops or len(ops) > 0
+
+
+def test_state_change_feed_versions(spark, sf_dir):
+    """Change-feed parity with the reference's per-version keyspaces: the
+    feed between batches 0 and 1 contains exactly the keys each version
+    added, and replaying the changes reconstructs the final state."""
+    ckpt = tempfile.mkdtemp(prefix="ssps_ckpt_cf_")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    # running count per event_type: every micro-batch UPDATES every key, so
+    # the change feed provably carries both versions' deltas
+    ev = stream_events(spark, sf_dir, 2, tag="cf")
+    q = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName("mem_state_cf")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    rows = read_state_changes(spark, ckpt, 0, 1).collect()
+    assert rows, "change feed should not be empty"
+    assert {r["change_type"] for r in rows} <= {"update", "delete"}
+    assert {r["batch_id"] for r in rows} == {0, 1}
+    # the LAST change per key across the feed == the final state value
+    last = {}
+    for r in sorted(rows, key=lambda r: r["batch_id"]):
+        last[r["key"]["event_type"]] = (r["change_type"], r["value"]["count"])
+    final = {
+        r["key"]["event_type"]: r["value"]["count"]
+        for r in read_state(spark, ckpt).collect()
+    }
+    assert {k: v for k, (c, v) in last.items() if c == "update"} == final
+    # batch-0 changes alone reconstruct the version-0 snapshot (the first
+    # version's delta IS the first version)
+    b0 = {
+        r["key"]["event_type"]: r["value"]["count"]
+        for r in rows
+        if r["batch_id"] == 0 and r["change_type"] == "update"
+    }
+    v0 = {
+        r["key"]["event_type"]: r["value"]["count"]
+        for r in read_state(spark, ckpt, batch_id=0).collect()
+    }
+    assert b0 == v0
