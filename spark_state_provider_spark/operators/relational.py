@@ -1417,3 +1417,58 @@ def q27d_grouped_map_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .applyInPandas(zscore, schema="event_id bigint, event_type string, zscore double")
     )
+
+
+@register(
+    "q19d_array_hof",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(list_min(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS v_min,
+           CAST(list_max(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS v_max,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS l2_norm,
+           CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))
+               AS INTEGER) AS n_positive
+    FROM embeddings
+    """,
+)
+def q19d_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (transform/filter/aggregate lambdas in
+    codegen — SURVEY §2-C Q19's nested-manipulation family over the
+    embeddings table): per-vector stats incl. a sequential-fold L2 norm that
+    matches DuckDB's list_dot_product bit-for-bit."""
+    from spark_state_provider_spark.functions.vector import as_double_vec, norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = as_double_vec("embedding")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.array_min(v).alias("v_min"),
+        F.array_max(v).alias("v_max"),
+        norm(v).alias("l2_norm"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@register(
+    "q11e_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_tax
+        FROM lineitem WHERE l_orderkey < 100
+    )
+    UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_tax))
+    """,
+)
+def q11e_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide → long) — the inverse of q11d's pivot."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_tax"],
+        "metric",
+        "val",
+    )
