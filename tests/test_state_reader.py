@@ -131,3 +131,32 @@ def test_state_change_feed_versions(spark, sf_dir):
         for r in read_state(spark, ckpt, batch_id=0).collect()
     }
     assert b0 == v0
+
+
+def test_state_reader_bad_version_raises(spark, sf_dir):
+    """Reference parity (RocksDbStateStoreProviderSuite.scala:128-176): asking
+    for a version that was never committed fails loudly, not empty."""
+    import pytest
+
+    ckpt = tempfile.mkdtemp(prefix="ssps_ckpt_bad_")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    _run_dedup_query(spark, sf_dir, ckpt)
+    with pytest.raises(Exception):
+        read_state(spark, ckpt, batch_id=999).collect()
+
+
+def test_state_metrics_monotone_across_versions(spark, sf_dir):
+    """Reference parity (metrics monotonicity, suite :119-126): for an
+    insert-only stateful op, numKeys never decreases across versions."""
+    ckpt = tempfile.mkdtemp(prefix="ssps_ckpt_mono_")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    _run_dedup_query(spark, sf_dir, ckpt)
+    n0 = read_state(spark, ckpt, batch_id=0).count()
+    n1 = read_state(spark, ckpt, batch_id=1).count()
+    assert 0 < n0 <= n1
