@@ -17,6 +17,7 @@ def load_all() -> None:
         similarity,
         text,
         multimodal,
+        pipeline,
         scale_patterns,
         sources_sinks,
         stateful_batch,

@@ -1,0 +1,334 @@
+"""Training-data pipeline operators (LLM-pipeline requirement, beyond Q30).
+
+The ops a 100 TB pretraining-data pipeline runs between "raw corpus" and
+"tokenizer input", each deterministic and DuckDB-oracle-checked:
+
+* **Sequence packing** (q38) — concatenate documents into fixed token-budget
+  packs, the standard pretraining batching step. Deterministic contiguous
+  fill within hash buckets: parallel across buckets, one window per bucket.
+* **Split assignment** (q39) — stable train/val/test partition by content
+  hash: reproducible across runs, engines, and re-shards (never `rand()`).
+* **PII scrub** (q40) — regex redaction (emails, long digit runs) with
+  match accounting; pure JVM `regexp_replace`, no Python in the hot path.
+* **Repetition quality** (q41) — per-document top-token ratio and
+  distinct-token ratio; flags degenerate/repetitive docs.
+* **Domain mixing** (q42) — per-source weighted downsampling by hash
+  threshold: the deterministic form of "sample web at 25%, wiki at 100%".
+
+All are narrow maps or single-shuffle aggregations; the hash-bucket
+parallelism in q38 is the piece that keeps packing linear at 100 TB (a
+single global cumulative sum would serialize the corpus through one task).
+
+Reference anchor: the state-store's content-addressed keys (md5-style
+stable hashing is the same trick as the reference's versioned key prefixes,
+`src/main/scala/com/shaboodi/state/redis/package.scala:7`) — here applied
+to corpus management rather than state versioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_state_provider_spark.operators.registry import register
+from spark_state_provider_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# q38 — sequence packing: fixed token-budget document packing.
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 512  # tokens per pack
+N_PACK_BUCKETS = 16  # md5 first hex nibble → 16 parallel packing streams
+
+
+@register(
+    "q38_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+               md5(CAST(doc_id AS VARCHAR)) AS hkey,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, bucket, est_tokens,
+               sum(est_tokens) OVER (
+                   PARTITION BY bucket ORDER BY hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM d
+    )
+    SELECT bucket,
+           CAST(floor((cum - est_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           sum(est_tokens) AS pack_tokens
+    FROM c
+    GROUP BY bucket, CAST(floor((cum - est_tokens) / {PACK_BUDGET}.0) AS BIGINT)
+    """,
+)
+def q38_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~{PACK_BUDGET}-token sequences, {N_PACK_BUCKETS}
+    hash buckets wide.
+
+    Contiguous-fill packing: docs are laid out in stable md5 order inside
+    their bucket and a doc joins the pack where its start offset falls
+    (packs may overflow by at most one straddling doc — standard pretraining
+    concat-and-split semantics). One shuffle on `bucket`, one window, one
+    combinable groupBy. Buckets are independent, so at 100 TB parallelism
+    is N_PACK_BUCKETS × (docs stay distributed); raise the bucket count
+    with the corpus — packing quality is unaffected because budget fill is
+    per-bucket-local.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("hkey"),
+        F.ceil(F.length("text") / 4.0).alias("est_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("est_tokens").over(w))
+    return (
+        c.withColumn(
+            "pack_id",
+            F.floor((F.col("cum") - F.col("est_tokens")) / float(PACK_BUDGET)),
+        )
+        .groupBy("bucket", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("est_tokens").alias("pack_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q39 — stable train/val/test split by content hash.
+# ---------------------------------------------------------------------------
+
+# md5 first hex char: '0'-'b' (12/16 = 75%) train, 'c'-'d' val, 'e'-'f' test.
+_SPLIT_CASE = """
+    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+         ELSE 'test' END
+"""
+
+
+@register(
+    "q39_hash_split",
+    oracle=f"""
+    SELECT {_SPLIT_CASE} AS split,
+           count(*) AS n_docs,
+           sum(CAST(length(text) AS BIGINT)) AS n_chars,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM documents
+    GROUP BY {_SPLIT_CASE}
+    """,
+)
+def q39_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """75/12.5/12.5 train/val/test assignment by md5(doc_id) prefix.
+
+    Hash-based splits are the only form that survives re-sharding and
+    incremental ingestion (a doc's split never depends on what else is in
+    the batch). Narrow map + one combinable groupBy; hex-prefix comparison
+    keeps the rate exact in sixteenths with no float/int-conversion skew
+    between engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    split = (
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "b", "train"
+        )
+        .when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "d", "val")
+        .otherwise("test")
+    )
+    return (
+        d.groupBy(split.alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text").cast("bigint")).alias("n_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q40 — PII scrub: regex redaction with match accounting.
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the syntax Java regex and RE2 (DuckDB) share.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+DIGITS_RE = "[0-9]{3,}"
+
+
+@register(
+    "q40_pii_scrub",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com ref ' || CAST(doc_id * 7919 AS VARCHAR)
+                   AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{DIGITS_RE}')) AS INT) AS n_digit_runs,
+           regexp_replace(regexp_replace(raw, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{DIGITS_RE}', '<NUM>', 'g') AS scrubbed
+    FROM w
+    """,
+)
+def q40_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails and ≥3-digit runs, counting matches per document.
+
+    The corpus is synthetic, so each doc gets one deterministic injected
+    email + numeric ref (making redaction observable); the scrub itself is
+    the production shape: chained `regexp_replace` — a narrow JVM-side map,
+    embarrassingly parallel, no shuffle at any scale. Patterns use only the
+    regex subset Java and RE2 share, so both engines see identical matches.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ref "),
+        (F.col("doc_id") * 7919).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(raw, F.lit(DIGITS_RE)).cast("int").alias("n_digit_runs"),
+        F.regexp_replace(
+            F.regexp_replace(raw, EMAIL_RE, "<EMAIL>"), DIGITS_RE, "<NUM>"
+        ).alias("scrubbed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41 — repetition / degeneracy quality signals.
+# ---------------------------------------------------------------------------
+
+REPETITION_FLAG = 0.10  # top token > 10% of doc → repetitive
+
+
+@register(
+    "q41_repetition_stats",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, t
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents
+        )
+        WHERE t <> ''
+    ),
+    tf AS (
+        SELECT doc_id, t, count(*) AS cnt
+        FROM tok GROUP BY doc_id, t
+    )
+    SELECT doc_id,
+           sum(cnt) AS n_tokens,
+           count(*) AS n_distinct,
+           max(cnt) AS top_token_count,
+           CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_token_ratio,
+           CAST(count(*) AS DOUBLE) / sum(cnt) AS distinct_ratio,
+           CAST(max(cnt) AS DOUBLE) / sum(cnt) > {REPETITION_FLAG}
+               AS is_repetitive
+    FROM tf
+    GROUP BY doc_id
+    """,
+)
+def q41_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token-repetition profile; flags docs whose single most
+    frequent token exceeds {REPETITION_FLAG:.0%} of all tokens.
+
+    Two combinable groupBys keyed by doc_id — after the first shuffle the
+    second is co-partitioned (no second exchange). The explode is the only
+    row expansion and is map-local. This is the cheap degenerate-text
+    filter every pretraining pipeline runs before expensive dedup.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("cnt"))
+    return tf.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("top_token_count"),
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_token_ratio"),
+        (F.count("*").cast("double") / F.sum("cnt")).alias("distinct_ratio"),
+        (F.max("cnt").cast("double") / F.sum("cnt") > REPETITION_FLAG).alias(
+            "is_repetitive"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — domain mixing: per-source weighted downsample by hash threshold.
+# ---------------------------------------------------------------------------
+
+# sources are 'src0'..'src19'; rate cycles 4/16, 8/16, 12/16, 16/16 by the
+# numeric suffix — the deterministic analog of per-domain mixture weights.
+_RATE_NIBBLES = {0: "3", 1: "7", 2: "b", 3: "f"}  # keep if first nibble <= this
+
+
+def _rate_threshold_sql(src: str) -> str:
+    return (
+        f"CASE CAST(substr({src}, 4) AS BIGINT) % 4 "
+        + " ".join(f"WHEN {k} THEN '{v}'" for k, v in _RATE_NIBBLES.items())
+        + " END"
+    )
+
+
+@register(
+    "q42_domain_mix",
+    oracle=f"""
+    WITH kept AS (
+        SELECT source, doc_id, length(text) AS n_chars
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|' || source), 1, 1)
+              <= {_rate_threshold_sql('source')}
+    )
+    SELECT source,
+           count(*) AS n_kept,
+           sum(CAST(n_chars AS BIGINT)) AS kept_chars,
+           min(doc_id) AS min_doc
+    FROM kept
+    GROUP BY source
+    """,
+)
+def q42_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted per-source downsample: sources keep 25/50/75/100% of docs
+    by md5 threshold, the deterministic form of domain-mixture sampling.
+
+    A narrow filter (no shuffle) followed by one combinable groupBy. Hash
+    thresholds in sixteenths make the keep decision identical across
+    engines and across re-runs — the property that makes a 100 TB mixture
+    reproducible and incrementally extensible (new docs don't perturb old
+    decisions, unlike reservoir or rand() sampling).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    threshold = F.expr(_rate_threshold_sql("source"))
+    kept = d.where(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("source"))),
+            1,
+            1,
+        )
+        <= threshold
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.length("text").cast("bigint")).alias("kept_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )

@@ -1,0 +1,106 @@
+"""Semantic tests for the training-data pipeline operators (q38-q42).
+
+The oracle comparison (tests/test_relational.py) already proves engine
+parity; these assert the *invariants* each op promises — packing budget
+discipline, split stability, scrub completeness, sampling-rate fidelity.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from spark_state_provider_spark import operators
+from spark_state_provider_spark.operators import registry
+from spark_state_provider_spark.operators.pipeline import (
+    DIGITS_RE,
+    EMAIL_RE,
+    PACK_BUDGET,
+)
+from spark_state_provider_spark.tables import load_table
+
+operators.load_all()
+
+
+def test_sequence_packing_budget_invariants(spark, sf_dir):
+    packs = registry.get("q38_sequence_packing").fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.ceil(F.length("text") / 4.0).alias("est")
+    )
+    total_tokens = docs.agg(F.sum("est")).first()[0]
+    max_doc = docs.agg(F.max("est")).first()[0]
+
+    # token conservation: every doc lands in exactly one pack
+    assert sum(p["pack_tokens"] for p in packs) == total_tokens
+
+    by_bucket: dict[str, list] = {}
+    for p in packs:
+        by_bucket.setdefault(p["bucket"], []).append(p)
+    for bucket, rows in by_bucket.items():
+        rows.sort(key=lambda r: r["pack_id"])
+        # contiguous pack ids from 0 (contiguous-fill has no gaps)
+        assert [r["pack_id"] for r in rows] == list(range(len(rows))), bucket
+        # every non-final pack spans its budget window: its token sum is
+        # within one straddling doc of the budget on either side
+        for r in rows[:-1]:
+            assert PACK_BUDGET - max_doc <= r["pack_tokens"] <= PACK_BUDGET + max_doc
+
+
+def test_hash_split_partition_and_stability(spark, sf_dir):
+    rows = registry.get("q39_hash_split").fn(spark, sf_dir).collect()
+    splits = {r["split"]: r["n_docs"] for r in rows}
+    assert set(splits) <= {"train", "val", "test"}
+    n = sum(splits.values())
+    assert n == load_table(spark, sf_dir, "documents").count()
+    # 75% expected train rate, binomial tolerance (5 sigma)
+    p = 0.75
+    sigma = (n * p * (1 - p)) ** 0.5
+    assert abs(splits.get("train", 0) - n * p) <= 5 * sigma
+    # stability: a second run assigns identically (no rand() anywhere)
+    again = {
+        r["split"]: r["n_docs"]
+        for r in registry.get("q39_hash_split").fn(spark, sf_dir).collect()
+    }
+    assert again == splits
+
+
+def test_pii_scrub_is_complete(spark, sf_dir):
+    out = registry.get("q40_pii_scrub").fn(spark, sf_dir).collect()
+    email = re.compile(EMAIL_RE)
+    digits = re.compile(DIGITS_RE)
+    for r in out:
+        assert r["n_emails"] >= 1  # the injected address is always found
+        assert email.search(r["scrubbed"]) is None
+        assert digits.search(r["scrubbed"]) is None
+        assert "<EMAIL>" in r["scrubbed"]
+
+
+def test_repetition_ratios_well_formed(spark, sf_dir):
+    for r in registry.get("q41_repetition_stats").fn(spark, sf_dir).collect():
+        assert 0 < r["top_token_ratio"] <= 1.0
+        assert 0 < r["distinct_ratio"] <= 1.0
+        assert r["n_distinct"] <= r["n_tokens"]
+        assert r["is_repetitive"] == (r["top_token_ratio"] > 0.10)
+
+
+def test_domain_mix_rates(spark, sf_dir):
+    totals = {
+        r["source"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    kept = {
+        r["source"]: r["n_kept"]
+        for r in registry.get("q42_domain_mix").fn(spark, sf_dir).collect()
+    }
+    for src, total in totals.items():
+        rate = ((int(src[3:]) % 4) + 1) / 4.0
+        if rate == 1.0:
+            # full-rate sources keep every doc, exactly
+            assert kept.get(src) == total, src
+        else:
+            sigma = (total * rate * (1 - rate)) ** 0.5
+            assert abs(kept.get(src, 0) - total * rate) <= 5 * sigma, src
