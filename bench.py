@@ -49,9 +49,13 @@ HEADLINE = [
     "q29b_ann_lsh",
     "q29d_ivf_ann",
     "q33_tpch_q3",
+    "q33b_tpch_q10",
+    "q33c_tpch_q18",
     "q34_tpch_q5",
     "q30c_token_freq",
     "q31_multimodal_meta",
+    "q38_sequence_packing",
+    "q41_repetition_stats",
 ]
 
 

@@ -1306,6 +1306,110 @@ def q34_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q33b_tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name, {SQL_SUM_DISC_PRICE} AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q33b_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): fact-fact shuffle join on
+    the order key, broadcast customer/nation dims, grouped revenue, global
+    top-20 via TakeOrderedAndProject (k-row merge, never a full sort)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.expr(SQL_SUM_DISC_PRICE).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+LARGE_ORDER_QTY = 150
+
+
+@register(
+    "q33c_tpch_q18",
+    oracle=f"""
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           {dsum('l_quantity')} AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {LARGE_ORDER_QTY}
+          )
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q33c_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): HAVING-filtered self
+    semi-join on lineitem, then fact joins + top-100.
+
+    The qualifying-order set is produced by one map-side-combined groupBy
+    and left-semi-joined back into lineitem — both shuffles are on
+    l_orderkey, so AQE coalesces them onto the same exchange footprint; at
+    100 TB this is two co-partitioned passes over lineitem, never a
+    row-expanding join."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .where(F.col("qty") > LARGE_ORDER_QTY)
+        .select("l_orderkey")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.expr(dsum("l_quantity")).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
     "q27c_grouped_agg_udaf",
     oracle="""
     SELECT l_returnflag,
@@ -1471,4 +1575,48 @@ def q11e_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_quantity", "l_extendedprice", "l_tax"],
         "metric",
         "val",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q43 — SCD2 validity intervals: turn an event/change log into
+# slowly-changing-dimension rows (valid_from / valid_to / is_current).
+# The warehouse-standard consumer of a versioned change feed — the batch
+# analog of reading the state changelog (streaming/state_reader.py's
+# read_state_changes) and reconstructing per-key history.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q43_scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           event_id,
+           event_type AS attr_value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               AS is_current
+    FROM events
+    """,
+)
+def q43_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 interval construction over the per-user change log.
+
+    One shuffle on user_id, one in-partition sort, lead() closes each
+    version's validity window; the final version per key is open-ended
+    (is_current). At 100 TB this is a single window pass — the alternative
+    self-join formulation is quadratic per key and never worth it.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
     )

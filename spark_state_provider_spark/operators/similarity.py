@@ -24,7 +24,9 @@ from pyspark.sql.window import Window
 from spark_state_provider_spark.functions.vector import (
     as_double_vec,
     cosine,
+    cosine_prenormed,
     hyperplane_buckets,
+    norm,
 )
 from spark_state_provider_spark.operators.registry import register
 from spark_state_provider_spark.tables import load_table
@@ -65,19 +67,31 @@ _DUCK_COS = (
 )
 def q29_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-{TOP_K} for each query vector (broadcast, no shuffle
-    until the per-query top-k)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_vec("embedding").alias("v")
+    until the per-query top-k).
+
+    Norms are precomputed per vector in the scan stage (`nrm`), so the
+    pair stage is one dot fold, not three; the repartition spreads the
+    single-row-group local scan across cores (at cluster scale row-group
+    parallelism makes it a no-op rebalance, SCALE.md 'Scans')."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("nrm", norm(F.col("v")))
     )
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     sims = (
         emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("v")).alias("sim"),
+            cosine_prenormed(
+                F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -115,8 +129,11 @@ def q29b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (table, bucket) equijoin, linear in rows, never O(n²). Recall vs the
     brute-force baseline is asserted in tests/test_northstar.py.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_vec("embedding").alias("v")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("nrm", norm(F.col("v")))
     )
     # derive the dimension from the data — a hardcoded dim would make
     # zip_with null-pad on mismatch and silently empty every bucket
@@ -127,11 +144,13 @@ def q29b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = emb.select(
         "vec_id",
         "v",
+        "nrm",
         F.posexplode(hyperplane_buckets(F.col("v"), planes)).alias("tbl", "bucket"),
     )
     q = bucketed.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
         F.col("tbl").alias("qtbl"),
         F.col("bucket").alias("qbucket"),
     )
@@ -142,12 +161,16 @@ def q29b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("bucket") == F.col("qbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qv", "v")
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "qv", "v", "qnrm", "nrm"
+        )
         .dropDuplicates(["query_id", "neighbor_id"])  # pair may collide in >1 table
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("v")).alias("sim"),
+            cosine_prenormed(
+                F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -217,14 +240,25 @@ def q29d_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-able); the plumbing here is identical and the fixed-id rule is
     what keeps the DuckDB oracle exact.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_vec("embedding").alias("v")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("nrm", norm(F.col("v")))
     )
     cent = emb.where(F.col("vec_id") % CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
     )
     scored = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "v", "cid", cosine(F.col("cv"), F.col("v")).alias("sim")
+        "vec_id",
+        "v",
+        "nrm",
+        "cid",
+        cosine_prenormed(F.col("cv"), F.col("v"), F.col("cnrm"), F.col("nrm")).alias(
+            "sim"
+        ),
     )
     # argmax centroid per vector as an aggregation (partial map-side combine),
     # not a window — ties broken (sim DESC, cid ASC) to match the oracle.
@@ -234,15 +268,21 @@ def q29d_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min(F.struct(F.expr("-sim").alias("ns"), F.col("cid").alias("cid"))).alias("m"),
             F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
         )
-        .select("vec_id", "v", F.col("m.cid").alias("cid"))
+        .select("vec_id", "v", "nrm", F.col("m.cid").alias("cid"))
     )
     w_probe = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
     probe = (
         scored.where(F.col("vec_id") < N_QUERIES)
         .withColumn("prn", F.row_number().over(w_probe))
         .where(F.col("prn") <= NPROBE)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            "cid",
+        )
     )
     # each vector lives in exactly one cluster and the NPROBE probed cids are
     # distinct, so candidates are already unique — no dedup needed
@@ -251,7 +291,9 @@ def q29d_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine(F.col("qv"), F.col("v")).alias("sim"),
+        cosine_prenormed(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias(
+            "sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return cands.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOP_K)

@@ -408,3 +408,40 @@ def q26b_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_outer",
         ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
         return run_to_memory(joined, "mem_q26b", "append")
+
+
+# ---------------------------------------------------------------------------
+# Q26c — stream-STATIC join: streaming fact enriched against a batch
+# dimension. Stateless (no join state kept — the static side is re-read /
+# broadcast per micro-batch), the third join topology Structured Streaming
+# supports alongside stream-stream (q26/q26b) and the one most ETL
+# enrichment jobs use. Every input row is emitted exactly once in append
+# mode, so the sink aggregate equals the batch join ⇒ full oracle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q26c_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, event_type, count(*) AS n_events
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def q26c_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events enriched by the static customer dim (broadcast per
+    micro-batch — no state, no watermark needed), counted per segment."""
+    from spark_state_provider_spark.tables import load_table
+
+    with _streaming_session(spark):
+        ev = stream_events(spark, sf_dir, N_BATCHES, tag="ss")
+        dim = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        joined = ev.join(
+            F.broadcast(dim), ev.user_id == dim.c_custkey, "inner"
+        ).select("event_id", "c_mktsegment", "event_type")
+        sink = run_to_memory(joined, "mem_q26c", "append")
+        return sink.groupBy("c_mktsegment", "event_type").agg(
+            F.count("*").alias("n_events")
+        )

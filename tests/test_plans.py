@@ -106,6 +106,21 @@ def test_q34_all_dims_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_q33b_topk_merge_not_global_sort(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q33b_tpch_q10"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q33c_having_semi_join_shape(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q33c_tpch_q18"))
+    # the qualifying-order filter must stay a semi join (no row expansion)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_q29d_ivf_no_cartesian_on_big_side(spark, sf_dir):
     # the only nested-loop is the broadcast centroid assignment; candidate
     # search and re-rank must stay hash joins / window — never cartesian
