@@ -127,3 +127,65 @@ def q31b_multimodal_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.octet_length("payload")).alias("total_bytes"),
         F.max(F.octet_length("payload")).alias("max_bytes"),
     )
+
+
+def decode_metadata_arrow(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-native variant of ``decode_metadata``: ``mapInArrow`` hands the
+    worker raw ``pyarrow.RecordBatch``es — no pandas materialization, so
+    binary payloads are zero-copy until the decoder touches them. The API
+    to prefer when the decode step streams large blobs (video/audio) and
+    per-batch pandas conversion would double peak memory.
+    """
+    import pyarrow as pa
+
+    arrow_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_bytes", pa.int64()),
+            ("checksum", pa.int64()),
+            ("width", pa.int32()),
+            ("height", pa.int32()),
+            ("format", pa.string()),
+        ]
+    )
+
+    def extract(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_pylist()
+            payloads = batch.column(
+                batch.schema.get_field_index("payload")
+            ).to_pylist()
+            rows = [
+                {"doc_id": i, **decode_image_bytes(p)}
+                for i, p in zip(ids, payloads)
+            ]
+            yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
+
+    return binary_df.mapInArrow(extract, schema=DECODE_SCHEMA)
+
+
+@register(
+    "q31c_multimodal_arrow",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               ascii(substr(text, 1, 1)) + ascii(substr(text, -1, 1))
+                   + octet_length(encode(text)) AS checksum
+        FROM documents
+    )
+    SELECT doc_id, n_bytes, checksum,
+           CAST(n_bytes % 640 + 1 AS INTEGER) AS width,
+           CAST((n_bytes * 7) % 480 + 1 AS INTEGER) AS height,
+           'fake/deterministic' AS format
+    FROM b
+    """,
+)
+def q31c_multimodal_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same decode pipeline as q31 through the ``mapInArrow`` API (zero-copy
+    Arrow batches, no pandas intermediary) — byte-identical output, checked
+    by the same oracle."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return decode_metadata_arrow(d)

@@ -1620,3 +1620,17 @@ def q43_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register("q10e_approx_percentile", oracle=None)  # sketch-based, engine-specific
+def q10e_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) — the mergeable quantile
+    path for 100 TB where an exact percentile's full sort/collect is not
+    affordable. Accuracy 10000 bounds rank error at n/10000; tests assert
+    the estimates bracket the exact interpolated values from q10c."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
+        ).alias("approx_p")
+    )

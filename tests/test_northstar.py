@@ -171,3 +171,15 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
         members[lbl].append(doc)
     for lbl, docs in members.items():
         assert lbl == min(docs), (lbl, docs)
+
+
+def test_multimodal_arrow_equals_pandas_path(spark, sf_dir):
+    pandas_rows = {
+        r["doc_id"]: (r["n_bytes"], r["checksum"], r["width"], r["height"], r["format"])
+        for r in registry.get("q31_multimodal_meta").fn(spark, sf_dir).collect()
+    }
+    arrow_rows = {
+        r["doc_id"]: (r["n_bytes"], r["checksum"], r["width"], r["height"], r["format"])
+        for r in registry.get("q31c_multimodal_arrow").fn(spark, sf_dir).collect()
+    }
+    assert pandas_rows == arrow_rows

@@ -63,3 +63,21 @@ def test_hll_sketch_estimates_within_bounds(spark, sf_dir):
     assert set(est) == set(exact)
     for k, v in exact.items():
         assert abs(est[k] - v) <= max(2.0, 0.05 * v), (k, est[k], v)
+
+
+def test_approx_percentile_brackets_exact(spark, sf_dir):
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p95"])
+        for r in registry.get("q10c_percentiles").fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["approx_p"]
+        for r in registry.get("q10e_approx_percentile").fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, (p50, p95) in exact.items():
+        a50, a95 = approx[k]
+        # GK sketch at accuracy 10000 is near-exact at these row counts;
+        # allow 1% relative slack for the interpolation-vs-rank difference
+        assert abs(a50 - p50) <= 0.01 * p50, (k, a50, p50)
+        assert abs(a95 - p95) <= 0.01 * p95, (k, a95, p95)
