@@ -246,3 +246,100 @@ def q25_ttl_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_access") + F.expr(f"INTERVAL {TTL_DAYS} DAYS") > F.col("t")
         ).alias("is_live"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q44 — change-feed compaction: the batch analog of the state store's
+# versioned upsert semantics. Each event is a change to its user_id's state
+# entry (put — RocksDbStateStoreProvider.scala:138-148); an 'error' event is
+# a tombstone (remove — RocksDbStateStoreProvider.scala:153-161). The
+# compacted table is the state a reader of the latest committed version
+# observes: last surviving put per key, deletes drop the key entirely.
+# One shuffle on the key; at 100 TB this is standard CDC log compaction and
+# AQE splits any hot key.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q44_merge_upsert",
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           ts       AS last_ts,
+           event_type AS last_op,
+           value    AS last_value
+    FROM (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q44_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins merge of the event change feed into a keyed state table.
+
+    Deterministic order (ts, event_id) picks the winning change per key;
+    keys whose final change is a tombstone ('error') are absent from the
+    result — exactly the visibility rule of the reference's put/remove on
+    the latest committed version.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_op"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "q44b_state_as_of",
+    oracle="""
+    WITH cutoff AS (SELECT max(ts) - INTERVAL '1 day' AS c FROM events)
+    SELECT user_id,
+           event_id AS last_event_id,
+           ts       AS last_ts,
+           value    AS last_value
+    FROM (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+        WHERE ts <= (SELECT c FROM cutoff)
+    )
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q44b_state_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned read: reconstruct keyed state as of a past point in time.
+
+    The batch analog of ``getStore(version)`` opening an older committed
+    version (RocksDbStateStoreProvider.scala:371-388): replay the change
+    feed only up to the cutoff (high watermark − 1 day) and compact.
+    The time predicate is pushed into the scan before the single shuffle.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cutoff = e.agg((F.max("ts") - F.expr("INTERVAL 1 DAY")).alias("c"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.join(F.broadcast(cutoff))
+        .where(F.col("ts") <= F.col("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )
