@@ -79,12 +79,14 @@ def main() -> None:
     cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.get(name).fn
-        # Warm protocol (BASELINE.md): run twice, report min. The first run
-        # pays one-time JIT/codegen-compile + Python-worker-fork costs that a
-        # long-lived cluster session amortizes away; min-of-2 measures the
-        # query, not the JVM warmup. Cold timings are kept alongside.
+        # Warm protocol (BASELINE.md): run three times, report min. The first
+        # run pays one-time JIT/codegen-compile + Python-worker-fork costs
+        # that a long-lived cluster session amortizes away, and the shared
+        # host shows multi-second background-load spikes — min-of-3 measures
+        # the query, not the JVM warmup or a noisy neighbor. Cold timings are
+        # kept alongside.
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             # noop sink materializes EVERY column — count() would let
