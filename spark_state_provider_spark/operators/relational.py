@@ -1634,3 +1634,85 @@ def q10e_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
         ).alias("approx_p")
     )
+
+
+@register(
+    "q33d_tpch_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q33d_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + global agg — the pushdown showcase.
+
+    Every predicate reaches the parquet scan (shipdate range, discount
+    band, quantity bound) and the single DECIMAL-exact sum partial-aggregates
+    map-side; at 100 TB this plan reads one column slice of a pruned range
+    and shuffles 32 partial rows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)"
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q33e_tpch_q14",
+    oracle="""
+    SELECT 100.00 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def q33e_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: join + conditional aggregate (promo revenue share).
+
+    ``part`` broadcasts (dim under the threshold); the shipdate month filter
+    is pushed to the lineitem scan, so the join input is one month of one
+    fact table — no shuffle at any scale, DECIMAL-exact both sums.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    disc = (
+        "CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.expr(
+                f"100.00 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {disc}"
+                f" ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)"
+                f" / CAST(SUM({disc}) AS DOUBLE)"
+            ).alias("promo_revenue")
+        )
+    )

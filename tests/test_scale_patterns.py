@@ -84,3 +84,46 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path_factory):
         )
         spark.sql("DROP TABLE IF EXISTS ssps_orders_b")
         spark.sql("DROP TABLE IF EXISTS ssps_lineitem_b")
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Catalyst's runtime bloom-filter injection: a selective dim-side filter
+    builds a bloom filter that pre-filters the fact scan BEFORE the shuffle
+    join — at 100 TB this drops the shuffled fact volume to ~the matching
+    rows without any manual semi-join. Thresholds are lowered here because
+    the local testdata is far below the 10 MB/10 GB production defaults;
+    the plan property and result equivalence are what we pin."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type").startswith("PROMO"))
+    expected = sorted(
+        map(tuple, li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand").count().collect())
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # shuffle join
+        j = (
+            li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .count()
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized  # bloom filter injected
+        assert sorted(map(tuple, j.collect())) == expected  # semantics unchanged
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
