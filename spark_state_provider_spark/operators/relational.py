@@ -1716,3 +1716,283 @@ def q33e_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q45 family — remaining TPC-H shapes, adapted to the testdata's columns
+# (no l_shipmode / l_commitdate / partsupp / c_phone — see TESTDATA.md).
+# Each picks a plan shape not yet exercised by q33/q34: correlated EXISTS,
+# OR-of-conjunctions join predicate, outer-join agg-of-agg, CTE + scalar
+# MAX subquery, scalar AVG subquery + NOT EXISTS.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q45_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q45_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): correlated EXISTS becomes a
+    LEFT SEMI join whose condition spans both sides (l_shipdate >
+    o_orderdate) — adapted to l_shipdate since the testdata has no
+    l_commitdate/l_receiptdate.
+
+    The quarter filter is pushed to the orders scan, so the semi-join
+    probes lineitem with a small build side; the semi join emits each
+    qualifying order once (never row-expands), and the priority agg is a
+    5-group map-side combine. At 100 TB: one pruned orders scan, one
+    shuffle on the order key.
+    """
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q45b_tpch_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, {SQL_SUM_DISC_PRICE} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year, l_extendedprice, l_discount
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+               OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q45b_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): nation-pair OR-of-conjunctions
+    predicate over a supplier-side and a customer-side dimension chain.
+
+    Both nation legs broadcast; the OR pair condition evaluates after the
+    broadcast joins (it references both legs, so it cannot push to either
+    scan alone — but each leg's IN ('NATION_3','NATION_7') implication is
+    seeded onto supplier/customer builds below, which shrinks the fact rows
+    surviving the hash probes). Only shuffle: lineitem⋈orders on the order
+    key.
+    """
+    pair = ("NATION_3", "NATION_7")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(*pair))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"),
+                                      F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("c_nk"),
+                                      F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("c_nk"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.expr(SQL_SUM_DISC_PRICE).alias("revenue"))
+    )
+
+
+@register(
+    "q45c_tpch_q12",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q45c_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority): fact-fact join + CASE
+    pivot counts — adapted to group by l_linestatus (no l_shipmode column).
+
+    The year filter prunes the lineitem scan before the join; the CASE
+    sums partial-aggregate map-side into 2 groups. At 100 TB the only cost
+    is the o_orderkey shuffle, and AQE shrinks the post-filter side first.
+    """
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q45d_tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q45d_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): LEFT OUTER join with an extra
+    non-equi residual condition, then an aggregation OF an aggregation.
+
+    count(o_orderkey) over the outer join counts 0 for order-less
+    customers (NULL never counts) — semantics a semi-join can't give.
+    First agg shuffles on c_custkey; the second input is one row per
+    customer and re-shuffles on the tiny c_count domain, where skew is
+    bounded by the distinct-count of order counts, not data volume.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "q45e_tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, {SQL_SUM_DISC_PRICE} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q45e_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): reused CTE + scalar MAX subquery.
+
+    The revenue view is computed once and cached for its two consumers
+    (the max and the equality probe) — at 100 TB recomputing a lineitem
+    agg twice is the classic CTE trap. The 1-row max broadcasts; revenue
+    totals are DECIMAL-exact so the double equality is safe (both engines
+    derive bit-identical values from exact sums).
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.expr(SQL_SUM_DISC_PRICE).alias("total_revenue"))
+        .cache()
+    )
+    top = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("mx"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q45f_tpch_q22",
+    oracle="""
+    SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                              / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def q45f_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): uncorrelated scalar AVG
+    subquery + NOT EXISTS anti-join — grouped by c_nationkey (the testdata
+    has no c_phone country code), and anti-joined against *urgent* orders
+    (this synthetic data gives every customer at least one order, so the
+    literal "no orders at all" predicate would be vacuously empty).
+
+    The 1-row average cross-joins as a broadcast nested loop (a single
+    scalar against every row — the one place BNL is the right plan); the
+    anti join probes orders' custkey set; the exact-decimal average keeps
+    the threshold bit-identical across engines. At 100 TB: two customer
+    scans (one column each) + one anti-join shuffle.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(F.expr(davg("c_acctbal")).alias("avg_bal"))
+    )
+    urgent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.expr(
+                "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("totacctbal"),
+        )
+    )

@@ -126,3 +126,37 @@ def test_q29d_ivf_no_cartesian_on_big_side(spark, sf_dir):
     # search and re-rank must stay hash joins / window — never cartesian
     plan = plan_string(_df(spark, sf_dir, "q29d_ivf_ann"))
     assert "CartesianProduct" not in plan
+
+
+def test_q45_exists_is_semi_join(spark, sf_dir):
+    # correlated EXISTS must plan as a left semi join (each order emitted
+    # at most once — never a row-expanding inner join + distinct)
+    plan = plan_string(_df(spark, sf_dir, "q45_tpch_q4"))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # the quarter filter reaches the orders scan
+    assert "PushedFilters: [" in plan
+
+
+def test_q45b_nation_legs_broadcast(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q45b_tpch_q7"))
+    # supplier+nation and customer+nation legs both broadcast; the only
+    # shuffle join is lineitem ⋈ orders
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q45d_outer_join_survives(spark, sf_dir):
+    # count(o_orderkey)-over-outer-join semantics: the optimizer must keep
+    # LeftOuter (a semi/inner rewrite would drop zero-order customers)
+    plan = plan_string(_df(spark, sf_dir, "q45d_tpch_q13"))
+    assert "LeftOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q45f_anti_join_and_scalar_broadcast(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q45f_tpch_q22"))
+    assert "LeftAnti" in plan
+    # the 1-row average joins via broadcast nested loop — the one
+    # acceptable BNL — and nothing falls back to cartesian
+    assert "CartesianProduct" not in plan
