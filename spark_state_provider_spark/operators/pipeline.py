@@ -332,3 +332,155 @@ def q42_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text").cast("bigint")).alias("kept_chars"),
         F.min("doc_id").alias("min_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q46 — benchmark decontamination: n-gram overlap between the training
+# corpus and a held-out benchmark set. The standard pretraining hygiene pass
+# (report overlapping (train_doc, bench_doc) pairs so the train side can be
+# dropped). Benchmark membership here is the deterministic doc_id % 97 == 0
+# slice — in production it is MMLU/GSM8K/etc., always tiny vs the corpus.
+# ---------------------------------------------------------------------------
+
+CONTAM_MIN_SHARED = 2  # flag pairs sharing ≥ this many distinct shingles
+
+
+@register(
+    "q46_contamination",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    tri AS (
+        SELECT DISTINCT doc_id, t.tri
+        FROM tok, unnest(list_transform(
+            generate_series(1, len(l) - 2),
+            i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        )) AS t(tri)
+    )
+    SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+    FROM tri c JOIN tri b USING (tri)
+    WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+    GROUP BY c.doc_id, b.doc_id
+    HAVING count(*) >= {CONTAM_MIN_SHARED}
+    """,
+)
+def q46_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark contamination report: corpus docs sharing ≥
+    {CONTAM_MIN_SHARED} distinct word-shingles with any benchmark doc.
+
+    The benchmark shingle set BROADCASTS (benchmark suites are KBs-to-MBs
+    against a 100 TB corpus), so the corpus side is a narrow scan + hash
+    probe + map-side-combined count — no corpus shuffle at any scale. The
+    grouped count shuffles only matching (doc, bench) pairs, which is
+    bounded by benchmark size, not corpus size.
+    """
+    from spark_state_provider_spark.operators.dedup import _trigrams_persisted
+
+    tri = _trigrams_persisted(spark, sf_dir)
+    bench = tri.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "tri"
+    )
+    corpus = tri.where(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "tri")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= CONTAM_MIN_SHARED)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q47 — TF-IDF top terms per source: the classic corpus-characterization /
+# keyword-extraction pass. IDF is kept as the exact rational tf·N/df
+# (IEEE division of exact integers — bit-identical across engines; a libm
+# `ln` is NOT guaranteed identical between DuckDB and the JVM, and the
+# ranking is invariant to the monotone log for fixed df anyway).
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 5
+
+
+@register(
+    "q47_tfidf_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, t.t AS term
+        FROM documents, unnest(string_split(text, ' ')) AS t(t)
+        WHERE t.t <> ''
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    tf AS (
+        SELECT d.source, k.term, count(*) AS tf
+        FROM tok k JOIN documents d USING (doc_id)
+        GROUP BY d.source, k.term
+    ),
+    scored AS (
+        SELECT tf.source, tf.term, tf.tf, df.df,
+               CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+        FROM tf, df, n
+        WHERE tf.term = df.term
+    )
+    SELECT source, term, tf, df, score
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY score DESC, term
+        ) AS rn
+        FROM scored
+    )
+    WHERE rn <= {TFIDF_TOP_K}
+    """,
+)
+def q47_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_K} TF-IDF terms per source.
+
+    Three aggregations over the token stream (term-frequency per source,
+    document-frequency per term, corpus size) joined back; the df side
+    BROADCASTS (vocabulary ≪ corpus) and the per-source top-k is a
+    WindowGroupLimit (each map task forwards ≤ k rows per source). At
+    100 TB: two shuffles on term-sized data, never on raw tokens twice —
+    the token explode happens once into a cached frame.
+    """
+    tok = _tokens_persisted(spark, sf_dir)
+    n_docs = tok.select("doc_id").distinct().count()  # one scalar to driver
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = tok.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "source",
+        "term",
+        "tf",
+        "df",
+        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TFIDF_TOP_K)
+        .drop("rn")
+    )
+
+
+# one persisted token stream per (session, sf_dir) — tok feeds three
+# consumers (corpus size, df, tf); same lifecycle pattern as dedup._TRI_CACHE
+_TOK_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _tokens_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    key = (id(spark), sf_dir)
+    if key not in _TOK_CACHE:
+        d = load_table(spark, sf_dir, "documents")
+        n_parts = max(spark.sparkContext.defaultParallelism, 8)
+        _TOK_CACHE[key] = (
+            d.repartition(n_parts, "doc_id")
+            .select(
+                "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+            )
+            .where(F.col("term") != "")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return _TOK_CACHE[key]

