@@ -97,3 +97,35 @@ def hyperplane_buckets(vec: Column, tables: list[list[list[float]]]) -> Column:
             lambda acc, x: acc + x,
         ),
     )
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization: qᵢ = floor(xᵢ·s + 0.5) with
+    s = 127 / max|x|.
+
+    The quantizer is pure closed-form double arithmetic (no RNG, no
+    round-half-to-even ambiguity — floor(x+0.5) is the same IEEE operation
+    everywhere), so a SQL oracle reproduces it bit-for-bit. Cosine over the
+    quantized vectors needs no dequantization: the scale cancels.
+    """
+    s = F.lit(127.0) / F.array_max(F.transform(vec, F.abs))
+    return F.transform(vec, lambda x: F.floor(x * s + F.lit(0.5)))
+
+
+def idot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ over integer vectors — exact int64 accumulation (int8
+    components bound each term by 127² ≈ 1.6e4; overflow needs 5.7e14
+    dimensions)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_int(a: Column, b: Column) -> Column:
+    """Cosine over integer-quantized vectors: exact integer dots, one
+    double sqrt/divide at the end (deterministic across engines)."""
+    return idot(a, b).cast("double") / (
+        F.sqrt(idot(a, a).cast("double")) * F.sqrt(idot(b, b).cast("double"))
+    )

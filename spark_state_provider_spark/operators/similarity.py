@@ -338,3 +338,73 @@ def q29c_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sim") >= 0.35)
         .select("id_a", "id_b", "sim")
     )
+
+
+# DuckDB twin of functions.vector.quantize_int8 + cosine_int: quantize with
+# floor(x*s + 0.5), integer dots (exact in doubles up to 2^53), final
+# sqrt/divide in double — bit-identical to the Spark expressions.
+_DUCK_QUANT = (
+    "list_transform(v, x -> CAST(floor(x * (127.0 / list_max("
+    "list_transform(v, y -> abs(y)))) + 0.5) AS BIGINT))"
+)
+_DUCK_ICOS = (
+    "CAST(list_dot_product(qq, nq) AS DOUBLE) / "
+    "(sqrt(CAST(list_dot_product(qq, qq) AS DOUBLE)) * "
+    "sqrt(CAST(list_dot_product(nq, nq) AS DOUBLE)))"
+)
+
+
+@register(
+    "q29e_int8_quantized",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    qz AS (SELECT vec_id, {_DUCK_QUANT} AS q FROM e),
+    q AS (
+        SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < {N_QUERIES}
+    ),
+    s AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, {_DUCK_ICOS} AS sim
+        FROM q, (SELECT vec_id, q AS nq FROM qz) e
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, sim, rn
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+        ) AS rn
+        FROM s
+    )
+    WHERE rn <= {TOP_K}
+    """,
+)
+def q29e_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} by cosine over int8-quantized vectors — the
+    memory-bandwidth play for 100 TB vector corpora: 4× smaller vectors
+    (float32 → int8) scanned per query, integer multiply-adds in the dot,
+    and the per-vector scale cancels out of cosine so nothing dequantizes.
+
+    Shape matches q29_knn_brute (broadcast queries, narrow pass, per-query
+    top-k window); quantization is a one-time narrow map you'd materialize
+    as a column at ingest. Ranking agreement vs the exact baseline is
+    asserted in tests/test_northstar.py.
+    """
+    from spark_state_provider_spark.functions.vector import cosine_int, quantize_int8
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", quantize_int8(F.col("v")).alias("q"))
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    sims = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_int(F.col("qq"), F.col("q")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOP_K)

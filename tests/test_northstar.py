@@ -183,3 +183,25 @@ def test_multimodal_arrow_equals_pandas_path(spark, sf_dir):
         for r in registry.get("q31c_multimodal_arrow").fn(spark, sf_dir).collect()
     }
     assert pandas_rows == arrow_rows
+
+
+def test_int8_quantized_agrees_with_exact(spark, sf_dir):
+    # int8 cosine must preserve the exact top-1 and keep high top-k overlap:
+    # quantization error for 64-dim unit-ish vectors is ~1/127 per component,
+    # far below the sim gaps between true neighbors and the field
+    brute = registry.get("q29_knn_brute").fn(spark, sf_dir).collect()
+    quant = registry.get("q29e_int8_quantized").fn(spark, sf_dir).collect()
+    b1 = {r["query_id"]: r["neighbor_id"] for r in brute if r["rn"] == 1}
+    q1 = {r["query_id"]: r["neighbor_id"] for r in quant if r["rn"] == 1}
+    agree = sum(1 for k in b1 if q1.get(k) == b1[k])
+    assert agree >= 0.8 * len(b1), (agree, len(b1))
+    b_top = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    q_top = {(r["query_id"], r["neighbor_id"]) for r in quant}
+    overlap = len(b_top & q_top) / len(b_top)
+    assert overlap >= 0.7, overlap
+    # quantized sims stay within the coarse error budget of the exact ones
+    b_sims = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in brute}
+    for r in quant:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in b_sims:
+            assert abs(r["sim"] - b_sims[key]) < 0.05
