@@ -126,3 +126,42 @@ def q37_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("score") * 100).cast("long")).cast("double") / 100
         ).alias("sum_score"),
     )
+
+
+N_RANGE_FILES = 8
+
+
+@register(
+    "q48_range_layout",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def q48_range_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered parquet layout: repartitionByRange(l_shipdate) +
+    sortWithinPartitions, then a time-predicate read-back.
+
+    The 100 TB file-skipping lever for high-cardinality sort keys (where
+    hive partitionBy would explode into millions of dirs): range
+    repartitioning gives each output file a DISJOINT l_shipdate min/max
+    span, so a date-range read prunes whole files from the parquet footer
+    before any row decoding. tests/test_scale_patterns.py inspects the
+    written footers and asserts the spans really are disjoint.
+    """
+    out = _out(sf_dir, "range_parquet")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+    )
+    (
+        li.repartitionByRange(N_RANGE_FILES, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )

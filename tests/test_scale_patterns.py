@@ -127,3 +127,35 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_range_layout_files_have_disjoint_spans(spark, sf_dir):
+    # drive the write, then prove the file-skipping property from the
+    # parquet footers themselves: per-file l_shipdate spans must not overlap
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from spark_state_provider_spark.operators import registry
+    from spark_state_provider_spark.operators.sources_sinks import _out
+
+    registry.get("q48_range_layout").fn(spark, sf_dir).collect()
+    files = sorted(glob.glob(os.path.join(_out(sf_dir, "range_parquet"), "*.parquet")))
+    assert len(files) > 1
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "l_shipdate"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    for (lo_a, hi_a), (lo_b, _hi_b) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b, (hi_a, lo_b)  # disjoint (range boundaries touch at most)
