@@ -100,13 +100,26 @@ def q20s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q23 — watermark / late data. Append mode only emits windows the watermark
-# has passed; with a deterministic batch schedule the emitted set is stable,
-# but it is schedule-dependent — so this is a rows-only check (no oracle),
-# exactly the class the driver records as weaker.
+# has passed. The replay slices are TIME-ORDERED (sources.split_events_dir),
+# so no row ever arrives behind the watermark and the final watermark is
+# exactly max(ts) − delay; the emitted set is therefore a pure function of
+# the data — windows with end ≤ max(ts) − 1h (Spark's eviction predicate is
+# `window.end <= eventTimeWatermark`; the final no-data micro-batch of
+# AvailableNow flushes them) — and the oracle simulates it in SQL.
 # ---------------------------------------------------------------------------
 
 
-@register("q23_watermark", oracle=None)
+@register(
+    "q23_watermark",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    HAVING window_start + INTERVAL '1 hour'
+           <= (SELECT max(ts) FROM events) - INTERVAL '1 hour'
+    """,
+)
 def q23_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked hourly counts: only watermark-closed windows are emitted."""
     with _streaming_session(spark):
