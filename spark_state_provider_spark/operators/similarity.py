@@ -408,3 +408,152 @@ def q29e_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Q50 — k-means over embeddings: two full Lloyd iterations, oracle-checked.
+# Iterative clustering is the data-curation workhorse (domain discovery,
+# dedup-by-cluster, stratified mixing) that pure SQL engines usually can't
+# certify; here every step is engine-portable arithmetic:
+#   * vectors are int8-quantized (functions.vector.quantize_int8 — exact,
+#     validated bit-identical by q29e), so iteration-1 distances and the
+#     centroid-update sums are EXACT integer math (order-independent —
+#     safe to shuffle);
+#   * iteration-2 centroids are sum/count divisions (one IEEE op per
+#     element) and distances are fixed-order dot folds — deterministic.
+# ---------------------------------------------------------------------------
+
+K_CLUSTERS = 8
+_DIM = 64
+
+# squared L2 via three dots: ||x||² − 2·x·c + ||c||² (exact over ints;
+# doubles are exact to 2^53, far above 64·127² per dot)
+_DUCK_D2_INT = (
+    "list_dot_product(qz.q, c0.cq) * (-2) + list_dot_product(qz.q, qz.q)"
+    " + list_dot_product(c0.cq, c0.cq)"
+)
+_DUCK_D2_DBL = (
+    "list_dot_product(a.qd, m.mv) * (-2) + list_dot_product(a.qd, a.qd)"
+    " + list_dot_product(m.mv, m.mv)"
+)
+
+_DUCK_CENT_SUMS = ", ".join(
+    f"CAST(sum(q[{i + 1}]) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m{i}"
+    for i in range(_DIM)
+)
+_DUCK_CENT_LIST = "[" + ", ".join(f"m{i}" for i in range(_DIM)) + "]"
+
+
+@register(
+    "q50_kmeans",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    qz AS (SELECT vec_id, {_DUCK_QUANT} AS q FROM e),
+    c0 AS (SELECT vec_id AS cid, q AS cq FROM qz WHERE vec_id < {K_CLUSTERS}),
+    d1 AS (
+        SELECT qz.vec_id, qz.q, c0.cid, {_DUCK_D2_INT} AS d2
+        FROM qz, c0
+    ),
+    a1 AS (
+        SELECT vec_id, q, cid AS c1 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, cid
+            ) AS rn FROM d1
+        ) WHERE rn = 1
+    ),
+    m AS (
+        SELECT c1 AS cid2, {_DUCK_CENT_LIST} AS mv FROM (
+            SELECT c1, {_DUCK_CENT_SUMS} FROM a1 GROUP BY c1
+        )
+    ),
+    d2t AS (
+        SELECT a.vec_id, a.c1, m.cid2, {_DUCK_D2_DBL} AS dd2
+        FROM (
+            SELECT vec_id, c1,
+                   list_transform(q, x -> CAST(x AS DOUBLE)) AS qd
+            FROM a1
+        ) a, m
+    )
+    SELECT vec_id, c1, c2, (c1 <> c2) AS moved FROM (
+        SELECT vec_id, c1, cid2 AS c2, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dd2, cid2
+        ) AS rn FROM d2t
+    ) WHERE rn = 1
+    """,
+)
+def q50_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means (k={K_CLUSTERS}, centroids seeded
+    from vec_id < {K_CLUSTERS}); returns each vector's iteration-1 and
+    iteration-2 assignment plus whether it moved.
+
+    Plan shape per iteration — the one that survives 100 TB:
+    assignment is a broadcast of k centroids + one narrow codegen pass
+    (k·dim multiply-adds per row, NO shuffle); the centroid update is a
+    single groupBy(cluster) whose element-wise vector sum is expressed as
+    {_DIM} column aggregates (map-side partial aggregation, k rows out) —
+    never a posexplode (which would amplify rows ×{_DIM} before the
+    shuffle) and never a driver collect of members. Iterations chain
+    shuffle-free except the k-row centroid agg.
+    """
+    from spark_state_provider_spark.functions.vector import dot, idot, quantize_int8
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", quantize_int8(F.col("v")).alias("q"))
+    )
+    c0 = emb.where(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    qq, cc = F.col("q"), F.col("cq")
+    d1 = emb.crossJoin(F.broadcast(c0)).select(
+        "vec_id",
+        "q",
+        "cid",
+        (idot(qq, cc) * F.lit(-2) + idot(qq, qq) + idot(cc, cc)).alias("d2"),
+    )
+    w1 = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    a1 = (
+        d1.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "q", F.col("cid").alias("c1"))
+    )
+    cent = a1.groupBy("c1").agg(
+        F.count("*").alias("cnt"),
+        *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(_DIM)],
+    )
+    m = cent.select(
+        F.col("c1").alias("cid2"),
+        F.array(
+            *[
+                F.col(f"s{i}").cast("double") / F.col("cnt").cast("double")
+                for i in range(_DIM)
+            ]
+        ).alias("mv"),
+    )
+    a = a1.select(
+        "vec_id",
+        "c1",
+        F.transform(F.col("q"), lambda x: x.cast("double")).alias("qd"),
+    )
+    qd, mv = F.col("qd"), F.col("mv")
+    d2t = a.crossJoin(F.broadcast(m)).select(
+        "vec_id",
+        "c1",
+        "cid2",
+        (dot(qd, mv) * F.lit(-2.0) + dot(qd, qd) + dot(mv, mv)).alias("dd2"),
+    )
+    w2 = Window.partitionBy("vec_id").orderBy("dd2", "cid2")
+    return (
+        d2t.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "c1",
+            F.col("cid2").alias("c2"),
+            (F.col("c1") != F.col("cid2")).alias("moved"),
+        )
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_state_provider_spark.operators.registry import register
 from spark_state_provider_spark.tables import load_table
@@ -259,4 +260,160 @@ def q30f_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q49 — BM25 keyword ranking over documents (search-style retrieval, the
+# relevance twin of q47_tfidf_terms). Uses the Lucene-style *rational* idf
+# (N - df + 0.5)/(df + 0.5) without the log so the score is a fixed-order
+# IEEE expression both engines evaluate bit-identically (precedent:
+# q47's rational idf).
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "table", "hash")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP = 20
+
+
+def _token_eq(term: str):
+    # single-arg lambda on purpose: a 2-arg callable would be read by
+    # F.filter as (value, index)
+    return lambda x: x == F.lit(term)
+
+
+def _bm25_term_sql(tf: str) -> str:
+    """One term's score; identical text in both dialects ⇒ identical IEEE
+    ops. (1+k1)=2.2 and (1-b)=0.25 are written as literals so neither
+    engine's constant folding can re-associate differently."""
+    df = tf.replace("tf", "df")
+    return (
+        f"(((CAST(n_docs AS DOUBLE) - {df}) + 0.5) / (CAST({df} AS DOUBLE) + 0.5))"
+        f" * ((CAST({tf} AS DOUBLE) * 2.2)"
+        f" / (CAST({tf} AS DOUBLE)"
+        f" + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))"
+    )
+
+
+_BM25_SCORE = " + ".join(_bm25_term_sql(f"tf{i}") for i in range(len(BM25_TERMS)))
+
+
+@register(
+    "q49_bm25",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+               {", ".join(
+                   f"CAST(len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS BIGINT) AS tf{i}"
+                   for i, t in enumerate(BM25_TERMS)
+               )}
+        FROM documents
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+               {", ".join(
+                   f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+                   for i in range(len(BM25_TERMS))
+               )}
+        FROM t
+    ),
+    s AS (
+        SELECT doc_id, dl, {_BM25_SCORE} AS score
+        FROM t, g
+        WHERE {" + ".join(f"tf{i}" for i in range(len(BM25_TERMS)))} > 0
+    )
+    SELECT doc_id, dl, score, rn FROM (
+        SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM s
+    ) WHERE rn <= {_BM25_TOP}
+    """,
+)
+def q49_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{_BM25_TOP} for a fixed conjunctive keyword query.
+
+    Plan shape for 100 TB: one narrow codegen pass computes (dl, tf_i) per
+    doc; corpus stats (N, avgdl, df_i) are ONE tiny single-row aggregate
+    broadcast back (no second scan of text, no shuffle of documents); the
+    global top-k is TakeOrderedAndProject (per-partition partial top-k,
+    k rows to the driver — never a full sort). Capability row for the
+    reference's consumers doing retrieval over state-built corpora.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    t = d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[
+            F.size(F.filter(F.col("toks"), _token_eq(t))).cast("long").alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    g = t.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    any_tf = sum(F.col(f"tf{i}") for i in range(len(BM25_TERMS)))
+    s = (
+        t.where(any_tf > 0)
+        .crossJoin(F.broadcast(g))
+        .withColumn("score", F.expr(_BM25_SCORE))
+        .select("doc_id", "dl", "score")
+    )
+    top = s.orderBy(F.col("score").desc(), "doc_id").limit(_BM25_TOP)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn("rn", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# Q51 — inverted-index build: token → ordered posting list + df + total tf.
+# The classic search/retrieval index-construction shuffle (and the
+# materialized form of q49's df statistics).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q51_inverted_index",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    agg AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS total_tf
+        FROM tok GROUP BY token
+    ),
+    pst AS (
+        SELECT token,
+               CAST(count(*) AS BIGINT) AS df,
+               list(doc_id ORDER BY doc_id) AS postings
+        FROM (SELECT DISTINCT token, doc_id FROM tok)
+        GROUP BY token
+    )
+    SELECT agg.token, agg.total_tf, pst.df, pst.postings
+    FROM agg JOIN pst USING (token)
+    """,
+)
+def q51_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting lists per token (sorted doc_ids), document frequency, and
+    total term frequency — one explode + one shuffle on token.
+
+    Scale notes: total_tf gets a map-side partial aggregate; the posting
+    list is the irreducible payload and is bounded per token by df — at
+    100 TB you'd additionally hash-bucket tokens across output files
+    (q48_range_layout's clustering) and cap stop-word postings; the
+    explode itself is narrow (no pre-shuffle row amplification cost beyond
+    the token rows themselves).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return tok.groupBy("token").agg(
+        F.count("*").alias("total_tf"),
+        F.size(F.collect_set("doc_id")).cast("long").alias("df"),
+        F.sort_array(F.collect_set("doc_id")).alias("postings"),
     )

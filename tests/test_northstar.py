@@ -205,3 +205,41 @@ def test_int8_quantized_agrees_with_exact(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in b_sims:
             assert abs(r["sim"] - b_sims[key]) < 0.05
+
+
+def test_kmeans_lloyd_monotone(spark, sf_dir):
+    """Lloyd's algorithm never increases total within-cluster SSE: the SSE
+    of iteration-2 assignments (against iteration-1 centroids' successors)
+    is <= iteration-1 SSE. Computed engine-side only (test invariant, not
+    an oracle), small float tolerance for summation order."""
+    from spark_state_provider_spark.functions.vector import quantize_int8
+    from spark_state_provider_spark.operators.similarity import K_CLUSTERS
+
+    assign = registry.get("q50_kmeans").fn(spark, sf_dir)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .select("vec_id", quantize_int8(F.col("v")).alias("q"))
+    )
+    j = assign.join(emb, "vec_id")
+    dim = 64
+
+    def sse(df, cluster_col):
+        cent = df.groupBy(cluster_col).agg(
+            F.count("*").alias("cnt"),
+            *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(dim)],
+        )
+        with_c = df.join(cent, cluster_col)
+        expr = sum(
+            (
+                F.col("q")[i].cast("double")
+                - F.col(f"s{i}").cast("double") / F.col("cnt")
+            )
+            ** 2
+            for i in range(dim)
+        )
+        return with_c.agg(F.sum(expr)).collect()[0][0]
+
+    # SSE of the c2 partition (with its own optimal centroids) must not
+    # exceed SSE of the c1 partition: one full Lloyd step happened between.
+    assert sse(j, "c2") <= sse(j, "c1") * (1 + 1e-9)
