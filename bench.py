@@ -56,6 +56,11 @@ HEADLINE = [
     "q31_multimodal_meta",
     "q38_sequence_packing",
     "q41_repetition_stats",
+    "q49_bm25",
+    "q50_kmeans",
+    "q51_inverted_index",
+    "q52_unigram_lm",
+    "q53_histogram",
 ]
 
 

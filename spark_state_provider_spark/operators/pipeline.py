@@ -484,3 +484,53 @@ def _tokens_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
     return _TOK_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# q52 — unigram-LM document scoring: mean corpus-frequency of a document's
+# tokens. The vocabulary-based quality signal (rare-token-heavy docs are
+# gibberish/OCR noise; very-common-token docs are boilerplate) computed as
+# an exact rational (Σ freq)/(n tokens) — no log-probs, so the score is
+# engine-portable without float-summation skew.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q52_unigram_lm",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+    freq AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok2 GROUP BY term)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(n) AS BIGINT) AS sum_freq,
+           CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_freq
+    FROM tok2 JOIN freq USING (term)
+    GROUP BY doc_id
+    """,
+)
+def q52_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram corpus frequency.
+
+    Plan: the token table is built once (shared persisted explode,
+    `_tokens_persisted`); the vocabulary aggregate is small (it's a
+    vocabulary — bounded, not corpus-sized) so the score join is a
+    BROADCAST join back onto tokens followed by one groupBy(doc_id) with
+    map-side partial sums. At 100 TB: corpus scan + tiny dim broadcast +
+    one shuffle on doc_id — no vocab-sized shuffle of the token stream.
+    """
+    tok = _tokens_persisted(spark, sf_dir).select("doc_id", "term")
+    freq = tok.groupBy("term").agg(F.count("*").alias("n"))
+    return (
+        tok.join(F.broadcast(freq), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("n").alias("sum_freq"),
+            (F.sum("n").cast("double") / F.count("*").cast("double")).alias(
+                "mean_freq"
+            ),
+        )
+    )

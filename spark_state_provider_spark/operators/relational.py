@@ -1996,3 +1996,61 @@ def q45f_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q53 — fixed-width histogram: the distribution-profiling aggregate every
+# data-quality pass runs before choosing filters/partitioning. Bin id is a
+# single closed-form double expression (identical in both engines), so the
+# whole histogram is one map-side-combinable groupBy.
+# ---------------------------------------------------------------------------
+
+_HIST_LO, _HIST_W, _HIST_BINS = 900.0, 5000.0, 21
+
+
+@register(
+    "q53_histogram",
+    oracle=f"""
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM (
+        SELECT l_extendedprice,
+               least(greatest(CAST(floor(
+                   (CAST(l_extendedprice AS DOUBLE) - {_HIST_LO}) / {_HIST_W}
+               ) AS BIGINT), 0), {_HIST_BINS - 1}) AS bin
+        FROM lineitem
+    )
+    GROUP BY bin
+    """,
+)
+def q53_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_HIST_BINS}-bin fixed-width histogram of lineitem prices.
+
+    Scale shape: a pure narrow map (closed-form bin id, no width_bucket
+    dialect dependence) + one {_HIST_BINS}-group aggregate — partial
+    aggregation reduces each partition to ≤{_HIST_BINS} rows before the
+    shuffle, so the histogram costs one scan regardless of corpus size.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    bin_col = F.least(
+        F.greatest(
+            F.floor(
+                (F.col("l_extendedprice").cast("double") - F.lit(_HIST_LO))
+                / F.lit(_HIST_W)
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(_HIST_BINS - 1).cast("long"),
+    ).alias("bin")
+    return (
+        li.select(bin_col, "l_extendedprice")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("sum_price"),
+        )
+    )
