@@ -160,3 +160,34 @@ def test_q45f_anti_join_and_scalar_broadcast(spark, sf_dir):
     # the 1-row average joins via broadcast nested loop — the one
     # acceptable BNL — and nothing falls back to cartesian
     assert "CartesianProduct" not in plan
+
+
+def test_q49_bm25_topk_and_broadcast_stats(spark, sf_dir):
+    """BM25: corpus stats join must broadcast (single-row agg) and the
+    global top-k must be TakeOrderedAndProject, never a full sort."""
+    plan = plan_string(_df(spark, sf_dir, "q49_bm25"))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q50_kmeans_broadcasts_centroids(spark, sf_dir):
+    """Both Lloyd assignment passes must broadcast the k centroids — a
+    shuffle or cartesian on the vector side would not survive 100 TB."""
+    plan = plan_string(_df(spark, sf_dir, "q50_kmeans"))
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q52_unigram_vocab_broadcast(spark, sf_dir):
+    """The vocabulary-frequency join back onto the token stream must be a
+    broadcast hash join (vocab is bounded; the token stream is not)."""
+    plan = plan_string(_df(spark, sf_dir, "q52_unigram_lm"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q53_histogram_partial_agg(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q53_histogram"))
+    assert "HashAggregate" in plan
+    assert "partial" in plan.lower()
