@@ -458,3 +458,36 @@ def q26c_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return sink.groupBy("c_mktsegment", "event_type").agg(
             F.count("*").alias("n_events")
         )
+
+
+# ---------------------------------------------------------------------------
+# Q21s2 — STREAMING sliding-window aggregation (1h window / 15min slide):
+# each event lands in 4 open windows, so per-batch state updates fan out ×4
+# — the sliding-window state-store pattern the reference's providers exist
+# to keep off-heap. Complete mode ⇒ final sink equals the batch computation
+# ⇒ same oracle as q21b_sliding_window.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q21s2_stream_sliding_window",
+    oracle="""
+    WITH offsets AS (SELECT unnest([0, 15, 30, 45]) AS off_min)
+    SELECT time_bucket(INTERVAL '1 hour', ts - to_minutes(off_min)) + to_minutes(off_min)
+               AS window_start,
+           count(*) AS n_events
+    FROM events, offsets
+    WHERE ts >= time_bucket(INTERVAL '1 hour', ts - to_minutes(off_min)) + to_minutes(off_min)
+    GROUP BY 1
+    """,
+)
+def q21s2_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows, RocksDB-backed state, 2 micro-batches."""
+    with _streaming_session(spark):
+        ev = stream_events(spark, sf_dir, N_BATCHES, tag="sw")
+        agg = (
+            ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_events")
+        )
+        return run_to_memory(agg, "mem_q21s2", "complete")
