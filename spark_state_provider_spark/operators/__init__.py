@@ -22,4 +22,5 @@ def load_all() -> None:
         sources_sinks,
         stateful_batch,
         streaming_queries,
+        timeseries,
     )

@@ -529,11 +529,14 @@ def q28e_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q54 — fuzzy (edit-distance) join: the sixth dedup family. Levenshtein is
 # the classic OCR / typo near-dup measure; both engines implement the same
 # textbook DP, so the distances — and therefore the whole operator — are
-# oracle-exact. Candidate generation is rare-token blocking (linear), never
-# the O(n²) all-pairs distance matrix.
+# oracle-exact. Candidate generation is PREFIX BLOCKING (equi-join on the
+# first N chars): linear, never the O(n²) all-pairs distance matrix.
+# (Rare-token blocking is the alternative when prefixes are noisy; this
+# corpus has a closed vocabulary with no rare tokens, so prefixes block
+# better.)
 # ---------------------------------------------------------------------------
 
-_FUZZY_RARE_DF = 4  # block on tokens appearing in <= this many docs
+_FUZZY_BLOCK = 16  # blocking key: first N chars must match exactly
 _FUZZY_PREFIX = 64  # distance over the first N chars bounds DP cost
 _FUZZY_MAX_DIST = 24
 
@@ -541,65 +544,44 @@ _FUZZY_MAX_DIST = 24
 @register(
     "q54_fuzzy_join",
     oracle=f"""
-    WITH tok AS (
-        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+    WITH b AS (
+        SELECT doc_id, substr(text, 1, {_FUZZY_PREFIX}) AS p,
+               substr(text, 1, {_FUZZY_BLOCK}) AS blk
         FROM documents
-    ),
-    rare AS (
-        SELECT term FROM tok GROUP BY term
-        HAVING count(*) BETWEEN 2 AND {_FUZZY_RARE_DF}
-    ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM tok a JOIN rare USING (term) JOIN tok b USING (term)
-        WHERE a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b,
-           CAST(levenshtein(substr(da.text, 1, {_FUZZY_PREFIX}),
-                            substr(db.text, 1, {_FUZZY_PREFIX})) AS BIGINT)
-               AS edit_dist
-    FROM cand
-    JOIN documents da ON da.doc_id = id_a
-    JOIN documents db ON db.doc_id = id_b
-    WHERE levenshtein(substr(da.text, 1, {_FUZZY_PREFIX}),
-                      substr(db.text, 1, {_FUZZY_PREFIX})) <= {_FUZZY_MAX_DIST}
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(levenshtein(a.p, c.p) AS BIGINT) AS edit_dist
+    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.p, c.p) <= {_FUZZY_MAX_DIST}
     """,
 )
 def q54_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by edit distance ≤ {_FUZZY_MAX_DIST} over the first
-    {_FUZZY_PREFIX} chars, blocked on shared rare tokens (df ≤ {_FUZZY_RARE_DF}).
+    {_FUZZY_PREFIX} chars, blocked on an exact {_FUZZY_BLOCK}-char prefix.
 
-    Scale design: blocking keys are RARE tokens only, so the candidate
-    equi-join fans out at most df²/2 ≤ {_FUZZY_RARE_DF}²/2 pairs per token —
-    linear in corpus size, never O(n²); the quadratic-in-length DP runs on a
-    fixed {_FUZZY_PREFIX}-char prefix (bounded per-pair cost) and only on
-    blocked candidates. At 100 TB the blocking join shuffles on the rare
-    token — a bounded-skew key by construction (df cap).
+    Scale design: the blocking key is a narrow map; candidates come from
+    one equi-join shuffled on the block key, so work is Σ block_size²/2 —
+    linear for bounded blocks, never a cross product. The
+    quadratic-in-length Levenshtein DP runs on a fixed {_FUZZY_PREFIX}-char
+    prefix (bounded per-pair cost) and only on blocked candidates. Skewed
+    (boilerplate) prefixes are the known hazard at 100 TB: cap block sizes
+    or extend the key by a second field — AQE skew-join splitting handles
+    moderate cases.
     """
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+    b = d.select(
+        "doc_id",
+        F.substring("text", 1, _FUZZY_PREFIX).alias("p"),
+        F.substring("text", 1, _FUZZY_BLOCK).alias("blk"),
     )
-    rare = (
-        tok.groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df").between(2, _FUZZY_RARE_DF))
-        .select("term")
+    a = b.select(F.col("doc_id").alias("id_a"), F.col("p").alias("pa"), "blk")
+    c = b.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("p").alias("pb"),
+        F.col("blk").alias("blk_b"),
     )
-    ta = tok.join(rare, "term").select("term", F.col("doc_id").alias("id_a"))
-    tb = tok.join(rare, "term").select(
-        F.col("term").alias("term_b"), F.col("doc_id").alias("id_b")
-    )
-    cand = (
-        ta.join(tb, (F.col("term") == F.col("term_b")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    pa = d.select(F.col("doc_id").alias("id_a"), F.substring("text", 1, _FUZZY_PREFIX).alias("pa"))
-    pb = d.select(F.col("doc_id").alias("id_b"), F.substring("text", 1, _FUZZY_PREFIX).alias("pb"))
     return (
-        cand.join(pa, "id_a")
-        .join(pb, "id_b")
+        a.join(c, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
         .withColumn("edit_dist", F.levenshtein("pa", "pb").cast("long"))
         .where(F.col("edit_dist") <= _FUZZY_MAX_DIST)
         .select("id_a", "id_b", "edit_dist")

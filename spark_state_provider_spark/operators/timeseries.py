@@ -1,0 +1,100 @@
+"""Time-series operators: regular-grid resampling with gap filling.
+
+The missing piece between raw event streams and windowed analytics: put
+each key's events onto a regular time grid (spine), marking empty buckets
+explicitly and carrying the last observation forward. This is the batch
+twin of what a stateful streaming job does with per-key timers ("emit the
+last known value every interval") — the reference's TTL'd state keeps
+exactly this kind of per-key last-observation (SURVEY.md §2-B); here it is
+re-expressed as sequence() + left join + an IGNORE NULLS running window.
+
+Scale design: the spine is generated per key from that key's own bounds
+(``sequence(min_hr, max_hr, 1h)`` exploded) — no global cross join against
+a calendar dimension, so spine size is Σ per-key spans, and every step
+(bounds agg, spine explode, left join, fill window) shuffles on user_id
+once and stays co-partitioned for the rest of the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_state_provider_spark.operators.registry import register
+from spark_state_provider_spark.tables import load_table
+
+_RESAMPLE_USERS = 50  # bound output size: users < this id
+
+
+@register(
+    "q55_resample_ffill",
+    oracle=f"""
+    WITH ev AS (SELECT * FROM events WHERE user_id < {_RESAMPLE_USERS}),
+    hourly AS (
+        SELECT user_id,
+               time_bucket(INTERVAL '1 hour', ts) AS hr,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        FROM ev GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id,
+               time_bucket(INTERVAL '1 hour', min(ts)) AS mn,
+               time_bucket(INTERVAL '1 hour', max(ts)) AS mx
+        FROM ev GROUP BY 1
+    ),
+    spine AS (
+        SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS hr
+        FROM bounds
+    )
+    SELECT s.user_id, s.hr,
+           COALESCE(h.n, 0) AS n_events,
+           last_value(h.sv IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM spine s
+    LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hr = h.hr
+    """,
+)
+def q55_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user resample with explicit empty buckets and
+    forward-filled last hourly value (users < {_RESAMPLE_USERS}).
+
+    The first spine bucket of every user is their min-ts hour, which always
+    holds an event, so the forward fill never starts from NULL.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") < _RESAMPLE_USERS
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").alias("sv"),
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("interval 1 hour"))
+        ).alias("hr"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            "hr",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_events"),
+            F.last("sv", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
