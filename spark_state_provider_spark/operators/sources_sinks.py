@@ -165,3 +165,68 @@ def q48_range_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q56 — Z-ORDER layout: multi-dimensional file clustering. q48 clusters on
+# ONE key; real workloads filter on several. Interleaving the bits of two
+# keys into one z-value and range-clustering on it gives files that are
+# rectangles in (partkey, suppkey) space — a 2-D rectangle predicate then
+# prunes whole files from parquet footers on EITHER or BOTH keys.
+# The interleave is plain integer shift/mask arithmetic, identical in both
+# engines, so the operator (including the z-value) is oracle-checked.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+_Z_FILES = 8
+# rectangle predicate: chosen non-empty at every sf (keys start at 0)
+_Z_P_LO, _Z_P_HI = 16, 63
+_Z_S_LO, _Z_S_HI = 0, 7
+
+
+def _z_sql(c1: str, c2: str) -> str:
+    """Bit-interleave SQL (c1 odd bits, c2 even), same text both dialects."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({c1} >> {i}) & 1) * {1 << (2 * i + 1)})")
+        terms.append(f"((({c2} >> {i}) & 1) * {1 << (2 * i)})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "q56_zorder_layout",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           {_z_sql("l_partkey", "l_suppkey")} AS zval
+    FROM lineitem
+    WHERE l_partkey BETWEEN {_Z_P_LO} AND {_Z_P_HI}
+      AND l_suppkey BETWEEN {_Z_S_LO} AND {_Z_S_HI}
+    """,
+)
+def q56_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered parquet layout + a 2-D rectangle read-back.
+
+    Write path: z-value = bit-interleave(l_partkey, l_suppkey) (narrow
+    map), repartitionByRange(zval) + sortWithinPartitions — each output
+    file covers a disjoint z-range, i.e. a bounded rectangle stack in key
+    space. Read path: a (partkey × suppkey) rectangle predicate; with the
+    curve property, matching rows concentrate in few files (asserted on
+    real footers in tests/test_scale_patterns.py). At 100 TB this is the
+    difference between scanning every file for a two-column filter and
+    opening the handful whose z-span intersects the query rectangle.
+    """
+    out = _out(sf_dir, "zorder_parquet")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    z = li.withColumn("zval", F.expr(_z_sql("l_partkey", "l_suppkey")))
+    (
+        z.repartitionByRange(_Z_FILES, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).where(
+        F.col("l_partkey").between(_Z_P_LO, _Z_P_HI)
+        & F.col("l_suppkey").between(_Z_S_LO, _Z_S_HI)
+    )

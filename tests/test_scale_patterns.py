@@ -159,3 +159,58 @@ def test_range_layout_files_have_disjoint_spans(spark, sf_dir):
     spans.sort()
     for (lo_a, hi_a), (lo_b, _hi_b) in zip(spans, spans[1:]):
         assert hi_a <= lo_b, (hi_a, lo_b)  # disjoint (range boundaries touch at most)
+
+
+def test_zorder_layout_prunes_rectangle_query(spark, sf_dir):
+    """Prove the 2-D skipping property from real parquet footers: z-spans
+    are disjoint across files, and the query rectangle's rows live in a
+    strict subset of files (file-level pruning on a two-column predicate)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from spark_state_provider_spark.operators import registry
+    from spark_state_provider_spark.operators.sources_sinks import (
+        _Z_P_HI,
+        _Z_P_LO,
+        _Z_S_HI,
+        _Z_S_LO,
+        _out,
+    )
+
+    registry.get("q56_zorder_layout").fn(spark, sf_dir).collect()
+    files = sorted(glob.glob(os.path.join(_out(sf_dir, "zorder_parquet"), "*.parquet")))
+    assert len(files) > 1
+    spans = []
+    touched = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cols = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.num_columns)
+        }
+        zmins, zmaxs = [], []
+        hit = False
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(cols["zval"]).statistics
+            zmins.append(st.min)
+            zmaxs.append(st.max)
+            ps = md.row_group(rg).column(cols["l_partkey"]).statistics
+            ss = md.row_group(rg).column(cols["l_suppkey"]).statistics
+            # footer-level rectangle overlap test — what a reader's
+            # row-group pruning would evaluate
+            if not (
+                ps.max < _Z_P_LO
+                or ps.min > _Z_P_HI
+                or ss.max < _Z_S_LO
+                or ss.min > _Z_S_HI
+            ):
+                hit = True
+        spans.append((min(zmins), max(zmaxs)))
+        touched += hit
+    spans.sort()
+    for (_lo_a, hi_a), (lo_b, _hi_b) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b, (hi_a, lo_b)  # z-ranges disjoint across files
+    # the rectangle is small in z-space: most files must be prunable
+    assert touched < len(files), (touched, len(files))
