@@ -98,3 +98,90 @@ def q55_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sv", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q57 — ordered funnel analysis: for each user, the earliest time they
+# completed view → click → purchase IN ORDER. The canonical event-sequence
+# analytics op (and the batch twin of a mapGroupsWithState session machine —
+# the per-user fold the reference's tests drive, RedistateTest.scala:29-31,
+# with an ordering constraint added). Three conditional-min passes, each
+# co-partitioned on user_id.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "q57_funnel",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+           CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS stage
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s2.user_id = s3.user_id
+    """,
+)
+def q57_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered funnel {" → ".join(_FUNNEL_STEPS)}: first completion
+    time of each stage respecting order, and the furthest stage reached.
+
+    Scale shape: each stage is one filtered conditional-min aggregation on
+    user_id; all three aggregations and the two joins share the user_id
+    partitioning, so after the first shuffle the whole funnel is
+    co-partitioned (no re-exchange). Funnels of depth k cost k passes over
+    the (filtered) event types only — never a self-join on raw events.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.where(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == _FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == _FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t1",
+            "t2",
+            "t3",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .cast("long")
+            .alias("stage"),
+        )
+    )
