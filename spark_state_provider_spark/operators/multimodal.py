@@ -189,3 +189,93 @@ def q31c_multimodal_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return decode_metadata_arrow(d)
+
+
+# ---------------------------------------------------------------------------
+# q31d — frame sampling: the video-ish op. The payload is treated as a
+# frame stream (fixed-size chunks); every STRIDE-th frame is sampled and
+# per-frame metadata emitted — a ROW-EXPANDING mapInPandas (1 blob row →
+# k frame rows), which is the plumbing shape a real video pipeline needs
+# (ffmpeg keyframe sampling swaps in at the decode point).
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 2
+
+_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, off bigint, fr_bytes bigint, "
+    "fr_checksum bigint"
+)
+
+
+def sample_frames(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Sample every {FRAME_STRIDE}-th fixed-size frame from each payload."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                n = len(payload)
+                n_frames = (n + FRAME_BYTES - 1) // FRAME_BYTES
+                for idx in range(0, n_frames, FRAME_STRIDE):
+                    off = idx * FRAME_BYTES
+                    chunk = payload[off : off + FRAME_BYTES]
+                    rows.append(
+                        (
+                            doc_id,
+                            idx,
+                            off,
+                            len(chunk),
+                            chunk[0] + chunk[-1] + len(chunk),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "off", "fr_bytes", "fr_checksum"],
+            )
+
+    return binary_df.mapInPandas(extract, schema=_FRAME_SCHEMA)
+
+
+@register(
+    "q31d_frame_sample",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ),
+    f AS (
+        SELECT doc_id, text, n,
+               unnest(generate_series(
+                   0, CAST(floor((n - 1) / {FRAME_BYTES}) AS INTEGER),
+                   {FRAME_STRIDE}
+               )) AS frame_idx
+        FROM b
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx * {FRAME_BYTES} AS BIGINT) AS off,
+           CAST(least({FRAME_BYTES}, n - frame_idx * {FRAME_BYTES}) AS BIGINT)
+               AS fr_bytes,
+           CAST(ascii(substr(text, frame_idx * {FRAME_BYTES} + 1, 1))
+                + ascii(substr(text,
+                        frame_idx * {FRAME_BYTES}
+                        + least({FRAME_BYTES}, n - frame_idx * {FRAME_BYTES}), 1))
+                + least({FRAME_BYTES}, n - frame_idx * {FRAME_BYTES}) AS BIGINT)
+               AS fr_checksum
+    FROM f
+    """,
+)
+def q31d_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (every {FRAME_STRIDE}-th
+    {FRAME_BYTES}-byte frame), emitting per-frame metadata.
+
+    Scale shape: pure row-expanding narrow map over Arrow batches — no
+    shuffle, no driver involvement; output row count is bounded by
+    payload_bytes/{FRAME_BYTES}/{FRAME_STRIDE} per input row. The oracle
+    recomputes every sampled frame's offset/length/checksum arithmetically
+    (ASCII payloads ⇒ byte == ascii(char)), checking the full explode.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return sample_frames(d)

@@ -516,10 +516,15 @@ def q50_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (idot(qq, cc) * F.lit(-2) + idot(qq, qq) + idot(cc, cc)).alias("d2"),
     )
     w1 = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    # iteration-1 assignments feed BOTH the centroid update and the
+    # iteration-2 assignment pass — persist so the quantize + broadcast
+    # distance pass runs once (same call at cluster scale: materialize
+    # assignments between Lloyd iterations rather than recompute lineage).
     a1 = (
         d1.withColumn("rn", F.row_number().over(w1))
         .where(F.col("rn") == 1)
         .select("vec_id", "q", F.col("cid").alias("c1"))
+        .persist()
     )
     cent = a1.groupBy("c1").agg(
         F.count("*").alias("cnt"),
