@@ -198,16 +198,29 @@ def q28b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "na", "nb")
         .distinct()
     )
-    ta = tri.select(F.col("doc_id").alias("id_a"), "tri")
-    tb = tri.select(F.col("doc_id").alias("tid_b"), F.col("tri").alias("tri_b"))
-    inter = (
-        cand.join(ta, "id_a")
-        .join(tb, (F.col("id_b") == F.col("tid_b")) & (F.col("tri") == F.col("tri_b")))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count("*").alias("n_inter"))
+    # Verify via pre-collected SORTED shingle sets + array_intersect: the
+    # candidate set is tiny (LSH's whole point), so both verify joins
+    # broadcast the candidate side and stream the per-doc set table once —
+    # no row-level trigram re-join, no post-join groupBy. (This was
+    # SCALE.md's tracked risk #1; the per-pair cost is now
+    # O(|set_a|+|set_b|) on two already-sorted arrays.)
+    sets = tri.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("tri")).alias("tset")
+    )
+    with_a = sets.join(
+        F.broadcast(cand), F.col("doc_id") == F.col("id_a")
+    ).select("id_a", "id_b", "na", "nb", F.col("tset").alias("set_a"))
+    pairs = sets.join(
+        F.broadcast(with_a), F.col("doc_id") == F.col("id_b")
+    ).select(
+        "id_a",
+        "id_b",
+        "na",
+        "nb",
+        F.size(F.array_intersect("set_a", "tset")).alias("n_inter"),
     )
     return (
-        inter.withColumn(
+        pairs.withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
             / (F.col("na") + F.col("nb") - F.col("n_inter")),
