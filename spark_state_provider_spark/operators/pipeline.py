@@ -534,3 +534,55 @@ def q52_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q59 — order-insensitive table fingerprints: the migration-audit op. A
+# user switching engines (the repo's whole premise) needs to certify "same
+# rows on both sides" without sorting 100 TB: per-row md5 over a canonical
+# string → 48-bit prefix → bit_xor aggregate (commutative, overflow-free,
+# partial-aggregatable). Only int/string columns feed the canonical form —
+# float rendering is engine-specific, exact values are already covered by
+# the per-query oracles.
+# ---------------------------------------------------------------------------
+
+_FP_TABLES = {
+    "documents": ["doc_id", "text", "lang", "source"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderpriority"],
+    "customer": ["c_custkey", "c_name", "c_nationkey"],
+}
+
+
+def _fp_oracle() -> str:
+    parts = []
+    for tbl, cols in _FP_TABLES.items():
+        canon = ", ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        parts.append(
+            f"SELECT '{tbl}' AS tbl, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"bit_xor(('0x' || substr(md5(concat_ws('|', {canon})), 1, 12))::BIGINT) "
+            f"AS fp FROM {tbl}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("q59_table_fingerprint", oracle=_fp_oracle())
+def q59_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (row count + xor of 48-bit row hashes) for
+    {len(_FP_TABLES)} tables.
+
+    Scale shape: narrow hash map + ONE combinable aggregate per table (xor
+    partial-aggregates map-side; the shuffle carries one row per
+    partition) — certifying a 100 TB copy costs a single scan per side,
+    no sort, no join.
+    """
+    out = None
+    for tbl, cols in _FP_TABLES.items():
+        d = load_table(spark, sf_dir, tbl)
+        canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        h = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+        agg = d.select(h.alias("h")).agg(
+            F.count("*").alias("n_rows"), F.expr("bit_xor(h)").alias("fp")
+        )
+        row = agg.select(F.lit(tbl).alias("tbl"), "n_rows", "fp")
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -185,3 +185,57 @@ def q57_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q58 — event-time RANGE window frames: per-user trailing-hour moving count
+# and sum computed per EVENT (not per bucket) — the sliding metric that
+# rowsBetween frames (q13) can't express when events are irregularly
+# spaced. Order key is whole seconds (unix_timestamp truncation == DuckDB
+# floor(epoch)), so frame membership is integer-exact in both engines.
+# ---------------------------------------------------------------------------
+
+_RANGE_SECS = 3600
+
+
+@register(
+    "q58_range_frame",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS secs,
+           CAST(count(*) OVER w AS BIGINT) AS trail_n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS trail_sum
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        RANGE BETWEEN {_RANGE_SECS - 1} PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q58_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {_RANGE_SECS}s moving count/sum per user at every event.
+
+    Scale shape: one shuffle on user_id, then a per-partition ordered scan
+    with a sliding frame — state is the frame contents (bounded by the
+    time span), never the partition. This is the batch twin of a
+    watermarked sliding streaming aggregate, computed per event.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("secs"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("secs")
+        .rangeBetween(-(_RANGE_SECS - 1), 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "secs",
+        F.count("*").over(w).alias("trail_n"),
+        F.sum("v").over(w).cast("double").alias("trail_sum"),
+    )
