@@ -1,0 +1,128 @@
+"""10× scale experiment: does each plan's wall-clock scale ~linearly?
+
+Builds a 10× replica of sf0.1 under /tmp by unioning offset copies —
+join keys are offset consistently per copy, so join cardinalities scale
+linearly (10× more customers/orders/users/docs, same per-key fan-out);
+dimension tables (region, nation) stay single-copy, exactly like a real
+corpus growing 10×. Then times a representative query set at sf0.1 vs the
+replica and prints the time ratio per query (ideal ≈ 10× data → ≤10× time;
+well-parallelized ops land well under because fixed overheads amortize).
+
+Usage: python scripts/scale_experiment.py [n_copies] [--rebuild]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from spark_state_provider_spark import operators
+from spark_state_provider_spark.operators import registry
+from spark_state_provider_spark.session import get_spark
+from spark_state_provider_spark.tables import TABLE_NAMES, load_table
+
+BASE_SF = "/root/testdata/sf0.1"
+N_COPIES = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10
+OUT_DIR = f"/tmp/ssps_scale_x{N_COPIES}"
+
+# per-table key columns offset per copy (copy i adds i * OFFSET)
+OFFSET = 100_000_000
+KEYED = {
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+SINGLE_COPY = ("region", "nation")
+
+QUERIES = [
+    "q01_pruned_scan",
+    "q04_filter",
+    "q05_broadcast_join",
+    "q06_shuffle_join",
+    "q09_hash_agg",
+    "q12_window_rank",
+    "q14_topk",
+    "q28_dedup_exact",
+    "q28b_minhash_lsh",
+    "q29_knn_brute",
+    "q30c_token_freq",
+    "q33_tpch_q3",
+    "q34_tpch_q5",
+    "q38_sequence_packing",
+    "q49_bm25",
+    "q50_kmeans",
+    "q52_unigram_lm",
+    "q53_histogram",
+    "q57_funnel",
+    "q58_range_frame",
+    "q59_table_fingerprint",
+]
+
+
+def build(spark) -> None:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    for name in TABLE_NAMES:
+        dst = os.path.join(OUT_DIR, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        base = load_table(spark, BASE_SF, name)
+        if name in SINGLE_COPY:
+            out = base
+        else:
+            copies = []
+            for i in range(N_COPIES):
+                c = base
+                for k in KEYED.get(name, []):
+                    c = c.withColumn(k, F.col(k) + F.lit(i * OFFSET))
+                copies.append(c)
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionAll(c)
+        out.write.mode("overwrite").parquet(dst + ".dir")
+        # single-file-per-table layout to mirror the testdata convention
+        # is unnecessary: load_table reads any parquet path
+        os.rename(dst + ".dir", dst) if not os.path.exists(dst) else None
+        print(f"built {name}", flush=True)
+
+
+def timed(fn, spark, sf_dir) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    n = df.count()
+    return time.time() - t0, n
+
+
+def main() -> None:
+    operators.load_all()
+    spark = get_spark(app_name="scale-experiment")
+    if "--rebuild" in sys.argv and os.path.exists(OUT_DIR):
+        shutil.rmtree(OUT_DIR)
+    build(spark)
+    print(f"{'query':28s} {'sf0.1':>8s} {'x' + str(N_COPIES):>8s} {'ratio':>6s}  rows")
+    for name in QUERIES:
+        fn = registry.get(name).fn
+        # warm both (JIT/codegen), then measure best-of-2
+        timed(fn, spark, BASE_SF)
+        t_base = min(timed(fn, spark, BASE_SF)[0] for _ in range(2))
+        t_big, n_big = timed(fn, spark, OUT_DIR)
+        t_big = min(t_big, timed(fn, spark, OUT_DIR)[0])
+        print(
+            f"{name:28s} {t_base:8.2f} {t_big:8.2f} {t_big / t_base:6.1f}  {n_big}",
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -239,3 +239,91 @@ def q58_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("trail_n"),
         F.sum("v").over(w).cast("double").alias("trail_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q60 — time-series similarity search (EDBT'19-style, PAPERS.md): each
+# user's behavior is a 24-dim hour-of-day activity histogram; query users'
+# vectors are compared to everyone by cosine, top-k returned. The
+# cross-family op: time-series featurization (integer-exact conditional
+# aggs) feeding the similarity machinery (fixed-order dot folds).
+# ---------------------------------------------------------------------------
+
+_SIM_QUERY_USERS = 5
+_SIM_TOP_K = 5
+_HOURS = 24
+
+
+@register(
+    "q60_user_similarity",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id,
+               [{", ".join(
+                   f"CAST(sum(CASE WHEN hour(ts) = {h} THEN 1 ELSE 0 END) AS DOUBLE)"
+                   for h in range(_HOURS)
+               )}] AS hv
+        FROM events GROUP BY user_id
+    ),
+    q AS (
+        SELECT user_id AS query_id, hv AS qv FROM v
+        WHERE user_id < {_SIM_QUERY_USERS}
+    ),
+    s AS (
+        SELECT q.query_id, v.user_id AS neighbor_id,
+               list_dot_product(q.qv, v.hv)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(v.hv, v.hv))) AS sim
+        FROM q, v
+        WHERE v.user_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, sim, rn FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+        ) AS rn FROM s
+    ) WHERE rn <= {_SIM_TOP_K}
+    """,
+)
+def q60_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_SIM_TOP_K} behaviorally-similar users per query user, by
+    cosine over {_HOURS}-dim hour-of-day activity histograms.
+
+    Scale shape: featurization is ONE map-side-combined groupBy producing
+    {_HOURS} integer sums (no pivot shuffle, no sparse explode); the
+    query-user vectors broadcast; similarity is a narrow fold pass + a
+    per-query top-k window — the q29 brute-force plan applied to derived
+    feature vectors. Every activity count is an exact integer, so the dot
+    products are engine-identical.
+    """
+    from spark_state_provider_spark.functions.vector import cosine_prenormed, norm
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.groupBy("user_id").agg(
+        *[
+            F.sum(
+                F.when(F.hour("ts") == h, 1).otherwise(0)
+            ).cast("double").alias(f"h{h}")
+            for h in range(_HOURS)
+        ]
+    )
+    v = v.select(
+        "user_id", F.array(*[F.col(f"h{h}") for h in range(_HOURS)]).alias("hv")
+    ).withColumn("nrm", norm(F.col("hv")))
+    q = v.where(F.col("user_id") < _SIM_QUERY_USERS).select(
+        F.col("user_id").alias("query_id"),
+        F.col("hv").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    sims = v.join(F.broadcast(q), F.col("user_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("user_id").alias("neighbor_id"),
+        cosine_prenormed(
+            F.col("qv"), F.col("hv"), F.col("qnrm"), F.col("nrm")
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return sims.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _SIM_TOP_K
+    )
