@@ -61,6 +61,13 @@ HEADLINE = [
     "q51_inverted_index",
     "q52_unigram_lm",
     "q53_histogram",
+    "q54_fuzzy_join",
+    "q55_resample_ffill",
+    "q57_funnel",
+    "q58_range_frame",
+    "q59_table_fingerprint",
+    "q60_user_similarity",
+    "q61_event_transitions",
 ]
 
 

@@ -327,3 +327,145 @@ def q60_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sims.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") <= _SIM_TOP_K
     )
+
+
+# ---------------------------------------------------------------------------
+# q61 — event-sequence transition mining: per-user ordered event streams →
+# (prev_type, type) bigram transition counts with probabilities. The
+# first-order Markov statistics that power next-event prediction features
+# and anomalous-sequence detection; also the sequence-modeling data-prep
+# twin (token-bigram counting over event streams instead of text).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q61_event_transitions",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM o WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+    FROM c
+    """,
+)
+def q61_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix: bigram counts and per-source
+    transition probabilities over per-user time-ordered streams.
+
+    Scale shape: one shuffle on user_id for the lag window (event_id
+    tie-break makes ordering total), then a map-side-combined bigram
+    count whose output is |types|² rows; the probability normalization is
+    a window over that tiny aggregate. Never materializes adjacent-pair
+    rows beyond the lag's streaming frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    c = (
+        o.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wp).cast("double")).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q62 — cohort retention: users grouped by signup week, weekly-active
+# fraction per cohort age. The canonical product-analytics matrix, and a
+# two-level aggregation exercise: per-user firsts → per-(cohort, week)
+# distinct actives → per-cohort normalization.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q62_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+        FROM events WHERE event_type = 'signup'
+        GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+        FROM events
+    ),
+    sizes AS (
+        SELECT cohort_week, count(*) AS cohort_size
+        FROM first_seen GROUP BY cohort_week
+    ),
+    m AS (
+        SELECT f.cohort_week,
+               CAST(datediff('day', f.cohort_week, a.week) / 7 AS BIGINT)
+                   AS week_idx,
+               count(DISTINCT a.user_id) AS n_active
+        FROM active a JOIN first_seen f ON a.user_id = f.user_id
+        WHERE a.week >= f.cohort_week
+        GROUP BY 1, 2
+    )
+    SELECT m.cohort_week, m.week_idx, m.n_active, s.cohort_size,
+           CAST(m.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+               AS retention
+    FROM m JOIN sizes s ON m.cohort_week = s.cohort_week
+    """,
+)
+def q62_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: for each signup-week cohort, the
+    count and fraction of its users active in each later week.
+
+    Scale shape: two user_id-partitioned aggregations (first-signup, and
+    the distinct (user, week) dedup) share one shuffle footprint; the
+    activity join is user_id-co-partitioned; the final matrix is
+    |weeks|² rows — tiny — so its normalization join broadcasts. No step
+    ever shuffles raw events more than once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    m = (
+        active.join(first_seen, "user_id")
+        .where(F.col("week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_idx"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return m.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_idx",
+        "n_active",
+        "cohort_size",
+        (
+            F.col("n_active").cast("double") / F.col("cohort_size").cast("double")
+        ).alias("retention"),
+    )
