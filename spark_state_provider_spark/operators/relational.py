@@ -2054,3 +2054,307 @@ def q53_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q63 family — the remaining TPC-H shapes, completing the adapted suite:
+# Q1 (full pricing summary), Q8 (market share), Q9 (profit, cost adapted to
+# p_retailprice — no partsupp table in the testdata), Q19 (disjunctive
+# join predicate), Q21 (waiting suppliers — the double-EXISTS self-join,
+# adapted lateness = shipped >90 days after order date; no
+# l_commitdate/l_receiptdate in the testdata). Q2/Q11/Q16/Q20 are the only
+# TPC-H queries not represented: they are partsupp-centric and the table
+# does not exist in this schema.
+# ---------------------------------------------------------------------------
+
+_Q8_VOLUME = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+@register(
+    "q63_tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum('l_quantity')} AS sum_qty,
+           {dsum('l_extendedprice')} AS sum_base_price,
+           {SQL_SUM_DISC_PRICE} AS sum_disc_price,
+           {SQL_SUM_CHARGE} AS sum_charge,
+           {davg('l_quantity')} AS avg_qty,
+           {davg('l_extendedprice')} AS avg_price,
+           {davg('l_discount')} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q63_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1, complete: the canonical pricing summary — 8 aggregates in
+    one map-side-combined pass behind a pushed shipdate filter. The
+    archetype of 'scan minus pruned columns, partial-agg, tiny shuffle'."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr(dsum("l_quantity")).alias("sum_qty"),
+        F.expr(dsum("l_extendedprice")).alias("sum_base_price"),
+        F.expr(SQL_SUM_DISC_PRICE).alias("sum_disc_price"),
+        F.expr(SQL_SUM_CHARGE).alias("sum_charge"),
+        F.expr(davg("l_quantity")).alias("avg_qty"),
+        F.expr(davg("l_extendedprice")).alias("avg_price"),
+        F.expr(davg("l_discount")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+_Q8_NATION = "NATION_3"
+
+
+@register(
+    "q63b_tpch_q8",
+    oracle=f"""
+    WITH flat AS (
+        SELECT year(o_orderdate) AS o_year,
+               {_Q8_VOLUME} AS volume,
+               n2.n_name AS nation
+        FROM part, lineitem, supplier, orders, customer,
+             nation n1, nation n2, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+          AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+          AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                              AND TIMESTAMP '1997-12-31'
+          AND p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           COALESCE(CAST(SUM(CASE WHEN nation = '{_Q8_NATION}' THEN volume END)
+               AS DOUBLE), 0.0)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+           CAST(SUM(volume) AS DOUBLE) AS total_volume
+    FROM flat GROUP BY o_year
+    """,
+)
+def q63b_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): an 8-table join tree where
+    every dimension leg (part, supplier, customer, nation×2, region)
+    broadcasts and only lineitem⋈orders shuffles; the share is a
+    conditional-over-total aggregate per year."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    flat = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.expr(_Q8_VOLUME).alias("volume"),
+            "nation",
+        )
+    )
+    return flat.groupBy("o_year").agg(
+        F.coalesce(
+            F.expr(
+                f"CAST(SUM(CASE WHEN nation = '{_Q8_NATION}' THEN volume END) AS DOUBLE)"
+            ),
+            F.lit(0.0),
+        ).alias("mkt_share_num"),
+        F.expr("CAST(SUM(volume) AS DOUBLE)").alias("total_volume"),
+    ).select(
+        "o_year",
+        (F.col("mkt_share_num") / F.col("total_volume")).alias("mkt_share"),
+        "total_volume",
+    )
+
+
+_Q9_COST = (
+    "CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))"
+    " * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+)
+
+
+@register(
+    "q63c_tpch_q9",
+    oracle=f"""
+    SELECT nation, o_year,
+           CAST(SUM({_Q8_VOLUME}) AS DOUBLE) - {_Q9_COST} * 0.1 AS profit
+    FROM (
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               l_extendedprice, l_discount, p_retailprice, l_quantity
+        FROM part, supplier, lineitem, orders, nation
+        WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+          AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def q63c_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year). Cost side
+    adapted to p_retailprice × quantity × 10% — the testdata has no
+    partsupp/ps_supplycost. Decimal-exact sums per term, one double
+    subtraction at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    flat = (
+        li.join(
+            F.broadcast(_t(spark, sf_dir, "part")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "supplier")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(_t(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            "l_extendedprice",
+            "l_discount",
+            "p_retailprice",
+            "l_quantity",
+        )
+    )
+    return flat.groupBy("nation", "o_year").agg(
+        (
+            F.expr(f"CAST(SUM({_Q8_VOLUME}) AS DOUBLE)")
+            - F.expr(_Q9_COST) * F.lit(0.1)
+        ).alias("profit")
+    )
+
+
+_Q19_PRED = (
+    "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15"
+    " AND l_quantity BETWEEN 1 AND 11)"
+    " OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25"
+    " AND l_quantity BETWEEN 10 AND 20)"
+    " OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50"
+    " AND l_quantity BETWEEN 20 AND 30)"
+)
+
+
+@register(
+    "q63d_tpch_q19",
+    oracle=f"""
+    SELECT COALESCE({SQL_SUM_DISC_PRICE}, 0.0) AS revenue,
+           count(*) AS n_items
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND ({_Q19_PRED})
+    """,
+)
+def q63d_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue under an OR-of-conjunctions
+    predicate): the disjunction references both join sides, so it must
+    evaluate as a join residual — the part leg broadcasts and the common
+    p_partkey = l_partkey conjunct stays the hash key (never a cartesian
+    with a post-filter)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part),
+        (F.col("p_partkey") == F.col("l_partkey")) & F.expr(_Q19_PRED),
+    )
+    return j.agg(
+        F.coalesce(F.expr(SQL_SUM_DISC_PRICE), F.lit(0.0)).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_LATE_DAYS = 90
+
+
+@register(
+    "q63e_tpch_q21",
+    oracle=f"""
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1, orders, supplier
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL {_LATE_DAYS} DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL {_LATE_DAYS} DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q63e_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): lateness
+    adapted to 'shipped > {_LATE_DAYS} days after order date' (no
+    l_receiptdate/l_commitdate in the testdata).
+
+    The oracle keeps the literal EXISTS / NOT EXISTS double self-join; the
+    engine uses the scale formulation: ONE aggregation over the
+    order-joined lineitems computes per-order distinct-supplier and
+    distinct-LATE-supplier counts, and a row qualifies iff its order has
+    ≥2 suppliers and exactly one late supplier (itself — the row is late).
+    Equivalent row-for-row, but lineitem is scanned once and shuffled once
+    on orderkey instead of three correlated self-joins.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late",
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {_LATE_DAYS} DAYS"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("ns"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nls"),
+    )
+    qual = (
+        lo.where(F.col("late"))
+        .join(
+            per_order.where((F.col("ns") >= 2) & (F.col("nls") == 1)).select(
+                F.col("l_orderkey").alias("qok")
+            ),
+            F.col("l_orderkey") == F.col("qok"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "supplier")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+    )
+    return (
+        qual.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

@@ -191,3 +191,19 @@ def test_q53_histogram_partial_agg(spark, sf_dir):
     plan = plan_string(_df(spark, sf_dir, "q53_histogram"))
     assert "HashAggregate" in plan
     assert "partial" in plan.lower()
+
+
+def test_q63b_q8_dims_broadcast_no_cartesian(spark, sf_dir):
+    """Q8's 8-table tree: every dimension leg broadcasts; only
+    lineitem⋈orders may shuffle; nothing degenerates to a cartesian."""
+    plan = plan_string(_df(spark, sf_dir, "q63b_tpch_q8"))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_q63e_q21_single_lineitem_shuffle(spark, sf_dir):
+    """Q21's aggregate rewrite: no cartesian, no nested-loop self-joins —
+    the EXISTS/NOT EXISTS pair is one orderkey-partitioned aggregation."""
+    plan = plan_string(_df(spark, sf_dir, "q63e_tpch_q21"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
