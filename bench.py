@@ -68,6 +68,9 @@ HEADLINE = [
     "q59_table_fingerprint",
     "q60_user_similarity",
     "q61_event_transitions",
+    "q63_tpch_q1",
+    "q63b_tpch_q8",
+    "q63e_tpch_q21",
 ]
 
 

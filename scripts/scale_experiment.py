@@ -96,7 +96,7 @@ def build(spark) -> None:
         print(f"built {name}", flush=True)
 
 
-def timed(fn, spark, sf_dir) -> float:
+def timed(fn, spark, sf_dir) -> tuple[float, int]:
     t0 = time.time()
     df = fn(spark, sf_dir)
     n = df.count()
@@ -112,11 +112,11 @@ def main() -> None:
     print(f"{'query':28s} {'sf0.1':>8s} {'x' + str(N_COPIES):>8s} {'ratio':>6s}  rows")
     for name in QUERIES:
         fn = registry.get(name).fn
-        # warm both (JIT/codegen), then measure best-of-2
+        # warm BOTH sides (JIT/codegen/page cache), then measure best-of-2
         timed(fn, spark, BASE_SF)
         t_base = min(timed(fn, spark, BASE_SF)[0] for _ in range(2))
-        t_big, n_big = timed(fn, spark, OUT_DIR)
-        t_big = min(t_big, timed(fn, spark, OUT_DIR)[0])
+        _, n_big = timed(fn, spark, OUT_DIR)
+        t_big = min(timed(fn, spark, OUT_DIR)[0] for _ in range(2))
         print(
             f"{name:28s} {t_base:8.2f} {t_big:8.2f} {t_big / t_base:6.1f}  {n_big}",
             flush=True,

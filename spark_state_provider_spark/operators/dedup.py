@@ -207,17 +207,31 @@ def q28b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = tri.groupBy("doc_id").agg(
         F.sort_array(F.collect_set("tri")).alias("tset")
     )
-    with_a = sets.join(
-        F.broadcast(cand), F.col("doc_id") == F.col("id_a")
-    ).select("id_a", "id_b", "na", "nb", F.col("tset").alias("set_a"))
-    pairs = sets.join(
-        F.broadcast(with_a), F.col("doc_id") == F.col("id_b")
+    # ONLY the scalar candidate table is ever broadcast (pair ids + set
+    # sizes — KBs even at high dup density); each side's shingle array is
+    # picked up by an independent broadcast-cand join against `sets`, and
+    # the final pair join shuffles two candidate-sized tables. The set
+    # table itself is never broadcast and never shuffled.
+    ja = sets.join(F.broadcast(cand), F.col("doc_id") == F.col("id_a")).select(
+        "id_a", "id_b", "na", "nb", F.col("tset").alias("set_a")
+    )
+    jb = sets.join(
+        F.broadcast(cand.select("id_a", "id_b")),
+        F.col("doc_id") == F.col("id_b"),
+    ).select(
+        F.col("id_a").alias("id_a2"),
+        F.col("id_b").alias("id_b2"),
+        F.col("tset").alias("set_b"),
+    )
+    pairs = ja.join(
+        jb,
+        (F.col("id_a") == F.col("id_a2")) & (F.col("id_b") == F.col("id_b2")),
     ).select(
         "id_a",
         "id_b",
         "na",
         "nb",
-        F.size(F.array_intersect("set_a", "tset")).alias("n_inter"),
+        F.size(F.array_intersect("set_a", "set_b")).alias("n_inter"),
     )
     return (
         pairs.withColumn(

@@ -177,7 +177,11 @@ def q48_range_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines, so the operator (including the z-value) is oracle-checked.
 # ---------------------------------------------------------------------------
 
-_Z_BITS = 16
+_Z_BITS = 24  # 24 bits/key → 48-bit z-value; keys < 2^24 (16.7M — TPC-H
+# partkeys up to sf≈80) interleave without truncation. Beyond that, raise
+# _Z_BITS (≤26 keeps the z-value inside int64 comfortably) — truncated
+# high bits would silently fold distant key ranges into the same z-range
+# and destroy footer pruning.
 _Z_FILES = 8
 # rectangle predicate: chosen non-empty at every sf (keys start at 0)
 _Z_P_LO, _Z_P_HI = 16, 63

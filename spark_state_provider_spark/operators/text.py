@@ -285,14 +285,16 @@ def _token_eq(term: str):
 
 def _bm25_term_sql(tf: str) -> str:
     """One term's score; identical text in both dialects ⇒ identical IEEE
-    ops. (1+k1)=2.2 and (1-b)=0.25 are written as literals so neither
-    engine's constant folding can re-associate differently."""
+    ops. (1+k1) and (1-b) are interpolated as pre-computed literals so
+    neither engine's constant folding can re-associate differently."""
     df = tf.replace("tf", "df")
+    k1_plus_1 = _BM25_K1 + 1.0
+    one_minus_b = 1.0 - _BM25_B
     return (
         f"(((CAST(n_docs AS DOUBLE) - {df}) + 0.5) / (CAST({df} AS DOUBLE) + 0.5))"
-        f" * ((CAST({tf} AS DOUBLE) * 2.2)"
+        f" * ((CAST({tf} AS DOUBLE) * {k1_plus_1})"
         f" / (CAST({tf} AS DOUBLE)"
-        f" + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))"
+        f" + {_BM25_K1} * ({one_minus_b} + {_BM25_B} * (CAST(dl AS DOUBLE) / avgdl))))"
     )
 
 
@@ -331,7 +333,8 @@ _BM25_SCORE = " + ".join(_bm25_term_sql(f"tf{i}") for i in range(len(BM25_TERMS)
     """,
 )
 def q49_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-{_BM25_TOP} for a fixed conjunctive keyword query.
+    """BM25 top-{_BM25_TOP} for a fixed disjunctive (any-term) keyword
+    query.
 
     Plan shape for 100 TB: one narrow codegen pass computes (dl, tf_i) per
     doc; corpus stats (N, avgdl, df_i) are ONE tiny single-row aggregate
