@@ -83,3 +83,31 @@ def read_state_changes(
     if end_batch_id is not None:
         reader = reader.option("changeEndBatchId", end_batch_id)
     return reader.load()
+
+
+def read_join_state(
+    spark: SparkSession,
+    checkpoint_location: str,
+    join_side: str,
+    operator_id: int = 0,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Iterate the buffered state of ONE SIDE of a stream-stream join.
+
+    The join operator keeps per-side keyed buffers (four internal stores);
+    the reader's ``joinSide`` option surfaces each side's buffered rows —
+    the reference's ``iterator`` applied to its most state-hungry consumer
+    (a StateStore SPI join both buffers through the same provider the
+    reference implements, SURVEY.md §2-C Q26).
+    """
+    if join_side not in ("left", "right"):
+        raise ValueError(f"join_side must be 'left' or 'right', got {join_side!r}")
+    reader = (
+        spark.read.format("statestore")
+        .option("path", checkpoint_location)
+        .option("operatorId", operator_id)
+        .option("joinSide", join_side)
+    )
+    if batch_id is not None:
+        reader = reader.option("batchId", batch_id)
+    return reader.load()

@@ -160,3 +160,66 @@ def test_state_metrics_monotone_across_versions(spark, sf_dir):
     n0 = read_state(spark, ckpt, batch_id=0).count()
     n1 = read_state(spark, ckpt, batch_id=1).count()
     assert 0 < n0 <= n1
+
+
+def test_join_state_reader_sees_both_buffers(spark, sf_dir):
+    """Stream-stream join state parity: each side's buffered rows are
+    readable per side and hold exactly the rows each input stream fed
+    (no watermark ⇒ nothing evicted)."""
+    from spark_state_provider_spark.streaming.state_reader import read_join_state
+
+    ckpt = tempfile.mkdtemp(prefix="ssps_ckpt_jsr_")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    clicks = (
+        stream_events(spark, sf_dir, 2, tag="jsr1")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        stream_events(spark, sf_dir, 2, tag="jsr2")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 6 HOURS"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("mem_jsr")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    ev = load_table(spark, sf_dir, "events")
+    n_clicks = ev.where(F.col("event_type") == "click").count()
+    n_purch = ev.where(F.col("event_type") == "purchase").count()
+
+    left = read_join_state(spark, ckpt, "left")
+    right = read_join_state(spark, ckpt, "right")
+    assert left.count() == n_clicks
+    assert right.count() == n_purch
+    # buffered click ids == input click ids (iterator content parity)
+    left_ids = {r["value"]["click_id"] for r in left.collect()}
+    want_ids = {
+        r["event_id"]
+        for r in ev.where(F.col("event_type") == "click").collect()
+    }
+    assert left_ids == want_ids
