@@ -586,3 +586,79 @@ def q59_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = agg.select(F.lit(tbl).alias("tbl"), "n_rows", "fp")
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q64 — table profiling: per-column null count, distinct count, and
+# (for string/int columns) min/max — the ANALYZE-style pass every pipeline
+# runs before trusting a new drop of data. One aggregate row computes all
+# stats, then unpivots to tidy long form. Float/timestamp min/max are
+# deliberately omitted: their string rendering is engine-specific, and
+# exact float behavior is covered by the per-query oracles.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = {
+    # column -> include min/max (string-renderable deterministically)
+    "o_orderkey": True,
+    "o_custkey": True,
+    "o_orderstatus": True,
+    "o_orderpriority": True,
+    "o_totalprice": False,
+    "o_orderdate": False,
+}
+
+
+def _profile_oracle() -> str:
+    aggs = []
+    for c, mm in _PROFILE_COLS.items():
+        aggs.append(f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}_nulls")
+        aggs.append(f"CAST(count(DISTINCT {c}) AS BIGINT) AS {c}_distinct")
+        if mm:
+            aggs.append(f"CAST(min({c}) AS VARCHAR) AS {c}_min")
+            aggs.append(f"CAST(max({c}) AS VARCHAR) AS {c}_max")
+    rows = []
+    for c, mm in _PROFILE_COLS.items():
+        mn = f"{c}_min" if mm else "NULL"
+        mx = f"{c}_max" if mm else "NULL"
+        rows.append(
+            f"SELECT '{c}' AS col, {c}_nulls AS n_nulls, "
+            f"{c}_distinct AS n_distinct, CAST({mn} AS VARCHAR) AS min_str, "
+            f"CAST({mx} AS VARCHAR) AS max_str FROM g"
+        )
+    return f"WITH g AS (SELECT {', '.join(aggs)} FROM orders) " + " UNION ALL ".join(rows)
+
+
+@register("q64_table_profile", oracle=_profile_oracle())
+def q64_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the orders table: nulls, distincts, min/max.
+
+    Scale shape: ONE aggregation pass computes every column's stats
+    (count-distincts share the scan; Spark plans them via expand +
+    partial aggregation, all map-side combinable), and the tidy unpivot
+    operates on a single driver-sized row. Profiling 100 TB costs one
+    scan regardless of column count.
+    """
+    d = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c, mm in _PROFILE_COLS.items():
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}_nulls")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}_distinct"))
+        if mm:
+            aggs.append(F.min(F.col(c)).cast("string").alias(f"{c}_min"))
+            aggs.append(F.max(F.col(c)).cast("string").alias(f"{c}_max"))
+    g = d.agg(*aggs)
+    out = None
+    for c, mm in _PROFILE_COLS.items():
+        row = g.select(
+            F.lit(c).alias("col"),
+            F.col(f"{c}_nulls").alias("n_nulls"),
+            F.col(f"{c}_distinct").alias("n_distinct"),
+            (F.col(f"{c}_min") if mm else F.lit(None)).cast("string").alias("min_str"),
+            (F.col(f"{c}_max") if mm else F.lit(None)).cast("string").alias("max_str"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
