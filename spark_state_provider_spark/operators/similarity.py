@@ -118,7 +118,58 @@ N_TABLES = 6
 N_PLANES = 4
 
 
-@register("q29b_ann_lsh", oracle=None)  # candidate recall checked vs brute force
+
+
+_EMB_DIM = 64  # all driver testdata embeddings are 64-dim
+
+
+def _ann_lsh_oracle() -> str:
+    """Full DuckDB twin of the LSH ANN pipeline: same sin-derived plane
+    literals (repr round-trips to the identical double), same fold-order
+    dots, same >= 0 sign rule and bit weights, same any-table candidate
+    union, same exact-cosine re-rank. Bit-for-bit checkable because
+    nothing in the pipeline is random."""
+    tables = [
+        _deterministic_planes(N_PLANES, _EMB_DIM, seed=t) for t in range(N_TABLES)
+    ]
+    legs = []
+    for t, planes in enumerate(tables):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in plane)}])"
+            f" >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        )
+        legs.append(f"SELECT vec_id, v, {t} AS tbl, {bits} AS bucket FROM e")
+    union = " UNION ALL ".join(legs)
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    b AS ({union}),
+    q AS (
+        SELECT vec_id AS query_id, tbl AS qtbl, bucket AS qbucket
+        FROM b WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+        FROM q JOIN b ON b.tbl = q.qtbl AND b.bucket = q.qbucket
+                     AND b.vec_id <> q.query_id
+    ),
+    s AS (
+        SELECT c.query_id, c.neighbor_id, {_DUCK_COS} AS sim
+        FROM cand c
+        JOIN (SELECT vec_id, v AS qv FROM e) a ON a.vec_id = c.query_id
+        JOIN (SELECT vec_id, v AS nv FROM e) d ON d.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rn FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+        ) AS rn FROM s
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+@register("q29b_ann_lsh", oracle=_ann_lsh_oracle())
 def q29b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-{TOP_K}: multi-table hyperplane LSH → bucket-equijoin →
     exact cosine re-rank over the unioned candidate set.
