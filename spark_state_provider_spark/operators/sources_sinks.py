@@ -234,3 +234,135 @@ def q56_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").between(_Z_P_LO, _Z_P_HI)
         & F.col("l_suppkey").between(_Z_S_LO, _Z_S_HI)
     )
+
+
+# ---------------------------------------------------------------------------
+# q65 — schema evolution on read: two parquet drops with different schemas
+# (a column added later) merged into one logical table. The data-lake
+# reality check: historical files never get rewritten when the schema
+# grows, so the reader must widen with NULLs for pre-evolution rows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q65_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+        SELECT event_id, user_id, NULL AS channel
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_id, user_id, event_type AS channel
+        FROM events WHERE event_id % 2 = 1
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN channel IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_legacy,
+           CAST(count(DISTINCT channel) AS BIGINT) AS n_channels
+    FROM unioned
+    GROUP BY user_id
+    """,
+)
+def q65_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write an old-schema drop (even event_ids, no `channel` column) and a
+    new-schema drop (odd event_ids, with `channel`), read them back as ONE
+    table via mergeSchema, and aggregate across the evolution boundary.
+
+    Scale notes: schema merging is a FOOTER-level operation (Spark reads
+    each file's schema from metadata, not data); pre-evolution rows
+    surface NULL for the new column with no rewrite of historical files —
+    the only scalable answer when the 100 TB history predates the column.
+    """
+    out = _out(sf_dir, "evolving_parquet")
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.where(F.col("event_id") % 2 == 0).select("event_id", "user_id")
+    new = ev.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", F.col("event_type").alias("channel")
+    )
+    old.write.mode("overwrite").parquet(os.path.join(out, "drop=0"))
+    new.write.mode("overwrite").parquet(os.path.join(out, "drop=1"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "drop=0"), os.path.join(out, "drop=1")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("channel").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_legacy"),
+        F.count_distinct("channel").alias("n_channels"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q66 — STREAMING custom Python data source: the same deterministic
+# generator exposed through PySpark 4's SimpleDataSourceStreamReader,
+# drained micro-batch by micro-batch (dict offsets checkpointed by Spark,
+# deterministic readBetweenOffsets replay = exactly-once under recovery).
+# Complete-mode aggregate ⇒ final sink equals the batch computation ⇒ the
+# q37 oracle applies verbatim.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q66_python_stream_source",
+    oracle=f"""
+    SELECT CAST(i % 10 AS INTEGER) AS bucket,
+           count(*) AS n,
+           CAST(SUM(CAST((i * 2654435761) % 1000 AS BIGINT)) AS DOUBLE) / 100
+               AS sum_score
+    FROM generate_series(0, {_SYNTH_N - 1}) t(i)
+    GROUP BY 1
+    """,
+)
+def q66_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read from the custom Python source ({_SYNTH_N} rows in
+    {_SYNTH_N // 2500}+ micro-batches), aggregated across batches.
+
+    The source side of the reference's plug-a-backend-into-an-SPI pattern,
+    on the streaming path: offsets are checkpointed dicts, every slice is
+    regenerable, so failure recovery replays identical rows.
+    """
+    from spark_state_provider_spark.sources.python_source import (
+        register_synthetic_stream_source,
+    )
+    from spark_state_provider_spark.streaming.harness import run_to_memory
+
+    import tempfile as _tf
+    import time as _time
+
+    register_synthetic_stream_source(spark)
+    stream = (
+        spark.readStream.format("ssps_synthetic_stream")
+        .option("n", _SYNTH_N)
+        .option("batch", 2500)
+        .load()
+    )
+    agg = stream.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.round(F.col("score") * 100).cast("long")).cast("double") / 100
+        ).alias("sum_score"),
+    )
+    # availableNow drains only ONE prefetched slice of a simple stream
+    # reader, so drive with a continuous trigger and stop once the sink
+    # holds the whole range (complete mode ⇒ final state == batch result).
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("mem_q66")
+        .outputMode("complete")
+        .option("checkpointLocation", _tf.mkdtemp(prefix="ssps_ckpt_q66_"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 180
+        while _time.time() < deadline:
+            rows = spark.sql("SELECT sum(n) AS t FROM mem_q66").collect()
+            if rows and rows[0]["t"] == _SYNTH_N:
+                break
+            _time.sleep(0.5)
+        else:
+            raise TimeoutError("q66 stream did not drain the full range")
+    finally:
+        q.stop()
+    return spark.table("mem_q66")

@@ -63,3 +63,65 @@ class SyntheticRowsReader(DataSourceReader):
 
 def register_synthetic_source(spark) -> None:
     spark.dataSource.register(SyntheticRowsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant: the same deterministic generator as a STREAMING Python
+# data source (PySpark 4 SimpleDataSourceStreamReader). Offsets are plain
+# dicts checkpointed by Spark; each micro-batch emits one fixed-size slice
+# of the id range, so the stream is replayable and exactly-once under
+# recovery — the property the reference's versioned state exists to
+# support, here on the source side.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class SyntheticStreamDataSource(DataSource):
+    """``spark.readStream.format("ssps_synthetic_stream")`` — options:
+    ``n`` total rows, ``batch`` rows per micro-batch."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ssps_synthetic_stream"
+
+    def schema(self) -> str:
+        return "id bigint, bucket int, score double"
+
+    def simpleStreamReader(self, schema) -> "SyntheticStreamReader":
+        return SyntheticStreamReader(
+            n=int(self.options.get("n", 1000)),
+            batch=int(self.options.get("batch", 250)),
+        )
+
+
+class SyntheticStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, n: int, batch: int):
+        self.n = n
+        self.batch = batch
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        # advance one micro-batch per trigger until the range is drained
+        return {"pos": self.n}
+
+    def read(self, start: dict):
+        lo = start["pos"]
+        hi = min(lo + self.batch, self.n)
+        # a LIST, not a generator: Spark pickles the prefetched rows into
+        # its offset→data cache for exactly-once replay
+        rows = [(i, i % 10, ((i * _MULT) % 1000) / 100.0) for i in range(lo, hi)]
+        return rows, {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay for recovery: regenerate the exact slice
+        return [
+            (i, i % 10, ((i * _MULT) % 1000) / 100.0)
+            for i in range(start["pos"], end["pos"])
+        ]
+
+
+def register_synthetic_stream_source(spark) -> None:
+    spark.dataSource.register(SyntheticStreamDataSource)
