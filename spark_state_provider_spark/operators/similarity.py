@@ -189,6 +189,13 @@ def q29b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derive the dimension from the data — a hardcoded dim would make
     # zip_with null-pad on mismatch and silently empty every bucket
     dim = len(emb.select("v").first()["v"])
+    if dim != _EMB_DIM:
+        # the DuckDB oracle bakes _EMB_DIM-dim plane literals at import
+        # time; a silent divergence here would read as a bogus mismatch
+        raise ValueError(
+            f"embedding dim {dim} != _EMB_DIM {_EMB_DIM}; update _EMB_DIM so "
+            "the oracle's plane literals match the data"
+        )
     planes = [
         _deterministic_planes(N_PLANES, dim, seed=t) for t in range(N_TABLES)
     ]

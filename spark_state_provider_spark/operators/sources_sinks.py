@@ -325,11 +325,13 @@ def q66_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_state_provider_spark.sources.python_source import (
         register_synthetic_stream_source,
     )
-    from spark_state_provider_spark.streaming.harness import run_to_memory
 
     import tempfile as _tf
     import time as _time
 
+    spark.catalog.dropTempView("mem_q66") if spark.catalog.tableExists(
+        "mem_q66"
+    ) else None
     register_synthetic_stream_source(spark)
     stream = (
         spark.readStream.format("ssps_synthetic_stream")
@@ -357,6 +359,10 @@ def q66_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         deadline = _time.time() + 180
         while _time.time() < deadline:
+            if not q.isActive:
+                # surface the real stream failure, never mask it as timeout
+                exc = q.exception()
+                raise RuntimeError(f"q66 stream terminated early: {exc}")
             rows = spark.sql("SELECT sum(n) AS t FROM mem_q66").collect()
             if rows and rows[0]["t"] == _SYNTH_N:
                 break

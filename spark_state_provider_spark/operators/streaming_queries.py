@@ -306,6 +306,38 @@ def q22s_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def build_click_purchase_join(
+    spark: SparkSession, sf_dir: str, tags: tuple[str, str]
+) -> DataFrame:
+    """Shared topology: same-user purchases within 6h after a click —
+    the canonical two-sided-state join. Used by q26 AND the join-state
+    reader parity test, so both always exercise the identical shape."""
+    clicks = (
+        stream_events(spark, sf_dir, N_BATCHES, tag=tags[0])
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        stream_events(spark, sf_dir, N_BATCHES, tag=tags[1])
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 6 HOURS"
+        ),
+    )
+
+
 @register(
     "q26_stream_stream_join",
     oracle="""
@@ -324,30 +356,7 @@ def q22s_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q26_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two streams joined on key + event-time range (state on both sides)."""
     with _streaming_session(spark):
-        clicks = (
-            stream_events(spark, sf_dir, N_BATCHES, tag="j1")
-            .where(F.col("event_type") == "click")
-            .select(
-                F.col("event_id").alias("click_id"),
-                F.col("user_id").alias("c_user"),
-                F.col("ts").alias("c_ts"),
-            )
-        )
-        purchases = (
-            stream_events(spark, sf_dir, N_BATCHES, tag="j2")
-            .where(F.col("event_type") == "purchase")
-            .select(
-                F.col("event_id").alias("purchase_id"),
-                F.col("user_id").alias("p_user"),
-                F.col("ts").alias("p_ts"),
-            )
-        )
-        joined = clicks.join(
-            purchases,
-            F.expr(
-                "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 6 HOURS"
-            ),
-        ).select(
+        joined = build_click_purchase_join(spark, sf_dir, ("j1", "j2")).select(
             "click_id", "purchase_id", F.col("c_user").alias("user_id")
         )
         return run_to_memory(joined, "mem_q26", "append")

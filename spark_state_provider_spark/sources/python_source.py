@@ -103,24 +103,27 @@ class SyntheticStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"pos": 0}
 
-    def latestOffset(self) -> dict:
-        # advance one micro-batch per trigger until the range is drained
-        return {"pos": self.n}
+    # NOTE: no latestOffset — PySpark's _SimpleStreamReaderWrapper derives
+    # the latest offset from read()'s returned next-offset and never calls
+    # a user latestOffset on the simple-reader API.
 
     def read(self, start: dict):
         lo = start["pos"]
         hi = min(lo + self.batch, self.n)
-        # a LIST, not a generator: Spark pickles the prefetched rows into
-        # its offset→data cache for exactly-once replay
         rows = [(i, i % 10, ((i * _MULT) % 1000) / 100.0) for i in range(lo, hi)]
-        return rows, {"pos": hi}
+        # must be a list_iterator, not a generator and not a bare list: the
+        # wrapper copy.copy()s + pickles it (generators support neither)
+        # and next()s it for the empty-batch check (lists aren't iterators)
+        return iter(rows), {"pos": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         # deterministic replay for recovery: regenerate the exact slice
-        return [
-            (i, i % 10, ((i * _MULT) % 1000) / 100.0)
-            for i in range(start["pos"], end["pos"])
-        ]
+        return iter(
+            [
+                (i, i % 10, ((i * _MULT) % 1000) / 100.0)
+                for i in range(start["pos"], end["pos"])
+            ]
+        )
 
 
 def register_synthetic_stream_source(spark) -> None:

@@ -173,28 +173,11 @@ def test_join_state_reader_sees_both_buffers(spark, sf_dir):
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    clicks = (
-        stream_events(spark, sf_dir, 2, tag="jsr1")
-        .where(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
+    from spark_state_provider_spark.operators.streaming_queries import (
+        build_click_purchase_join,
     )
-    purchases = (
-        stream_events(spark, sf_dir, 2, tag="jsr2")
-        .where(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-    )
-    joined = clicks.join(
-        purchases,
-        F.expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 6 HOURS"),
-    )
+
+    joined = build_click_purchase_join(spark, sf_dir, ("jsr1", "jsr2"))
     q = (
         joined.writeStream.format("memory")
         .queryName("mem_jsr")
