@@ -343,3 +343,60 @@ def q44b_state_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q67 — incremental aggregate maintenance: yesterday's aggregate + today's
+# delta merged WITHOUT touching history — the only viable refresh strategy
+# when history is 100 TB. Every aggregate is mergeable (counts add, decimal
+# sums add exactly, maxes combine); the decimal sums stay DECIMAL through
+# the merge and cast to DOUBLE once at the end, so the merged result is
+# bit-identical to the full recompute the oracle performs.
+# ---------------------------------------------------------------------------
+
+_INCR_CUTOFF = "2024-01-25 00:00:00"
+
+
+@register(
+    "q67_incremental_agg",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           max(ts) AS max_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q67_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge a historical per-user aggregate with a fresh delta aggregate
+    and match the full recompute exactly.
+
+    Scale shape: the base aggregate is computed once and materialized (here
+    recomputed from the pre-cutoff slice to stay self-contained); each
+    refresh aggregates ONLY the delta slice and merges k-row summaries —
+    one scan of new data, zero scans of history. Merge rules: counts add,
+    DECIMAL sums add (exact, order-free), maxes take greatest; the single
+    double cast happens after the merge.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_INCR_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+            F.max("ts").alias("m"),
+        )
+
+    base = partial(ev.where(F.col("ts") < cutoff))
+    delta = partial(ev.where(F.col("ts") >= cutoff))
+    return (
+        base.unionAll(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.expr("CAST(SUM(s) AS DOUBLE)").alias("sum_value"),
+            F.max("m").alias("max_ts"),
+        )
+    )
