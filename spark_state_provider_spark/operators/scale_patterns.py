@@ -9,6 +9,8 @@ the plain aggregate — so the oracle checks it.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -98,4 +100,59 @@ def q36_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= SAMPLE_PER_STRATUM)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q68 — bucketed co-located join as a contract query (the plan property is
+# separately pinned by tests/test_scale_patterns.py): both fact tables are
+# written bucketed+sorted on the join key, so the repeated join runs with
+# no Exchange on either side — the layout decision that turns a 100 TB
+# hourly join from shuffle-bound to scan-bound.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q68_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q68_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join two pre-bucketed tables (8 buckets on the order key) and
+    aggregate — the exchange-free repeated-join pattern, surfaced in the
+    driver contract. Tables are (re)written once per session/sf."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    to_name, tl_name = f"ssps_q68_orders_{tag}", f"ssps_q68_lineitem_{tag}"
+    if not spark.catalog.tableExists(to_name):
+        (
+            load_table(spark, sf_dir, "orders")
+            .write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(to_name)
+        )
+    if not spark.catalog.tableExists(tl_name):
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(tl_name)
+        )
+    o = spark.table(to_name)
+    li = spark.table(tl_name)
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").alias(
+                "sum_qty"
+            ),
+        )
     )

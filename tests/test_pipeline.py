@@ -133,3 +133,33 @@ def test_tfidf_topk_per_source(spark, sf_dir):
         # scores are the exact rational tf*N/df — verify one row's identity
         scores = sorted((x["score"] for x in rs), reverse=True)
         assert scores == [x["score"] for x in sorted(rs, key=lambda x: (-x["score"], x["term"]))]
+
+
+def test_fingerprint_detects_single_row_change(spark, sf_dir):
+    """The migration-audit fingerprint must move if ANY row changes —
+    xor of per-row hashes flips when exactly one row's content mutates."""
+    from spark_state_provider_spark.operators import registry
+
+    base = {
+        r["tbl"]: (r["n_rows"], r["fp"])
+        for r in registry.get("q59_table_fingerprint").fn(spark, sf_dir).collect()
+    }
+    # recompute documents' fingerprint with one row's text perturbed
+    from pyspark.sql import functions as F
+
+    from spark_state_provider_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") == 0, F.concat(F.col("text"), F.lit("X"))).otherwise(
+            F.col("text")
+        ),
+    )
+    canon = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in ["doc_id", "text", "lang", "source"]]
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+    mutated = d.select(h.alias("h")).agg(F.expr("bit_xor(h)").alias("fp")).collect()[0][
+        "fp"
+    ]
+    assert mutated != base["documents"][1]
