@@ -126,7 +126,13 @@ def q68_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join two pre-bucketed tables (8 buckets on the order key) and
     aggregate — the exchange-free repeated-join pattern, surfaced in the
     driver contract. Tables are (re)written once per session/sf."""
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    # pid-scoped names: the warehouse DIRECTORY outlives the in-memory
+    # catalog, so a fresh session reusing a plain name would hit
+    # LOCATION_ALREADY_EXISTS on its first write
+    tag = (
+        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+        + f"_{os.getpid()}"
+    )
     to_name, tl_name = f"ssps_q68_orders_{tag}", f"ssps_q68_lineitem_{tag}"
     if not spark.catalog.tableExists(to_name):
         (
