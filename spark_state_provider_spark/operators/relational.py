@@ -2358,3 +2358,72 @@ def q63e_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q69 — exact-arithmetic Pearson correlation. Naive corr() accumulates
+# doubles in shuffle order (non-deterministic across engines AND across
+# runs); here every moment (Σx, Σy, Σxy, Σx², Σy², n) is summed EXACTLY as
+# integer cents in DECIMAL(38,0), and the final r is one fixed-order double
+# expression — deterministic, mergeable (combinable map-side), and
+# oracle-identical. The same trick as q18b's exact variance, extended to
+# the cross-moment.
+# ---------------------------------------------------------------------------
+
+_CORR_MOMENTS = (
+    "CAST(count(*) AS DOUBLE) AS n, "
+    "CAST(SUM(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) AS sx, "
+    "CAST(SUM(CAST(yc AS DECIMAL(38,0))) AS DOUBLE) AS sy, "
+    "CAST(SUM(CAST(xc AS DECIMAL(38,0)) * CAST(yc AS DECIMAL(38,0))) AS DOUBLE) AS sxy, "
+    "CAST(SUM(CAST(xc AS DECIMAL(38,0)) * CAST(xc AS DECIMAL(38,0))) AS DOUBLE) AS sxx, "
+    "CAST(SUM(CAST(yc AS DECIMAL(38,0)) * CAST(yc AS DECIMAL(38,0))) AS DOUBLE) AS syy"
+)
+_CORR_R = (
+    "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+)
+
+
+@register(
+    "q69_correlation",
+    oracle=f"""
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(round(l_quantity * 100) AS BIGINT) AS xc,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+        FROM lineitem
+    ),
+    m AS (SELECT l_returnflag, {_CORR_MOMENTS} FROM c GROUP BY l_returnflag)
+    SELECT l_returnflag, {_CORR_R} AS corr_qty_price FROM m
+    """,
+)
+def q69_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return flag,
+    computed from exact integer-cent moments.
+
+    Scale notes: the five moments partial-aggregate map-side (unlike a
+    naive two-pass mean-centered formulation, this is ONE pass), DECIMAL
+    sums are shuffle-order-independent, and the only floating point is the
+    final closed-form expression — so the result is reproducible at any
+    parallelism. Exactly the mergeable-moments pattern that also powers
+    q67's incremental refresh.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("xc"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("yc"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.expr("CAST(count(*) AS DOUBLE)").alias("n"),
+        F.expr("CAST(SUM(CAST(xc AS DECIMAL(38,0))) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(SUM(CAST(yc AS DECIMAL(38,0))) AS DOUBLE)").alias("sy"),
+        F.expr(
+            "CAST(SUM(CAST(xc AS DECIMAL(38,0)) * CAST(yc AS DECIMAL(38,0))) AS DOUBLE)"
+        ).alias("sxy"),
+        F.expr(
+            "CAST(SUM(CAST(xc AS DECIMAL(38,0)) * CAST(xc AS DECIMAL(38,0))) AS DOUBLE)"
+        ).alias("sxx"),
+        F.expr(
+            "CAST(SUM(CAST(yc AS DECIMAL(38,0)) * CAST(yc AS DECIMAL(38,0))) AS DOUBLE)"
+        ).alias("syy"),
+    )
+    return m.select("l_returnflag", F.expr(_CORR_R).alias("corr_qty_price"))
