@@ -70,7 +70,14 @@ HEADLINE = [
     "q61_event_transitions",
     "q63_tpch_q1",
     "q63b_tpch_q8",
+    "q63c_tpch_q9",
+    "q63d_tpch_q19",
     "q63e_tpch_q21",
+    "q62_cohort_retention",
+    "q64_table_profile",
+    "q65_schema_evolution",
+    "q67_incremental_agg",
+    "q69_correlation",
 ]
 
 
