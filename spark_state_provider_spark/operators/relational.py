@@ -2427,3 +2427,96 @@ def q69_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("syy"),
     )
     return m.select("l_returnflag", F.expr(_CORR_R).alias("corr_qty_price"))
+
+
+# ---------------------------------------------------------------------------
+# q70 — bounded per-group array aggregation: the "top items per segment as
+# a list" shape (recommendation feeds, summary tables). The list is sorted
+# and SLICED inside the aggregate projection, so the output payload per
+# group is bounded regardless of group size.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q70_grouped_topk_array",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           (list(c_custkey ORDER BY c_acctbal DESC, c_custkey))[1:5]
+               AS top5_by_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q70_grouped_topk_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment top-5 customers by balance, materialized as an array.
+
+    Scale note: the slice happens in the aggregate's projection so only 5
+    ids per group survive; at 100 TB you'd pre-reduce with a
+    WindowGroupLimit (rank ≤ 5 per segment, as q12) before collecting —
+    same result, partial top-k per partition — but the collect-sort-slice
+    form shown here is the one users write and must be supported.
+    """
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_custs"),
+        F.slice(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("c_acctbal")).alias("neg_bal"),
+                            F.col("c_custkey").alias("k"),
+                        )
+                    )
+                ),
+                lambda s: s["k"],
+            ),
+            1,
+            5,
+        ).alias("top5_by_balance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q71 — null-safe join semantics (<=> / IS NOT DISTINCT FROM): NULL keys
+# match each other under the null-safe operator and never match under
+# plain equality — the semantic corner every engine migration trips on.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q71_null_safe_join",
+    oracle="""
+    WITH l AS (
+        SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pk
+        FROM orders
+    ),
+    r AS (
+        SELECT DISTINCT nullif(o_orderpriority, '1-URGENT') AS pk FROM orders
+    )
+    SELECT
+        CAST((SELECT count(*) FROM l JOIN r ON l.pk = r.pk) AS BIGINT)
+            AS n_plain,
+        CAST((SELECT count(*) FROM l JOIN r ON l.pk IS NOT DISTINCT FROM r.pk)
+            AS BIGINT) AS n_null_safe,
+        CAST((SELECT count(*) FROM l WHERE pk IS NULL) AS BIGINT) AS n_null_keys
+    """,
+)
+def q71_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts under plain vs null-safe (`eqNullSafe`) join on a key with
+    injected NULLs: the null-safe join matches the NULL group, the plain
+    join drops it, and the difference equals the NULL-key row count."""
+    o = _t(spark, sf_dir, "orders")
+    l = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pk"),
+    )
+    r = l.select(F.col("pk").alias("rpk")).distinct()
+    n_plain = l.join(r, F.col("pk") == F.col("rpk")).count()
+    n_safe = l.join(r, F.col("pk").eqNullSafe(F.col("rpk"))).count()
+    n_null = l.where(F.col("pk").isNull()).count()
+    return spark.createDataFrame(
+        [(n_plain, n_safe, n_null)],
+        schema="n_plain bigint, n_null_safe bigint, n_null_keys bigint",
+    )
