@@ -553,37 +553,61 @@ _FP_TABLES = {
 }
 
 
+# 2^48 — the row-hash domain; the wraparound-sum fingerprint is taken mod
+# this so Spark (DECIMAL sum) and DuckDB (HUGEINT sum) agree exactly.
+_FP_MOD = 1 << 48
+
+
 def _fp_oracle() -> str:
     parts = []
     for tbl, cols in _FP_TABLES.items():
-        canon = ", ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        # NULL sentinel chr(1): concat_ws silently skips NULLs, which would
+        # canonicalize (a,NULL,b) and (a,b,NULL) identically
+        canon = ", ".join(f"coalesce(CAST({c} AS VARCHAR), chr(1))" for c in cols)
         parts.append(
             f"SELECT '{tbl}' AS tbl, CAST(count(*) AS BIGINT) AS n_rows, "
-            f"bit_xor(('0x' || substr(md5(concat_ws('|', {canon})), 1, 12))::BIGINT) "
-            f"AS fp FROM {tbl}"
+            f"bit_xor(h) AS fp, "
+            f"CAST(sum(h) % {_FP_MOD} AS BIGINT) AS fp_sum "
+            f"FROM (SELECT ('0x' || substr(md5(concat_ws('|', {canon})), 1, 12))::BIGINT"
+            f" AS h FROM {tbl})"
         )
     return " UNION ALL ".join(parts)
 
 
 @register("q59_table_fingerprint", oracle=_fp_oracle())
 def q59_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprint (row count + xor of 48-bit row hashes) for
-    {len(_FP_TABLES)} tables.
+    """Content fingerprint (row count + xor AND wraparound-sum of 48-bit
+    row hashes) for {len(_FP_TABLES)} tables.
 
-    Scale shape: narrow hash map + ONE combinable aggregate per table (xor
-    partial-aggregates map-side; the shuffle carries one row per
+    NULLs are encoded with a chr(1) sentinel before concat_ws (which skips
+    NULLs, so (a,NULL,b) and (a,b,NULL) would otherwise collide), and the
+    sum fingerprint is multiplicity-sensitive where xor cancels any row
+    with even multiplicity — together they close both documented
+    false-negative classes of the xor-only form. The sum accumulates as
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) then reduces mod 2^48, so
+    both engines agree without int64 wraparound ambiguity.
+
+    Scale shape: narrow hash map + combinable aggregates per table (xor and
+    sum both partial-aggregate map-side; the shuffle carries one row per
     partition) — certifying a 100 TB copy costs a single scan per side,
     no sort, no join.
     """
     out = None
     for tbl, cols in _FP_TABLES.items():
         d = load_table(spark, sf_dir, tbl)
-        canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        canon = F.concat_ws(
+            "|",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in cols],
+        )
         h = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
         agg = d.select(h.alias("h")).agg(
-            F.count("*").alias("n_rows"), F.expr("bit_xor(h)").alias("fp")
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(h)").alias("fp"),
+            F.expr(
+                f"CAST(sum(CAST(h AS DECIMAL(38,0))) % {_FP_MOD} AS BIGINT)"
+            ).alias("fp_sum"),
         )
-        row = agg.select(F.lit(tbl).alias("tbl"), "n_rows", "fp")
+        row = agg.select(F.lit(tbl).alias("tbl"), "n_rows", "fp", "fp_sum")
         out = row if out is None else out.unionAll(row)
     return out
 

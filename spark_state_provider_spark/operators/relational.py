@@ -492,16 +492,42 @@ def q10c_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q10b_approx_distinct", oracle=None)  # HLL sketches differ per engine
+@register(
+    "q10b_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_within_3rsd
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q10b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB-scale path.
 
-    No DuckDB oracle (sketch implementations differ); tests assert the
-    estimate is within rsd bounds of the exact count.
+    Sketch binaries differ per engine, so the hash-checkable verdict pattern
+    is used: the query computes BOTH the HLL++ estimate and the exact
+    distinct count and emits ``(group, exact, within_bounds)``; the DuckDB
+    oracle computes the same exact count with a literal ``TRUE``. The exact
+    side exists only as the verification harness — at 100 TB you keep just
+    the ``approx_count_distinct`` branch (map-side mergeable sketch, no
+    expand shuffle).
     """
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                <= 3 * 0.02 * F.col("exact_parts")
+            ).alias("approx_within_3rsd"),
+        )
     )
 
 
@@ -1445,24 +1471,62 @@ def q27c_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q10d_hll_sketch", oracle=None)  # sketch binary is engine-specific
+@register(
+    "q10d_hll_sketch",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT '__all__' AS event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events
+    """,
+)
 def q10d_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL): per-type
     user cardinality plus a global row built by UNIONING the per-type
     sketches — the 100 TB primitive: partial sketches combine map-side and
     merge across partitions/days without re-scanning, unlike exact distinct.
-    Estimate accuracy vs exact countDistinct is bounds-tested in
-    tests/test_relational.py."""
+
+    Sketch binaries are engine-specific, so the hash-checkable verdict
+    pattern is used: each row carries the exact distinct count and a boolean
+    asserting the sketch estimate lands within 5% of it (the DuckDB oracle
+    emits the same exact counts with literal ``TRUE``). The exact side is
+    the verification harness only; the sketch branch is the scale path.
+    """
     e = _t(spark, sf_dir, "events")
     per_type = e.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
+
+    def verdict(est, exact):
+        return (F.abs(est - exact) <= 0.05 * exact).alias("approx_within_5pct")
+
     per_row = per_type.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+        "event_type",
+        "exact_users",
+        verdict(F.hll_sketch_estimate("sk"), F.col("exact_users")),
     )
-    total = per_type.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
-    ).select(F.lit("__all__").alias("event_type"), "approx_users")
+    # global row: union the per-type sketches (mergeability is the point);
+    # exact global distinct comes from a one-row broadcast-joined agg
+    total = (
+        per_type.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_approx")
+        )
+        .crossJoin(
+            F.broadcast(e.agg(F.countDistinct("user_id").alias("exact_users")))
+        )
+        .select(
+            F.lit("__all__").alias("event_type"),
+            "exact_users",
+            verdict(F.col("_approx"), F.col("exact_users")),
+        )
+    )
     return per_row.unionByName(total)
 
 
@@ -1622,17 +1686,57 @@ def q43_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q10e_approx_percentile", oracle=None)  # sketch-based, engine-specific
+@register(
+    "q10e_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.49) AS p50_lo,
+           quantile_cont(l_extendedprice, 0.51) AS p50_hi,
+           quantile_cont(l_extendedprice, 0.94) AS p95_lo,
+           quantile_cont(l_extendedprice, 0.96) AS p95_hi,
+           TRUE AS p50_in_bounds,
+           TRUE AS p95_in_bounds
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q10e_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch) — the mergeable quantile
     path for 100 TB where an exact percentile's full sort/collect is not
-    affordable. Accuracy 10000 bounds rank error at n/10000; tests assert
-    the estimates bracket the exact interpolated values from q10c."""
+    affordable. Accuracy 10000 bounds rank error at n/10000.
+
+    Hash-checkable verdict pattern (sketch values are engine-specific): the
+    query emits exact interpolated percentiles at 0.50±0.01 / 0.95±0.01 as
+    scalar doubles (Spark ``percentile`` == DuckDB ``quantile_cont``, proved
+    by q10c) plus booleans asserting the sketch estimates land inside those
+    brackets — far wider than the guaranteed n/10000 rank error, so a
+    contract-conforming sketch always passes. All output columns are
+    scalars (the round-1 array-typed output crashed the driver's pandas
+    canonicalizer: CORRECTNESS_r01.json q10e err)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr(
-            "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
-        ).alias("approx_p")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
+            ).alias("_ap"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.49, 0.51, 0.94, 0.96))"
+            ).alias("_ex"),
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("_ex", 1).alias("p50_lo"),
+            F.element_at("_ex", 2).alias("p50_hi"),
+            F.element_at("_ex", 3).alias("p95_lo"),
+            F.element_at("_ex", 4).alias("p95_hi"),
+            F.element_at("_ap", 1).between(
+                F.element_at("_ex", 1), F.element_at("_ex", 2)
+            ).alias("p50_in_bounds"),
+            F.element_at("_ap", 2).between(
+                F.element_at("_ex", 3), F.element_at("_ex", 4)
+            ).alias("p95_in_bounds"),
+        )
     )
 
 
@@ -2513,10 +2617,15 @@ def q71_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pk"),
     )
     r = l.select(F.col("pk").alias("rpk")).distinct()
-    n_plain = l.join(r, F.col("pk") == F.col("rpk")).count()
-    n_safe = l.join(r, F.col("pk").eqNullSafe(F.col("rpk"))).count()
-    n_null = l.where(F.col("pk").isNull()).count()
-    return spark.createDataFrame(
-        [(n_plain, n_safe, n_null)],
-        schema="n_plain bigint, n_null_safe bigint, n_null_keys bigint",
+    # one lazy plan (three 1-row aggs broadcast-combined), not three eager
+    # .count() jobs — constructing the df must not launch Spark jobs
+    n_plain = l.join(r, F.col("pk") == F.col("rpk")).agg(
+        F.count(F.lit(1)).alias("n_plain")
     )
+    n_safe = l.join(r, F.col("pk").eqNullSafe(F.col("rpk"))).agg(
+        F.count(F.lit(1)).alias("n_null_safe")
+    )
+    n_null = l.where(F.col("pk").isNull()).agg(
+        F.count(F.lit(1)).alias("n_null_keys")
+    )
+    return n_plain.crossJoin(F.broadcast(n_safe)).crossJoin(F.broadcast(n_null))

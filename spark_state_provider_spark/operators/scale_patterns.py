@@ -126,30 +126,33 @@ def q68_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join two pre-bucketed tables (8 buckets on the order key) and
     aggregate — the exchange-free repeated-join pattern, surfaced in the
     driver contract. Tables are (re)written once per session/sf."""
-    # pid-scoped names: the warehouse DIRECTORY outlives the in-memory
-    # catalog, so a fresh session reusing a plain name would hit
-    # LOCATION_ALREADY_EXISTS on its first write
-    tag = (
-        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-        + f"_{os.getpid()}"
-    )
+    # Deterministic names, rebuilt per process: the warehouse DIRECTORY
+    # outlives the in-memory catalog, so a fresh process must clear the
+    # stale location (DROP alone is a no-op when the catalog is empty)
+    # before saveAsTable — and reusing one name means repeated runs no
+    # longer accumulate table copies in spark-warehouse.
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     to_name, tl_name = f"ssps_q68_orders_{tag}", f"ssps_q68_lineitem_{tag}"
-    if not spark.catalog.tableExists(to_name):
+
+    def build(name: str, table: str, key: str) -> None:
+        if spark.catalog.tableExists(name):
+            return  # this session already built it for this sf
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(os.path.join(wh, name.lower()), ignore_errors=True)
         (
-            load_table(spark, sf_dir, "orders")
+            load_table(spark, sf_dir, table)
             .write.mode("overwrite")
-            .bucketBy(8, "o_orderkey")
-            .sortBy("o_orderkey")
-            .saveAsTable(to_name)
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
         )
-    if not spark.catalog.tableExists(tl_name):
-        (
-            load_table(spark, sf_dir, "lineitem")
-            .write.mode("overwrite")
-            .bucketBy(8, "l_orderkey")
-            .sortBy("l_orderkey")
-            .saveAsTable(tl_name)
-        )
+
+    build(to_name, "orders", "o_orderkey")
+    build(tl_name, "lineitem", "l_orderkey")
     o = spark.table(to_name)
     li = spark.table(tl_name)
     return (

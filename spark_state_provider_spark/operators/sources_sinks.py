@@ -348,11 +348,12 @@ def q66_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # availableNow drains only ONE prefetched slice of a simple stream
     # reader, so drive with a continuous trigger and stop once the sink
     # holds the whole range (complete mode ⇒ final state == batch result).
+    ckpt = _tf.mkdtemp(prefix="ssps_ckpt_q66_")
     q = (
         agg.writeStream.format("memory")
         .queryName("mem_q66")
         .outputMode("complete")
-        .option("checkpointLocation", _tf.mkdtemp(prefix="ssps_ckpt_q66_"))
+        .option("checkpointLocation", ckpt)
         .trigger(processingTime="0 seconds")
         .start()
     )
@@ -371,4 +372,8 @@ def q66_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TimeoutError("q66 stream did not drain the full range")
     finally:
         q.stop()
+        # ephemeral per-invocation checkpoint — remove, don't leak across runs
+        import shutil as _sh
+
+        _sh.rmtree(ckpt, ignore_errors=True)
     return spark.table("mem_q66")

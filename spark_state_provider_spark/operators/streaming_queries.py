@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from spark_state_provider_spark.operators.registry import register
 from spark_state_provider_spark.session import ROCKSDB_PROVIDER, STATE_STORE_PROVIDER_CONF
-from spark_state_provider_spark.streaming.harness import run_to_memory, run_upsert_collect
+from spark_state_provider_spark.streaming.harness import run_to_memory, run_upsert_table
 from spark_state_provider_spark.streaming.sources import stream_events
 from spark_state_provider_spark.streaming.stateful import user_statistics_stream
 
@@ -160,13 +160,7 @@ def q24s_stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _streaming_session(spark):
         ev = stream_events(spark, sf_dir, N_BATCHES, tag="us")
         out = user_statistics_stream(ev)
-        rows = run_upsert_collect(out, ["user_id"])
-        schema = (
-            "user_id bigint, total_visits bigint, first_event_id bigint, "
-            "last_event_id bigint, n_event_types bigint, first_ts timestamp, "
-            "last_ts timestamp"
-        )
-        return spark.createDataFrame(rows, schema=schema)
+        return run_upsert_table(out, ["user_id"])
 
 
 from spark_state_provider_spark.streaming.processor import HAS_TWS_DEPS
@@ -204,13 +198,7 @@ if HAS_TWS_DEPS:
         with _streaming_session(spark):
             ev = stream_events(spark, sf_dir, N_BATCHES, tag="tws")
             out = user_statistics_transform(ev)
-            rows = run_upsert_collect(out, ["user_id"])
-            schema = (
-                "user_id bigint, total_visits bigint, first_event_id bigint, "
-                "last_event_id bigint, n_event_types bigint, first_ts timestamp, "
-                "last_ts timestamp"
-            )
-            return spark.createDataFrame(rows, schema=schema)
+            return run_upsert_table(out, ["user_id"])
 
 
     @register(
@@ -241,13 +229,7 @@ if HAS_TWS_DEPS:
         with _streaming_session(spark):
             ev = stream_events(spark, sf_dir, N_BATCHES, tag="twsttl")
             out = user_statistics_transform(ev, ttl_ms=3600 * 1000)
-            rows = run_upsert_collect(out, ["user_id"])
-            schema = (
-                "user_id bigint, total_visits bigint, first_event_id bigint, "
-                "last_event_id bigint, n_event_types bigint, first_ts timestamp, "
-                "last_ts timestamp"
-            )
-            return spark.createDataFrame(rows, schema=schema)
+            return run_upsert_table(out, ["user_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -264,13 +246,7 @@ def q25s_stream_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _streaming_session(spark):
         ev = stream_events(spark, sf_dir, 4, tag="ttl")
         out = user_statistics_stream(ev, ttl_secs=3 * 24 * 3600)
-        rows = run_upsert_collect(out, ["user_id"])
-        schema = (
-            "user_id bigint, total_visits bigint, first_event_id bigint, "
-            "last_event_id bigint, n_event_types bigint, first_ts timestamp, "
-            "last_ts timestamp"
-        )
-        return spark.createDataFrame(rows, schema=schema)
+        return run_upsert_table(out, ["user_id"])
 
 
 # ---------------------------------------------------------------------------

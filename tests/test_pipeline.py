@@ -141,7 +141,7 @@ def test_fingerprint_detects_single_row_change(spark, sf_dir):
     from spark_state_provider_spark.operators import registry
 
     base = {
-        r["tbl"]: (r["n_rows"], r["fp"])
+        r["tbl"]: (r["n_rows"], r["fp"], r["fp_sum"])
         for r in registry.get("q59_table_fingerprint").fn(spark, sf_dir).collect()
     }
     # recompute documents' fingerprint with one row's text perturbed
@@ -156,10 +156,56 @@ def test_fingerprint_detects_single_row_change(spark, sf_dir):
         ),
     )
     canon = F.concat_ws(
-        "|", *[F.col(c).cast("string") for c in ["doc_id", "text", "lang", "source"]]
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x01"))
+            for c in ["doc_id", "text", "lang", "source"]
+        ],
     )
     h = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
-    mutated = d.select(h.alias("h")).agg(F.expr("bit_xor(h)").alias("fp")).collect()[0][
-        "fp"
-    ]
-    assert mutated != base["documents"][1]
+    mutated = (
+        d.select(h.alias("h"))
+        .agg(
+            F.expr("bit_xor(h)").alias("fp"),
+            F.expr(
+                "CAST(sum(CAST(h AS DECIMAL(38,0))) % 281474976710656 AS BIGINT)"
+            ).alias("fp_sum"),
+        )
+        .collect()[0]
+    )
+    assert mutated["fp"] != base["documents"][1]
+    assert mutated["fp_sum"] != base["documents"][2]
+
+
+def test_fingerprint_null_position_and_multiplicity(spark):
+    """The two xor-only false-negative classes are closed: NULL position
+    matters (sentinel encoding) and even-multiplicity rows register (sum
+    fingerprint), so equal-count tables with either difference disagree."""
+    from pyspark.sql import functions as F
+
+    def fps(rows):
+        df = spark.createDataFrame(rows, schema="a string, b string, c string")
+        canon = F.concat_ws(
+            "|",
+            *[F.coalesce(F.col(c), F.lit("\x01")) for c in ["a", "b", "c"]],
+        )
+        h = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+        return tuple(
+            df.select(h.alias("h"))
+            .agg(
+                F.expr("bit_xor(h)").alias("fp"),
+                F.expr(
+                    "CAST(sum(CAST(h AS DECIMAL(38,0))) % 281474976710656 AS BIGINT)"
+                ).alias("fp_sum"),
+            )
+            .collect()[0]
+        )
+
+    # NULL in different positions → different fingerprints (concat_ws alone
+    # would canonicalize both to "a|b")
+    assert fps([("a", None, "b")]) != fps([("a", "b", None)])
+    # a row with multiplicity 2 cancels under xor but not under the sum
+    double = fps([("x", "y", "z"), ("x", "y", "z"), ("p", "q", "r")])
+    single = fps([("p", "q", "r")])
+    assert double[0] == single[0]  # xor alone is blind to the pair...
+    assert double[1] != single[1]  # ...the sum fingerprint is not

