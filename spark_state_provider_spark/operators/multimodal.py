@@ -2,20 +2,24 @@
 
 Images / audio / video are opaque ``binary`` columns with typed metadata.
 The Spark-side plumbing — schema, partition-parallel ``mapInPandas``, Arrow
-batch shape, metadata extraction — is real and tested; the actual media
-*decode* is stubbed (``NotImplementedError`` behind ``strict=True``, a
-deterministic fake otherwise) because no image/audio libraries ship in this
-container. Swapping the fake for PIL/ffmpeg changes ONE function; every
-plan stays identical.
+batch shape, metadata extraction — is real and tested, and HEADER decode is
+real too: PNG / GIF / JPEG / BMP dimensions and format are parsed from the
+bytes with nothing but ``struct`` (no image library needed). Payloads that
+are not a recognized image format fall back to a deterministic fake
+(or raise under ``strict=True``) so the distributed plumbing stays fully
+exercisable on arbitrary blobs; PIXEL-level work (resize, color transforms)
+is the one remaining wiring point for PIL/ffmpeg, which this container
+doesn't ship.
 
-The demo payloads are the documents' UTF-8 bytes (a deterministic stand-in
-blob per row), which keeps the whole pipeline DuckDB-oracle-checkable:
-the fake "decode" derives metadata purely from byte length and a byte
-checksum, both computable in SQL.
+The q31/q31c demo payloads are the documents' UTF-8 bytes (a deterministic
+stand-in blob per row — not valid images, so they exercise the fallback
+path), which keeps those pipelines DuckDB-oracle-checkable; q31e builds
+REAL image headers and checks the parser against arithmetic predictions.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -31,21 +35,76 @@ DECODE_SCHEMA = (
 )
 
 
+def parse_image_header(b: bytes) -> tuple[int, int, str] | None:
+    """Parse (width, height, format) from real image container headers —
+    pure stdlib, no image library.
+
+    PNG: IHDR is always the first chunk, big-endian u32 dims at offset 16.
+    GIF: logical screen descriptor, little-endian u16 dims at offset 6.
+    JPEG: walk the segment chain to the first SOFn frame header (skipping
+    non-frame markers incl. DHT/JPG/DAC), big-endian u16 height then width.
+    BMP: BITMAPINFOHEADER little-endian i32 dims at offset 18 (height may
+    be negative for top-down rows).
+    Returns None if the payload is not a recognized container.
+    """
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return w, h, "png"
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return w, h, "gif"
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill bytes before a marker are legal
+                i += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # standalone
+                i += 2
+                continue
+            if i + 4 > len(b):
+                break
+            seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            is_sof = 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC)
+            if is_sof and i + 9 <= len(b):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return w, h, "jpeg"
+            i += 2 + seglen
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return w, abs(h), "bmp"
+    return None
+
+
 def decode_image_bytes(payload: bytes, strict: bool = False) -> dict:
     """Decode an image payload → (width, height, format).
 
-    STUB: real decoding needs an image library not present in this
-    container. ``strict=True`` raises (production wiring point); otherwise a
-    deterministic fake derived from the bytes themselves stands in so the
-    distributed plumbing is fully exercisable.
+    Recognized containers (PNG/GIF/JPEG/BMP) are decoded for REAL via
+    ``parse_image_header``. Unrecognized payloads raise under
+    ``strict=True``; otherwise a deterministic fake derived from the bytes
+    stands in, keeping the distributed plumbing exercisable on arbitrary
+    blobs.
     """
-    if strict:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv — not available in this "
-            "container; wire the real decoder here"
-        )
     n = len(payload)
     checksum = (payload[0] if n else 0) + (payload[-1] if n else 0) + n
+    parsed = parse_image_header(payload)
+    if parsed is not None:
+        w, h, fmt = parsed
+        return {
+            "n_bytes": n,
+            "checksum": checksum,
+            "width": w,
+            "height": h,
+            "format": fmt,
+        }
+    if strict:
+        raise ValueError(
+            "unrecognized image container (not PNG/GIF/JPEG/BMP); "
+            "pixel-level decoders (PIL/opencv) wire in here"
+        )
     return {
         "n_bytes": n,
         "checksum": checksum,
@@ -189,6 +248,194 @@ def q31c_multimodal_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return decode_metadata_arrow(d)
+
+
+# ---------------------------------------------------------------------------
+# q31e — REAL header decode: synthesize minimal valid PNG/GIF/JPEG
+# containers with known dimensions, push them through the same
+# mapInPandas decode path as q31, and check the parsed dimensions against
+# the oracle's arithmetic prediction. Encoder (struct.pack) and parser
+# (struct.unpack segment walk) are independent code paths, and the oracle
+# never sees the bytes — it predicts what the parser MUST recover.
+# ---------------------------------------------------------------------------
+
+
+def make_png(w: int, h: int) -> bytes:
+    """Minimal PNG: signature + IHDR chunk (CRC unchecked by the parser)."""
+    ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + b"\x00\x00\x00\x00"
+    )
+
+
+def make_gif(w: int, h: int) -> bytes:
+    """Minimal GIF89a logical screen descriptor + trailer."""
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00\x3b"
+
+
+def make_jpeg(w: int, h: int) -> bytes:
+    """Minimal JPEG: SOI, a COM segment (so the parser must WALK, not just
+    look at a fixed offset), SOF0 with one component, EOI."""
+    com = b"\xff\xfe" + struct.pack(">H", 7) + b"probe"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([1, 0x11, 0x11, 0x00])
+    )
+    return b"\xff\xd8" + com + sof0 + b"\xff\xd9"
+
+
+_IMG_MAKERS = (make_png, make_gif, make_jpeg)
+_IMG_FORMATS = ("png", "gif", "jpeg")
+
+
+@register(
+    "q31e_image_header_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 480 + 1 AS INTEGER) AS height,
+           CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg'
+           END AS format
+    FROM documents
+    """,
+)
+def q31e_image_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image-header decode over binary payloads: each doc gets a
+    synthesized PNG/GIF/JPEG container (dims derived from doc_id), and the
+    stdlib parser must recover width/height/format from the BYTES — the
+    oracle predicts the answer arithmetically without ever seeing them.
+
+    Scale shape: two chained narrow Arrow maps (synthesize, decode), no
+    shuffle; with real stored assets the synthesize stage disappears and
+    the decode stage is unchanged."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                _IMG_MAKERS[int(i) % 3](int(i) % 640 + 1, int(i) % 480 + 1)
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    blobs = d.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    return decode_metadata(blobs).select("doc_id", "width", "height", "format")
+
+
+# ---------------------------------------------------------------------------
+# q31f — audio metadata: REAL WAV (RIFF) header decode. Same shape as
+# q31e: synthesize a valid container, parse it back with stdlib struct,
+# oracle predicts the answer arithmetically.
+# ---------------------------------------------------------------------------
+
+
+def make_wav(sample_rate: int, n_channels: int, n_samples: int) -> bytes:
+    """Minimal PCM16 WAV: RIFF header + fmt chunk + (zeroed) data chunk."""
+    block_align = n_channels * 2
+    data_len = n_samples * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", data_len) + b"\x00" * min(data_len, 8)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+
+
+def parse_wav_header(b: bytes) -> dict | None:
+    """Parse (n_channels, sample_rate, bits, n_samples) from a RIFF/WAVE
+    header by walking chunks — stdlib only. The data chunk may be
+    truncated (header-only probe of a large object store blob); n_samples
+    comes from the declared chunk length, not the bytes present."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, fmt, data_len = 12, None, None
+    while i + 8 <= len(b):
+        cid, clen = b[i : i + 4], struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 8 + 16 <= len(b):
+            fmt = struct.unpack("<HHIIHH", b[i + 8 : i + 24])
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen & 1)
+        if fmt is not None and data_len is not None:
+            break
+    if fmt is None or data_len is None:
+        return None
+    _, n_channels, sample_rate, _, block_align, bits = fmt
+    return {
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "bits": bits,
+        "n_samples": data_len // max(block_align, 1),
+    }
+
+
+@register(
+    "q31f_audio_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END AS INTEGER) AS sample_rate,
+           CAST(doc_id % 2 + 1 AS INTEGER) AS n_channels,
+           CAST(doc_id % 1000 + 1 AS BIGINT) AS n_samples,
+           CAST(doc_id % 1000 + 1 AS DOUBLE)
+               / CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                 ELSE 44100 END AS duration_secs
+    FROM documents
+    """,
+)
+def q31f_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio-container decode: synthesize WAV headers (rate/channels/
+    length derived from doc_id), parse them back from the BYTES with the
+    stdlib RIFF chunk walk, emit per-asset audio metadata incl. duration.
+    The oracle predicts every field arithmetically without seeing a byte.
+
+    Scale shape: narrow Arrow map, no shuffle; the header-only probe reads
+    O(100) bytes per asset — the pattern for profiling a 100 TB audio lake
+    without touching sample data."""
+    rates = (8000, 16000, 44100)
+
+    def synth_and_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                wav = make_wav(rates[i % 3], i % 2 + 1, i % 1000 + 1)
+                meta = parse_wav_header(wav)
+                rows.append(
+                    (
+                        i,
+                        meta["sample_rate"],
+                        meta["n_channels"],
+                        meta["n_samples"],
+                        meta["n_samples"] / meta["sample_rate"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_secs",
+                ],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        synth_and_parse,
+        schema=(
+            "doc_id bigint, sample_rate int, n_channels int, "
+            "n_samples bigint, duration_secs double"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -82,6 +82,12 @@ def use_redis_state_store(
     wrong design at scale anyway. We record the requested connection settings
     under the reference's conf keys for observability and pin the native
     RocksDB store, which provides the same durable, versioned KV semantics.
+
+    The one capability that pinning loses — state OBSERVABLE from outside
+    the running query, the reason to reach for Redis — is provided
+    explicitly by ``streaming.state_export``: ``export_state_snapshot`` /
+    ``attach_state_export`` publish a keyed, partition-parallel external
+    copy of committed state that any KV loader can ingest.
     """
     builder = (
         builder.config("spark.sql.streaming.stateStore.redis.host", host)

@@ -85,6 +85,47 @@ def read_state_changes(
     return reader.load()
 
 
+def read_state_degraded(
+    spark: SparkSession,
+    checkpoint_location: str,
+    operator_id: int = 0,
+) -> tuple[DataFrame | None, int]:
+    """Read committed state, degrading past corrupt versions — the
+    reference's corruption-recovery walk (RocksDbStateStoreProvider.scala:
+    381-384: try snapshot versions descending, fall back to an older one,
+    then to an empty store; tested RocksDbStateStoreProviderSuite.scala:
+    90-117).
+
+    Spark's native store FAILS FAST on a corrupt/missing changelog (a
+    restart raises instead of silently degrading — the safer default); this
+    helper makes the reference's explicit degrade semantics available on
+    top: returns ``(state_df, batch_id)`` for the newest fully-readable
+    version, or ``(None, -1)`` when no version is readable (the reference's
+    empty-store terminal case). Each probe is one distributed read; only a
+    scalar count crosses the driver.
+    """
+    from pyspark.sql import functions as F
+
+    meta = (
+        state_metadata(spark, checkpoint_location)
+        .where(F.col("operatorId") == operator_id)
+        .agg(
+            F.min("minBatchId").alias("lo"), F.max("maxBatchId").alias("hi")
+        )
+        .collect()[0]
+    )
+    if meta["hi"] is None:
+        return None, -1
+    for b in range(int(meta["hi"]), int(meta["lo"]) - 1, -1):
+        try:
+            df = read_state(spark, checkpoint_location, operator_id, batch_id=b)
+            df.count()  # force every partition to replay its changelogs
+            return df, b
+        except Exception:
+            continue
+    return None, -1
+
+
 def read_join_state(
     spark: SparkSession,
     checkpoint_location: str,

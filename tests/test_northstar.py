@@ -99,9 +99,15 @@ def test_ann_lsh_recall_vs_brute(spark, sf_dir):
             assert r["sim"] == brute_sims[key]
 
 
-def test_multimodal_strict_stub_raises():
-    with pytest.raises(NotImplementedError, match="image decode"):
+def test_multimodal_strict_rejects_unrecognized():
+    # a junk payload (or a truncated magic) is refused under strict — real
+    # containers now decode for real (see test_image_header_parser_roundtrip)
+    with pytest.raises(ValueError, match="unrecognized image container"):
         decode_image_bytes(b"\x89PNG...", strict=True)
+    from spark_state_provider_spark.operators.multimodal import make_png
+
+    meta = decode_image_bytes(make_png(320, 200), strict=True)
+    assert (meta["width"], meta["height"], meta["format"]) == (320, 200, "png")
 
 
 def test_multimodal_fake_decode_deterministic():
@@ -171,6 +177,74 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
         members[lbl].append(doc)
     for lbl, docs in members.items():
         assert lbl == min(docs), (lbl, docs)
+
+
+def test_image_header_parser_roundtrip():
+    """Every synthesizer's output must decode to its own dimensions, and
+    junk/truncated payloads must be rejected (None), not misparsed."""
+    from spark_state_provider_spark.operators.multimodal import (
+        make_gif,
+        make_jpeg,
+        make_png,
+        parse_image_header,
+    )
+
+    for w, h in [(1, 1), (640, 480), (65535, 1), (12345, 6789)]:
+        if w <= 65535 and h <= 65535:
+            assert parse_image_header(make_gif(w, h)) == (w, h, "gif")
+            assert parse_image_header(make_jpeg(w, h)) == (w, h, "jpeg")
+        assert parse_image_header(make_png(w, h)) == (w, h, "png")
+    # PNG supports >u16 dims
+    assert parse_image_header(make_png(100000, 7)) == (100000, 7, "png")
+    # BMP, incl. negative (top-down) height
+    import struct as _s
+
+    bmp = b"BM" + b"\x00" * 16 + _s.pack("<ii", 33, -44) + b"\x00" * 4
+    assert parse_image_header(bmp) == (33, 44, "bmp")
+    # junk / truncation / text payloads
+    assert parse_image_header(b"hello world, not an image") is None
+    assert parse_image_header(make_png(5, 5)[:10]) is None
+    assert parse_image_header(b"") is None
+
+
+def test_wav_header_parser_roundtrip():
+    from spark_state_provider_spark.operators.multimodal import (
+        make_wav,
+        parse_wav_header,
+    )
+
+    m = parse_wav_header(make_wav(44100, 2, 12345))
+    assert m == {
+        "n_channels": 2,
+        "sample_rate": 44100,
+        "bits": 16,
+        "n_samples": 12345,
+    }
+    # header-only probe: data chunk truncated, declared length still parsed
+    full = make_wav(8000, 1, 500)
+    assert parse_wav_header(full[:44])["n_samples"] == 500
+    assert parse_wav_header(b"RIFFxxxxJUNK") is None
+    assert parse_wav_header(b"") is None
+
+
+def test_alternating_cc_deep_chain(spark):
+    """A 32-hop chain converges in O(log n) large/small-star rounds — the
+    deep-graph case where one-label-hop-per-round propagation would need a
+    Spark job per hop."""
+    from spark_state_provider_spark.operators.dedup import (
+        alternating_connected_components,
+    )
+
+    n = 33
+    chain = [(i, i + 1) for i in range(n - 1)]
+    other = [(100, 101), (101, 102)]  # second component, 2 hops
+    edges = spark.createDataFrame(chain + other, schema="u long, v long")
+    labels, rounds = alternating_connected_components(edges)
+    got = {r["u"]: r["v"] for r in labels.collect()}
+    want = {i: 0 for i in range(n)}
+    want.update({100: 100, 101: 100, 102: 100})
+    assert got == want
+    assert rounds <= 8, f"expected O(log n) rounds, took {rounds}"
 
 
 def test_multimodal_arrow_equals_pandas_path(spark, sf_dir):
