@@ -207,3 +207,27 @@ def test_q63e_q21_single_lineitem_shuffle(spark, sf_dir):
     plan = plan_string(_df(spark, sf_dir, "q63e_tpch_q21"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q31e_image_header_decode", "q31f_audio_meta"]
+)
+def test_multimodal_decode_is_shuffle_free(spark, sf_dir, name):
+    """Media decode must stay a narrow Arrow map over the scan — any
+    Exchange means per-asset work got coupled across partitions."""
+    plan = plan_string(_df(spark, sf_dir, name))
+    assert "Exchange" not in plan, name
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, name
+
+
+def test_q10_sketch_trio_partial_aggregates(spark, sf_dir):
+    """The sketch queries' whole point is map-side mergeable partials —
+    every one must partial-aggregate before its single shuffle."""
+    for name in (
+        "q10b_approx_distinct",
+        "q10d_hll_sketch",
+        "q10e_approx_percentile",
+    ):
+        plan = plan_string(_df(spark, sf_dir, name))
+        assert "partial" in plan.lower(), name
+        assert "CartesianProduct" not in plan, name
