@@ -1,0 +1,64 @@
+"""Driver correctness-window rotation: the contract surface must put this
+round's priority set first, map verified queries behind the window, and —
+critically — SELF-ROTATE when a future round's CORRECTNESS file lands."""
+
+from __future__ import annotations
+
+import json
+
+import __spark_entry__ as entry
+from spark_state_provider_spark.operators import registry
+
+CAP = entry._WINDOW_CAP
+
+
+def test_current_window_is_priority_and_ordered():
+    qs = list(entry.queries().keys())
+    oracles = entry.oracle_sql()
+    assert qs == sorted(qs), "iteration order must equal sorted order"
+    first = qs[:CAP]
+    assert all(not n.startswith(("y_", "z")) for n in first)
+    # every windowed name must carry a hard hash-checkable oracle
+    assert all(n in oracles for n in first)
+    # prefixed names resolve back to registered canonical queries
+    for n in qs:
+        canon = entry._PREFIX_RE.sub("", n)
+        registry.get(canon)
+
+
+def test_rotation_advances_after_a_round_lands(tmp_path):
+    """Simulate the driver committing CORRECTNESS_r98.json with greens for
+    the current window: the next import must rotate them to z98_ and pull
+    the longest-waiting pending names into the freed slots."""
+    tiers_now = entry._compute_tiers(str(tmp_path))
+    window_now = [n for n, d in tiers_now.items() if n == d]
+    assert len(window_now) == CAP
+
+    # driver writes green rows for exactly the current window
+    fake = {
+        n: {"rows_match": True, "schema_match": True, "hash_match": True,
+            "spark_rows": 1, "oracle_rows": 1, "err": None}
+        for n in window_now
+    }
+    (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps(fake))
+
+    tiers_next = entry._compute_tiers(str(tmp_path))
+    window_next = [n for n, d in tiers_next.items() if n == d]
+    # all previously-windowed names rotated behind
+    for n in window_now:
+        assert tiers_next[n] == f"z98_{n}"
+    # freed slots filled with other pending names, oracle-bearing first
+    oracles = registry.all_oracles()
+    assert window_next, "window must refill"
+    assert not set(window_next) & set(window_now)
+    with_oracle = [n for n in window_next if n in oracles]
+    assert len(with_oracle) >= min(len(window_next), 1)
+    # a rows-only-served oracle-less query becomes terminal z0_ once served
+    fake2 = dict(fake)
+    fake2["q22s_stream_session_window"] = {
+        "rows_match": None, "schema_match": None, "hash_match": None,
+        "spark_rows": 5, "oracle_rows": None, "err": "no_oracle",
+    }
+    (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps(fake2))
+    tiers3 = entry._compute_tiers(str(tmp_path))
+    assert tiers3["q22s_stream_session_window"] == "z0_q22s_stream_session_window"
