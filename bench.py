@@ -78,6 +78,17 @@ HEADLINE = [
     "q65_schema_evolution",
     "q67_incremental_agg",
     "q69_correlation",
+    # TPC-H partsupp family (tpch_suite.py) — with these the full
+    # 22-shape catalog is benched
+    "q73_tpch_q2",
+    "q73b_tpch_q11",
+    "q73c_tpch_q16",
+    "q73d_tpch_q20",
+    "q73e_tpch_q22",
+    # graph + scale patterns (round 2)
+    "q74_pagerank",
+    "q75_heavy_hitters",
+    "q76_dynamic_partition_pruning",
 ]
 
 

@@ -14,6 +14,7 @@ def load_all() -> None:
     from spark_state_provider_spark.operators import (  # noqa: F401
         relational,
         dedup,
+        graph,
         similarity,
         text,
         multimodal,
@@ -23,4 +24,5 @@ def load_all() -> None:
         stateful_batch,
         streaming_queries,
         timeseries,
+        tpch_suite,
     )

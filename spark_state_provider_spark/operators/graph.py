@@ -1,0 +1,123 @@
+"""Graph operators over the order bipartite graph (customer ⟷ supplier).
+
+The reference's state-store engine is the substrate for iterative
+Spark jobs (its end-to-end tests drive mapGroupsWithState folds over a
+user graph of events); the batch-graph analogs a migrating user runs —
+connected components (``dedup.py:q28e``, large-star/small-star) and
+PageRank (here) — must come with the same correctness story as every
+relational op.
+
+PageRank is the canonical "iterative = driver loop of Spark jobs"
+algorithm: one shuffle join + one aggregation per iteration (exactly
+Pregel's superstep), with the rank vector re-used across iterations.
+Floating-point PageRank is NOT cross-engine reproducible (the per-target
+contribution sum is shuffle-order-dependent), so this implementation
+runs in scaled-integer arithmetic: ranks are integers (SCALE = 1e6),
+per-edge contribution is ``rank DIV out_degree`` (integer division,
+deterministic), and the damping update is ``(15*SCALE + 85*contrib) DIV
+100`` — every operation exact and associative, so Spark and DuckDB agree
+bit-for-bit at any parallelism. The integer truncation error (≤1e-6 per
+edge per iteration) is far below any ranking-relevant signal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_state_provider_spark.operators.registry import register
+from spark_state_provider_spark.tables import load_table
+
+_SCALE = 1_000_000
+_ITERS = 2  # fixed so the SQL oracle can unroll the same two supersteps
+
+_PAGERANK_ORACLE = f"""
+WITH pairs AS (
+    SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+edges AS (
+    SELECT 'C' || c AS src, 'S' || s AS dst FROM pairs
+    UNION ALL
+    SELECT 'S' || s AS src, 'C' || c AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+r0 AS (SELECT id, CAST({_SCALE} AS BIGINT) AS rank FROM nodes),
+c1 AS (
+    SELECT e.dst AS id, sum(r.rank // g.d) AS contrib
+    FROM edges e JOIN r0 r ON e.src = r.id JOIN deg g ON g.src = e.src
+    GROUP BY e.dst),
+r1 AS (
+    SELECT n.id,
+           CAST((15 * {_SCALE} + 85 * coalesce(c1.contrib, 0)) // 100
+                AS BIGINT) AS rank
+    FROM nodes n LEFT JOIN c1 ON n.id = c1.id),
+c2 AS (
+    SELECT e.dst AS id, sum(r.rank // g.d) AS contrib
+    FROM edges e JOIN r1 r ON e.src = r.id JOIN deg g ON g.src = e.src
+    GROUP BY e.dst),
+r2 AS (
+    SELECT n.id,
+           CAST((15 * {_SCALE} + 85 * coalesce(c2.contrib, 0)) // 100
+                AS BIGINT) AS rank
+    FROM nodes n LEFT JOIN c2 ON n.id = c2.id)
+SELECT id AS node_id, rank AS rank_scaled FROM r2
+"""
+
+
+@register("q74_pagerank", oracle=_PAGERANK_ORACLE)
+def q74_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (2 supersteps, damping 0.85) over the
+    bidirectional customer⟷supplier graph derived from orders⋈lineitem.
+
+    Scale shape per superstep: edges join the rank vector on src (both
+    sides hash-partitioned on the same key — at 100 TB you'd pre-partition
+    edges once and every superstep reuses that exchange), aggregate
+    contributions by dst (map-side partial sums of exact integers), and a
+    left join back to the node list restores dangling/teleport-only
+    nodes. The driver loop holds only DataFrame handles, never data — the
+    rank vector itself stays distributed. Iteration count is the
+    convergence budget: for ranking-quality use, ~10-20 supersteps; here
+    2, matching the unrolled SQL oracle superstep-for-superstep.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    cnode = F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
+    snode = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    edges = (
+        pairs.select(cnode.alias("src"), snode.alias("dst"))
+        .unionAll(pairs.select(snode.alias("src"), cnode.alias("dst")))
+    )
+    # The edge set and node list are loop invariants — persist them so each
+    # superstep reuses the materialized partitions instead of re-deriving
+    # the distinct-pairs shuffle (at 100 TB: persist to MEMORY_AND_DISK or
+    # checkpoint; same principle).
+    nodes = edges.select(F.col("src").alias("id")).distinct().persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    edges_deg = edges.join(deg, "src").persist()
+
+    ranks = nodes.select("id", F.lit(_SCALE).cast("long").alias("rank"))
+    for _ in range(_ITERS):
+        contrib = (
+            edges_deg.join(ranks, edges_deg.src == ranks.id)
+            .select(
+                F.col("dst").alias("cid"),
+                F.expr("rank DIV d").alias("share"),
+            )
+            .groupBy("cid")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = nodes.join(contrib, nodes.id == contrib.cid, "left_outer").select(
+            "id",
+            F.expr(
+                f"CAST((15 * {_SCALE} + 85 * coalesce(contrib, 0)) DIV 100"
+                " AS BIGINT)"
+            ).alias("rank"),
+        )
+    return ranks.select(
+        F.col("id").alias("node_id"), F.col("rank").alias("rank_scaled")
+    )

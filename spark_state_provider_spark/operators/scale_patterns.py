@@ -165,3 +165,153 @@ def q68_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q75 — heavy-hitter detection: the hot-key detector that FEEDS the q32
+# salting decision. At 100 TB you cannot groupBy the full key space just to
+# learn which keys are hot; the scale answer is a bounded-memory sketch per
+# partition (Misra-Gries summary: k counters, uniform-decrement on
+# overflow) whose union provably contains every key above the frequency
+# threshold, followed by an EXACT recount of only that candidate set. The
+# final output is therefore exactly equal to the naive full groupBy — the
+# sketch only bounds the candidate-generation memory, never the answer.
+# ---------------------------------------------------------------------------
+
+_HH_K = 1500  # report keys with count > total/_HH_K
+_MG_COUNTERS = 4096  # per-partition MG counters; must be >= _HH_K for the
+# retention guarantee (MG undercount <= n_p/(counters+1) < n_p/_HH_K)
+
+
+def _mg_candidates(batches):
+    """Per-partition Misra-Gries summary over l_partkey (pandas batches).
+
+    Batch variant: merge each Arrow batch's value_counts into the running
+    counter Series; when counters exceed the budget, subtract the
+    (k+1)-largest count from everything and drop non-positives. Total
+    subtracted mass per element <= n_p/(k+1), so any key with partition
+    count above that survives — the classic MG guarantee.
+    """
+    import pandas as pd
+
+    s = None
+    for pdf in batches:
+        vc = pdf["l_partkey"].value_counts()
+        s = vc if s is None else s.add(vc, fill_value=0)
+        if len(s) > _MG_COUNTERS:
+            cut = s.nlargest(_MG_COUNTERS + 1).iloc[-1]
+            s = s[s > cut] - cut
+    if s is None or len(s) == 0:
+        yield pd.DataFrame({"l_partkey": pd.Series([], dtype="int64")})
+    else:
+        yield pd.DataFrame({"l_partkey": s.index.astype("int64")})
+
+
+@register(
+    "q75_heavy_hitters",
+    oracle=f"""
+    WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem)
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM lineitem, tot
+    GROUP BY l_partkey, tot.n
+    HAVING count(*) * {_HH_K} > tot.n
+    """,
+)
+def q75_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (keys with > 1/{_HH_K} of all lineitem rows)
+    via per-partition Misra-Gries candidates + exact recount.
+
+    Scale shape: candidate generation is one narrow Arrow-batched pass
+    with O(counters) memory per partition and emits at most `counters`
+    keys per partition — no shuffle of the full key space. The recount
+    semi-joins the (tiny, broadcast) candidate set into the scan and
+    aggregates only surviving rows; the total-row threshold rides a
+    one-row broadcast. The oracle is the NAIVE full groupBy — the results
+    are exactly equal; only the memory/shuffle profile differs.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    total = li.agg(F.count("*").alias("n"))
+    cand = li.mapInPandas(_mg_candidates, schema="l_partkey long").distinct()
+    return (
+        li.join(F.broadcast(cand), "l_partkey", "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_occurrences"))
+        .join(F.broadcast(total), F.col("n_occurrences") * _HH_K > F.col("n"))
+        .select("l_partkey", "n_occurrences")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q76 — dynamic partition pruning: the partition-layout twin of q68's
+# bucketing. A fact table partitioned on a join key is only half the win —
+# the other half is the runtime skipping Spark injects when the dim side's
+# filter arrives only at execution time (DPP: the broadcast dim's key set
+# becomes a partition filter on the fact scan). At 100 TB this is the
+# difference between scanning 5/5 and 2/5 of the table.
+# ---------------------------------------------------------------------------
+
+_EVENT_CATEGORIES = [
+    ("view", "traffic"),
+    ("click", "conversion"),
+    ("purchase", "conversion"),
+    ("signup", "growth"),
+    ("error", "ops"),
+]
+
+
+@register(
+    "q76_dynamic_partition_pruning",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    JOIN (VALUES ('view','traffic'), ('click','conversion'),
+                 ('purchase','conversion'), ('signup','growth'),
+                 ('error','ops')) AS dim(event_type, category)
+      USING (event_type)
+    WHERE category = 'conversion'
+    GROUP BY event_type
+    """,
+)
+def q76_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over an event_type-partitioned copy of events, joined to
+    a category dim filtered at runtime — Spark injects a dynamic partition
+    filter (reusing the dim broadcast) so only the matching partition
+    directories are scanned.
+
+    The partitioned copy is written once per process/sf (q68's
+    deterministic-name + stale-location-clear pattern). The plan gate
+    asserts ``dynamicpruningexpression`` on the fact scan — without DPP
+    this query silently degrades to a full scan, which is exactly the
+    regression the test exists to catch.
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    name = f"ssps_q76_events_{tag}"
+    if not spark.catalog.tableExists(name):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(os.path.join(wh, name.lower()), ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "events")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .saveAsTable(name)
+        )
+    ev = spark.table(name)
+    dim = spark.createDataFrame(
+        _EVENT_CATEGORIES, "event_type string, category string"
+    )
+    return (
+        ev.join(F.broadcast(dim), "event_type")
+        .where(F.col("category") == "conversion")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("sum_value"),
+        )
+    )

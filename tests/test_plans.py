@@ -231,3 +231,54 @@ def test_q10_sketch_trio_partial_aggregates(spark, sf_dir):
         plan = plan_string(_df(spark, sf_dir, name))
         assert "partial" in plan.lower(), name
         assert "CartesianProduct" not in plan, name
+
+
+def test_q73_q2_correlated_min_no_cartesian(spark, sf_dir):
+    """Q2's correlated min decorrelates to a window over the derived-pair
+    aggregate — every dim leg broadcasts, nothing nested-loops."""
+    plan = plan_string(_df(spark, sf_dir, "q73_tpch_q2"))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q73c_q16_not_in_is_broadcast_anti(spark, sf_dir):
+    """Q16's NOT IN must become a broadcast anti join (the excluded set is
+    tiny), never a shuffled or nested-loop exclusion."""
+    plan = plan_string(_df(spark, sf_dir, "q73c_tpch_q16"))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q73e_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """Q22: the dormant-customer NOT EXISTS is an anti join and the
+    (total, cnt) scalar threshold rides a one-row broadcast."""
+    plan = plan_string(_df(spark, sf_dir, "q73e_tpch_q22"))
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q74_pagerank_no_cartesian(spark, sf_dir):
+    """Each PageRank superstep is a key join + partial agg — nothing may
+    degenerate to a nested loop or cartesian across supersteps."""
+    plan = plan_string(_df(spark, sf_dir, "q74_pagerank"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q75_heavy_hitters_candidates_broadcast(spark, sf_dir):
+    """The MG candidate pass is a narrow Arrow map; the recount must
+    semi-join a BROADCAST candidate set (never shuffle the full scan
+    against it)."""
+    plan = plan_string(_df(spark, sf_dir, "q75_heavy_hitters"))
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q76_dynamic_partition_pruning_in_plan(spark, sf_dir):
+    """The fact scan must carry a dynamic partition filter derived from
+    the dim broadcast — otherwise the partitioned layout buys nothing."""
+    plan = plan_string(_df(spark, sf_dir, "q76_dynamic_partition_pruning"))
+    assert "dynamicpruning" in plan.lower()
