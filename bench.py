@@ -89,6 +89,9 @@ HEADLINE = [
     "q74_pagerank",
     "q75_heavy_hitters",
     "q76_dynamic_partition_pruning",
+    "q77_doc_chunking",
+    "q78_incremental_dedup",
+    "q79_salted_join",
 ]
 
 

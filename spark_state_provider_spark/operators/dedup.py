@@ -667,3 +667,161 @@ def q54_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("edit_dist") <= _FUZZY_MAX_DIST)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# q78 — INCREMENTAL near-dedup: probe a new document batch against an
+# existing corpus index. The production shape of q28b: a 100 TB training
+# set's MinHash band keys are computed once and kept as an index; each new
+# crawl batch computes signatures only for itself and bucket-joins into
+# the index — never corpus×corpus, never corpus re-hashing. Here the
+# "new batch" is doc_id % 5 == 0 and the "corpus" is the rest, so the
+# whole pipeline (band probe + exact-Jaccard verify) stays
+# oracle-replicable in DuckDB.
+# ---------------------------------------------------------------------------
+
+_INC_MOD = 5  # doc_id % 5 == 0 -> incoming batch, else corpus
+
+
+@register(
+    "q78_incremental_dedup",
+    oracle=f"""
+    WITH {_DUCK_TRI},
+    salts AS ({_DUCK_SALTS}),
+    mh AS (
+        SELECT doc_id, salt, min(md5(salt || '|' || tri)) AS h
+        FROM tri, salts
+        GROUP BY doc_id, salt
+    ),
+    bands AS (
+        SELECT doc_id,
+               CAST(substr(salt, 2) AS INTEGER) % {N_BANDS} AS band,
+               string_agg(h, '' ORDER BY h) AS bkey
+        FROM mh
+        GROUP BY doc_id, CAST(substr(salt, 2) AS INTEGER) % {N_BANDS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_corpus
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id % {_INC_MOD} = 0 AND b.doc_id % {_INC_MOD} <> 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_new, c.id_corpus, count(*) AS n_inter
+        FROM cand c
+        JOIN tri ta ON ta.doc_id = c.id_new
+        JOIN tri tb ON tb.doc_id = c.id_corpus AND tb.tri = ta.tri
+        GROUP BY c.id_new, c.id_corpus
+    )
+    SELECT i.id_new, i.id_corpus,
+           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_new
+    JOIN sizes sb ON sb.doc_id = i.id_corpus
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def q78_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs between an incoming batch and the existing corpus
+    (same shingle→minhash→band pipeline as q28b, but the bucket join is
+    new×corpus instead of a self-join).
+
+    Scale shape: the corpus-side band keys are the INDEX — at 100 TB
+    they're computed once at ingest and stored partitioned by (band,
+    bkey-prefix); a new batch (typically 0.1% of corpus size) computes
+    its own signatures and equijoins into the index, so incremental cost
+    is O(batch + matching buckets), not O(corpus). Verification touches
+    only candidates' shingle sets (broadcast pair list + array_intersect,
+    as q28b). Output: for each incoming doc, the corpus docs it
+    near-duplicates (the drop/keep decision is a groupBy away).
+    """
+    tri = _trigrams_persisted(spark, sf_dir)
+    sig = tri.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("tri")))).alias(f"h{i}")
+            for i, s in enumerate(_SALTS)
+        ],
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "",
+                    F.array_sort(
+                        F.array(
+                            *[
+                                F.col(f"h{i}")
+                                for i in range(N_SALTS)
+                                if i % N_BANDS == b
+                            ]
+                        )
+                    ),
+                ).alias("bkey"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "n", F.explode(band_structs).alias("bs")
+    ).select(
+        "doc_id", "n", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey")
+    )
+    new_b = bands.where(F.col("doc_id") % _INC_MOD == 0).select(
+        F.col("doc_id").alias("id_new"),
+        F.col("n").alias("na"),
+        F.col("band").alias("band_a"),
+        F.col("bkey").alias("bkey_a"),
+    )
+    corp_b = bands.where(F.col("doc_id") % _INC_MOD != 0).select(
+        F.col("doc_id").alias("id_corpus"),
+        F.col("n").alias("nb"),
+        F.col("band").alias("band_b"),
+        F.col("bkey").alias("bkey_b"),
+    )
+    cand = (
+        new_b.join(
+            corp_b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("bkey_a") == F.col("bkey_b")),
+        )
+        .select("id_new", "id_corpus", "na", "nb")
+        .distinct()
+    )
+    sets = tri.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("tri")).alias("tset")
+    )
+    ja = sets.join(F.broadcast(cand), F.col("doc_id") == F.col("id_new")).select(
+        "id_new", "id_corpus", "na", "nb", F.col("tset").alias("set_a")
+    )
+    jb = sets.join(
+        F.broadcast(cand.select("id_new", "id_corpus")),
+        F.col("doc_id") == F.col("id_corpus"),
+    ).select(
+        F.col("id_new").alias("id_new2"),
+        F.col("id_corpus").alias("id_corpus2"),
+        F.col("tset").alias("set_b"),
+    )
+    pairs = ja.join(
+        jb,
+        (F.col("id_new") == F.col("id_new2"))
+        & (F.col("id_corpus") == F.col("id_corpus2")),
+    ).select(
+        "id_new",
+        "id_corpus",
+        "na",
+        "nb",
+        F.size(F.array_intersect("set_a", "set_b")).alias("n_inter"),
+    )
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id_new", "id_corpus", "jaccard")
+    )

@@ -686,3 +686,76 @@ def q64_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q77 — document chunking with overlap: split long documents into
+# fixed-token sliding windows (the context-window preparation step between
+# cleaning and tokenization — RAG indexing and long-doc pretraining both
+# consume exactly this shape). A window is emitted when it starts the
+# document or adds at least one token beyond the previous window's end, so
+# short tails are never emitted twice.
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 24  # overlap = _CHUNK_TOKENS - _CHUNK_STRIDE = 8 tokens
+
+
+@register(
+    "q77_doc_chunking",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    SELECT doc_id,
+           CAST((s.start - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           array_to_string(l[s.start : s.start + {_CHUNK_TOKENS} - 1], ' ')
+               AS chunk_text,
+           CAST(least({_CHUNK_TOKENS}, len(l) - s.start + 1) AS INTEGER)
+               AS n_tokens
+    FROM tok, unnest(generate_series(1, len(l), {_CHUNK_STRIDE})) AS s(start)
+    WHERE s.start = 1
+       OR s.start - {_CHUNK_STRIDE} + {_CHUNK_TOKENS} - 1 < len(l)
+    """,
+)
+def q77_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks (32 tokens, stride 24) per
+    document.
+
+    Scale shape: tokenize → sequence → explode → slice is a narrow
+    row-expanding map (no shuffle at all); the fan-out factor is bounded
+    by ceil(n_tokens/stride) per document. Every function is a JVM
+    codegen builtin — no Python in the path. The tail rule (emit a
+    window only if it extends past the previous window's end) matches the
+    oracle's WHERE clause token-for-token, so chunk boundaries are
+    engine-exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("l"))
+    exploded = toks.select(
+        "doc_id",
+        "l",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("l"), F.lit(1)),
+                F.lit(_CHUNK_STRIDE),
+            )
+        ).alias("start"),
+    ).where(
+        (F.col("start") == 1)
+        | (
+            F.col("start") - _CHUNK_STRIDE + _CHUNK_TOKENS - 1
+            < F.size("l")
+        )
+    )
+    return exploded.select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) DIV {_CHUNK_STRIDE} AS BIGINT)").alias(
+            "chunk_idx"
+        ),
+        F.array_join(
+            F.expr(f"slice(l, start, {_CHUNK_TOKENS})"), " "
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(_CHUNK_TOKENS), F.size("l") - F.col("start") + 1
+        ).cast("int").alias("n_tokens"),
+    )

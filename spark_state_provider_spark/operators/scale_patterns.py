@@ -315,3 +315,74 @@ def q76_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q79 — salted skew JOIN: the join-side twin of q32's salted aggregation.
+# events.user_id has only 150 distinct values — a plain shuffle join can
+# use at most 150 reducers no matter the cluster size, and one hot user
+# serializes its whole partition. The salt spreads each key over
+# _JOIN_SALTS reducers (big side: row-hash salt; small side: replicated
+# across all salts), trading an S× dim replication — cheap, it's the
+# small side — for S× join parallelism on hot keys. Salting is
+# correctness-neutral, so the oracle is the PLAIN join.
+# ---------------------------------------------------------------------------
+
+_JOIN_SALTS = 8
+
+
+@register(
+    "q79_salted_join",
+    oracle="""
+    SELECT e.user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           max(c.c_mktsegment) AS segment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.user_id
+    """,
+)
+def q79_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events⋈customer on a 150-key join column, salted 8 ways.
+
+    Big side: salt = pmod(xxhash64(event_id), S) — deterministic,
+    row-dependent, so a hot user's rows spread over S reducers. Small
+    side: each customer row replicated for all S salts (explode of a
+    literal sequence — at 100 TB this is the side you replicate BECAUSE
+    it is small). Join on (key, salt); the follow-on per-user aggregate
+    partial-aggregates map-side so the second shuffle carries ≤150×S
+    rows. Result provably equals the unsalted join (oracle is the plain
+    form). For automatic handling of residual skew this composes with AQE
+    skew-join splitting, which only acts on post-shuffle partition sizes.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.pmod(F.xxhash64("event_id"), F.lit(_JOIN_SALTS)).alias("salt"),
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(_JOIN_SALTS - 1)))
+        )
+    )
+    # At test scale the replicated dim would still broadcast (which makes
+    # salting inert — broadcast joins have no reducer to skew); the hint
+    # pins the shuffled-hash shape the pattern exists for, i.e. a dim
+    # above the broadcast threshold.
+    return (
+        ev.join(
+            cust.hint("shuffle_hash"),
+            (ev.user_id == cust.c_custkey)
+            & (ev.salt == cust.salt.cast("long")),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("sum_value"),
+            F.max("c_mktsegment").alias("segment"),
+        )
+    )

@@ -282,3 +282,28 @@ def test_q76_dynamic_partition_pruning_in_plan(spark, sf_dir):
     the dim broadcast — otherwise the partitioned layout buys nothing."""
     plan = plan_string(_df(spark, sf_dir, "q76_dynamic_partition_pruning"))
     assert "dynamicpruning" in plan.lower()
+
+
+def test_q77_chunking_is_shuffle_free(spark, sf_dir):
+    """Chunking is tokenize→sequence→explode→slice — a narrow
+    row-expanding map with no Exchange and no Python worker."""
+    plan = plan_string(_df(spark, sf_dir, "q77_doc_chunking"))
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q78_incremental_dedup_no_cartesian(spark, sf_dir):
+    """The new-batch probe must stay a band-bucket equijoin against the
+    corpus index — never a cross product, and verify joins broadcast only
+    the candidate pair list."""
+    plan = plan_string(_df(spark, sf_dir, "q78_incremental_dedup"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q79_salted_join_shuffles_on_salted_key(spark, sf_dir):
+    """The salted join must actually shuffle on (key, salt) — a broadcast
+    would make the salt inert — and the per-user agg partial-aggregates."""
+    plan = plan_string(_df(spark, sf_dir, "q79_salted_join"))
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
