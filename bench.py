@@ -160,6 +160,9 @@ def main() -> None:
                 "metric": "headline_queries_total_wall_clock",
                 "value": total,
                 "unit": "sec",
+                # headline set GREW since round 1 (53 → 62+ queries), so
+                # compare per-query times or value/n_queries, not totals
+                "n_queries": len(timings),
                 "queries": short,
                 "sf": float(sf),
             },

@@ -2629,3 +2629,50 @@ def q71_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_null_keys")
     )
     return n_plain.crossJoin(F.broadcast(n_safe)).crossJoin(F.broadcast(n_null))
+
+
+# ---------------------------------------------------------------------------
+# q10f — approx_top_k: the DataSketches frequent-items aggregate (Spark
+# 4.1 builtin), completing the sketch family (q10b HLL-estimate, q10d
+# mergeable HLL union, q10e GK quantiles). The sketch is mergeable —
+# partial-aggregates map-side like any hash agg — and with
+# maxItemsTracked >= the column's distinct count its counts are EXACT,
+# which is what makes a hash-checkable oracle possible here: l_returnflag
+# has 3 distinct values with distinct frequencies, so the top-2 rows and
+# their counts are fully deterministic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10f_approx_top_k",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, l_returnflag)
+                - 1 AS INTEGER) AS pos,
+           l_returnflag AS item,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY cnt DESC LIMIT 2
+    """,
+)
+def q10f_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 return flags by row count via the approx_top_k sketch,
+    exploded to scalar rows (the array output would crash the driver's
+    pandas canonicalizer — q10e round-1 lesson).
+
+    At 100 TB this replaces a full groupBy+sort with one mergeable sketch
+    per partition and a single-row shuffle; over a high-cardinality
+    column the counts become approximate (tracked-items bound) but the
+    heavy ranks stay right — the exact-recount escalation for when they
+    must be provable is q75.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.agg(F.expr("approx_top_k(l_returnflag, 2)").alias("tk"))
+        .select(F.posexplode("tk").alias("pos", "s"))
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            F.col("s.item").alias("item"),
+            F.col("s.count").alias("cnt"),
+        )
+    )

@@ -209,3 +209,38 @@ def test_fingerprint_null_position_and_multiplicity(spark):
     single = fps([("p", "q", "r")])
     assert double[0] == single[0]  # xor alone is blind to the pair...
     assert double[1] != single[1]  # ...the sum fingerprint is not
+
+
+def test_chunking_reconstructs_documents(spark, sf_dir):
+    """q77 invariants: all chunks but the last are exactly CHUNK tokens,
+    and stitching chunk 0 plus each later chunk's non-overlapped tail
+    reproduces every document's token stream exactly (no token lost or
+    duplicated by the window/tail rules)."""
+    from spark_state_provider_spark.operators.pipeline import (
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+        q77_doc_chunking,
+    )
+    from spark_state_provider_spark.tables import load_table
+
+    chunks = {}
+    for r in q77_doc_chunking(spark, sf_dir).collect():
+        chunks.setdefault(r.doc_id, []).append(r)
+    originals = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert set(chunks) == set(originals)
+    overlap = _CHUNK_TOKENS - _CHUNK_STRIDE
+    for doc_id, rows in chunks.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        toks = [r.chunk_text.split(" ") for r in rows]
+        for i, (r, t) in enumerate(zip(rows, toks)):
+            assert r.n_tokens == len(t)
+            if i < len(rows) - 1:
+                assert r.n_tokens == _CHUNK_TOKENS, (doc_id, i)
+        rebuilt = list(toks[0])
+        for t in toks[1:]:
+            assert rebuilt[-overlap:] == t[:overlap], doc_id
+            rebuilt.extend(t[overlap:])
+        assert rebuilt == originals[doc_id].split(" "), doc_id

@@ -227,6 +227,7 @@ def test_q10_sketch_trio_partial_aggregates(spark, sf_dir):
         "q10b_approx_distinct",
         "q10d_hll_sketch",
         "q10e_approx_percentile",
+        "q10f_approx_top_k",
     ):
         plan = plan_string(_df(spark, sf_dir, name))
         assert "partial" in plan.lower(), name
