@@ -45,9 +45,12 @@ HEADLINE = [
     "q24s_stream_user_stats",
     "q28b_minhash_lsh",
     "q28c_simhash",
+    "q80_cluster_representative",
+    "q81_boilerplate_strip",
     "q29_knn_brute",
     "q29b_ann_lsh",
     "q29d_ivf_ann",
+    "q29f_pq_ann",
     "q33_tpch_q3",
     "q33b_tpch_q10",
     "q33c_tpch_q18",

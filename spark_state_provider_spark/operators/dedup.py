@@ -532,9 +532,11 @@ def alternating_connected_components(
 
 
 
-@register(
-    "q28e_dedup_clusters",
-    oracle=f"""
+# Shared DuckDB CTE chain: LSH pairs → symmetric edges → recursive
+# transitive closure → (doc_id, cluster_id) labels. q28e selects the labels
+# directly; q80 extends the chain with quality scoring to pick the
+# representative document per cluster.
+_DUCK_CC_CTES = f"""
     WITH RECURSIVE pairs AS (
         SELECT id_a, id_b FROM (
             WITH {_DUCK_TRI},
@@ -581,11 +583,18 @@ def alternating_connected_components(
         SELECT a, b FROM edges
         UNION
         SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+    ),
+    clusters AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        FROM reach
+        GROUP BY a
     )
-    SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-    FROM reach
-    GROUP BY a
-    """,
+"""
+
+
+@register(
+    "q28e_dedup_clusters",
+    oracle=_DUCK_CC_CTES + "\n    SELECT doc_id, cluster_id FROM clusters",
 )
 def q28e_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH near-dup pair graph:
@@ -603,6 +612,90 @@ def q28e_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels, _ = alternating_connected_components(edges)
     return labels.select(
         F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q80 — quality-aware cluster representative: the step a training pipeline
+# actually runs AFTER cluster formation. Near-dup dedup does not keep an
+# arbitrary member — it keeps the BEST copy (highest quality score, i.e.
+# the cleanest extraction) and drops the rest. Composes q28e's connected
+# components with q30e's quality features: one representative row per
+# near-dup cluster with the kept doc and the drop count.
+# ---------------------------------------------------------------------------
+
+
+def _q80_oracle() -> str:
+    from spark_state_provider_spark.operators.text import STOPWORDS, _count_sql
+
+    stop_expr = " + ".join(_count_sql("p", m) for m in STOPWORDS)
+    return (
+        _DUCK_CC_CTES
+        + f""",
+    feat AS (
+        SELECT doc_id, (' ' || text || ' ') AS p,
+               length(text) AS n_chars_m,
+               len(string_split(text, ' ')) AS n_toks
+        FROM documents
+    ),
+    qual AS (
+        SELECT doc_id,
+               (CASE WHEN n_chars_m BETWEEN 200 AND 400 THEN 1.0 ELSE 0.5 END)
+               * (CASE WHEN CAST({stop_expr} AS DOUBLE) / n_toks
+                            BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.5 END)
+                   AS quality_score
+        FROM feat
+    ),
+    scored AS (
+        SELECT c.cluster_id, c.doc_id, q.quality_score,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.quality_score DESC, c.doc_id)
+                   AS rn,
+               count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+        FROM clusters c JOIN qual q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS keep_doc_id,
+           CAST(quality_score AS DOUBLE) AS best_quality,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped
+    FROM scored WHERE rn = 1
+    """
+    )
+
+
+@register("q80_cluster_representative", oracle=_q80_oracle())
+def q80_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick the highest-quality member of each near-dup cluster (ties →
+    smallest doc_id); report how many copies it supersedes.
+
+    The argmax is a single ``max(struct(quality, -doc_id))`` hash aggregate
+    — map-side combinable, one shuffle keyed on cluster_id, no window sort
+    — so representative selection costs the same as a count per cluster at
+    100 TB. quality_score takes exact binary values ({{1.0, 0.5, 0.25}}),
+    so the cross-engine argmax is deterministic. (The oracle uses the
+    clearer row_number formulation; clarity beats scale on the oracle
+    side.)
+    """
+    from spark_state_provider_spark.operators.text import q30e_quality
+
+    labels = q28e_dedup_clusters(spark, sf_dir)
+    qual = q30e_quality(spark, sf_dir).select("doc_id", "quality_score")
+    scored = labels.join(qual, "doc_id")
+    agg = scored.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col("quality_score").alias("q"),
+                (-F.col("doc_id")).alias("neg_id"),
+            )
+        ).alias("best"),
+        F.count("*").alias("n_members"),
+    )
+    return agg.select(
+        "cluster_id",
+        (-F.col("best.neg_id")).alias("keep_doc_id"),
+        F.col("best.q").alias("best_quality"),
+        "n_members",
+        (F.col("n_members") - F.lit(1)).alias("n_dropped"),
     )
 
 
@@ -824,4 +917,96 @@ def q78_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("id_new", "id_corpus", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q81 — repeated-segment (boilerplate) removal with document
+# reconstruction: the line-level exact dedup step of web-corpus pipelines
+# (CCNet / RefinedWeb strip any line occurring too often across the crawl
+# — headers, nav bars, cookie banners). Documents here are unstructured
+# token streams, so the "line" unit is a fixed-width token block.
+# ---------------------------------------------------------------------------
+
+_BOILER_W = 8  # segment width in tokens
+_BOILER_T = 2  # a segment occurring >= T times corpus-wide is boilerplate
+
+
+@register(
+    "q81_boilerplate_strip",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    seg AS (
+        SELECT doc_id,
+               CAST((s.i - 1) // {_BOILER_W} AS BIGINT) AS seg_idx,
+               array_to_string(l[s.i : s.i + {_BOILER_W} - 1], ' ') AS seg
+        FROM tok, unnest(generate_series(1, len(l), {_BOILER_W})) AS s(i)
+    ),
+    freq AS (SELECT seg, count(*) AS n FROM seg GROUP BY seg),
+    flagged AS (
+        SELECT s.doc_id, s.seg_idx, s.seg, (f.n < {_BOILER_T}) AS keep
+        FROM seg s JOIN freq f USING (seg)
+    )
+    SELECT doc_id,
+           coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                        FILTER (WHERE keep), '') AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def q81_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip every {_BOILER_W}-token segment that repeats corpus-wide and
+    rebuild each document from its surviving segments, in order.
+
+    Scale design: segmentation is a shuffle-free row-expanding map; the
+    frequency pass is one hash aggregate on the segment text; the
+    boilerplate set (freq >= T) is tiny relative to the corpus — web
+    boilerplate is heavy-tailed — so the flagging join BROADCASTS it
+    (left-anti shape) instead of shuffling the full segment stream a
+    second time. Reconstruction is a per-doc collect_list bounded by
+    document length, grouped on doc_id — the natural key the segments
+    already carry. No window over the corpus, no skew on hot segments
+    (the hot set never shuffles; it rides the broadcast).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("l"))
+    seg = toks.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(1), F.size("l"), F.lit(_BOILER_W))).alias(
+            "_p", "i"
+        ),
+        "l",
+    ).select(
+        "doc_id",
+        ((F.col("i") - 1) / _BOILER_W).cast("long").alias("seg_idx"),
+        F.array_join(F.slice("l", F.col("i"), _BOILER_W), " ").alias("seg"),
+    )
+    boiler = (
+        seg.groupBy("seg")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= _BOILER_T)
+        .select("seg", F.lit(False).alias("keep_flag"))
+    )
+    flagged = seg.join(F.broadcast(boiler), "seg", "left").withColumn(
+        "keep", F.col("keep_flag").isNull()
+    )
+    kept_struct = F.when(
+        F.col("keep"), F.struct(F.col("seg_idx"), F.col("seg"))
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x.seg
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_segments"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+        )
     )

@@ -526,3 +526,133 @@ def q31d_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return sample_frames(d)
+
+
+# ---------------------------------------------------------------------------
+# q82 — binaryFile SOURCE: media ingestion as Spark actually does it on an
+# object store. The previous q31* ops synthesize payloads in-flight; this
+# one materializes REAL files on disk (PNG + WAV containers), reads them
+# back through ``spark.read.format("binaryFile")`` — path / length /
+# content, one partition task per file, header-only friendly — and runs
+# the same stdlib decoders over the loaded bytes. The oracle's expected
+# rows (name, size, md5, decoded metadata) are computed at registration
+# time from the very same deterministic byte strings, so it never touches
+# the filesystem and is order-independent of the Spark run.
+# ---------------------------------------------------------------------------
+
+
+def _binsrc_files() -> list[tuple[str, bytes]]:
+    """Deterministic media fixture set: 12 PNGs + 8 WAVs."""
+    files = []
+    for i in range(12):
+        files.append((f"img_{i:02d}.png", make_png(32 + 7 * i, 16 + 5 * i)))
+    for i in range(8):
+        files.append(
+            (f"aud_{i:02d}.wav", make_wav(8000 + 250 * i, 1 + i % 2, 100 + 37 * i))
+        )
+    return files
+
+
+def _binsrc_oracle() -> str:
+    import hashlib
+
+    rows = []
+    for fname, b in _binsrc_files():
+        md5 = hashlib.md5(b).hexdigest()
+        if fname.endswith(".png"):
+            w, h, fmt = parse_image_header(b)
+            rows.append(
+                f"('{fname}', {len(b)}, '{md5}', '{fmt}', {w}, {h}, "
+                "NULL, NULL)"
+            )
+        else:
+            m = parse_wav_header(b)
+            rows.append(
+                f"('{fname}', {len(b)}, '{md5}', 'wav', NULL, NULL, "
+                f"{m['sample_rate']}, {m['n_samples']})"
+            )
+    values = ",\n           ".join(rows)
+    return f"""
+    SELECT file_name, CAST(n_bytes AS BIGINT) AS n_bytes, content_md5,
+           fmt, CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(sample_rate AS INTEGER) AS sample_rate,
+           CAST(n_samples AS BIGINT) AS n_samples
+    FROM (VALUES {values})
+         AS t(file_name, n_bytes, content_md5, fmt, width, height,
+              sample_rate, n_samples)
+    """
+
+
+_BINSRC_SCHEMA = (
+    "file_name string, n_bytes bigint, content_md5 string, fmt string, "
+    "width int, height int, sample_rate int, n_samples bigint"
+)
+
+
+@register("q82_binaryfile_source", oracle=_binsrc_oracle())
+def q82_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a directory of media files through the ``binaryFile`` source
+    and decode each container's header from the loaded bytes.
+
+    Scale shape: binaryFile plans one task per file (no splitting — media
+    containers aren't splittable anyway), so a 100 TB asset lake
+    parallelizes across files; ``pathGlobFilter``/partitioned directories
+    prune at planning time. md5 and length stay JVM-side; only the header
+    walk crosses into an Arrow-batched Python map. The file-writing
+    prologue is test scaffolding — idempotent, byte-deterministic — in
+    production the objects already exist.
+    """
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"ssps_binsrc_{os.getpid()}"
+    )
+    os.makedirs(out, exist_ok=True)
+    for fname, b in _binsrc_files():
+        path = os.path.join(out, fname)
+        with open(path, "wb") as f:
+            f.write(b)
+
+    df = spark.read.format("binaryFile").load(out)
+    base = df.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+        "content",
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, rates, samps = [], [], [], [], []
+            for b in pdf["content"]:
+                b = bytes(b)
+                img = parse_image_header(b)
+                if img is not None:
+                    w, h, fmt = img
+                    fmts.append(fmt); ws.append(w); hs.append(h)
+                    rates.append(None); samps.append(None)
+                    continue
+                wav = parse_wav_header(b)
+                if wav is not None:
+                    fmts.append("wav"); ws.append(None); hs.append(None)
+                    rates.append(wav["sample_rate"])
+                    samps.append(wav["n_samples"])
+                else:
+                    fmts.append(None); ws.append(None); hs.append(None)
+                    rates.append(None); samps.append(None)
+            yield pd.DataFrame(
+                {
+                    "file_name": pdf["file_name"],
+                    "n_bytes": pdf["n_bytes"],
+                    "content_md5": pdf["content_md5"],
+                    "fmt": fmts,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "n_samples": pd.array(samps, dtype="Int64"),
+                }
+            )
+
+    return base.mapInPandas(decode, schema=_BINSRC_SCHEMA)

@@ -628,3 +628,192 @@ def q50_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c1") != F.col("cid2")).alias("moved"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q29f — product quantization (PQ) ANN with asymmetric distance computation
+# (ADC) + exact re-rank: the fourth quantization path (LSH buckets → q29b,
+# IVF lists → q29d, int8 scalar → q29e, PQ codes → here). A 64-dim vector
+# compresses to M=8 codebook ids — ~8 bytes instead of 256 — and query
+# time scans CODES against a per-query distance table instead of raw
+# vectors. All PQ arithmetic is scaled-integer (global scale, floor(x·S +
+# 0.5)) so encoding, distance tables, and ADC sums are EXACT and
+# shuffle-order-independent — which is what lets DuckDB replicate the
+# whole pipeline, misses included.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_D = 8  # dims per subspace (embeddings are 64-dim)
+_PQ_SCALE = 1000  # global quantization scale: exact, geometry-preserving
+# PQ codebooks are small and per-subspace (production: 256 k-means
+# codewords regardless of corpus size), so the codeword id rule is
+# denser than IVF's coarse-centroid rule
+_PQ_CENT_MOD = 5
+_PQ_SHORTLIST = 4 * TOP_K
+
+# ADC squared-L2 via three integer dots (exact in doubles far past 2^53 /
+# these magnitudes): ||a||² − 2·a·b + ||b||²
+_DUCK_PQ_D2 = (
+    "list_dot_product(sub.subv, csub.cs) * (-2)"
+    " + list_dot_product(sub.subv, sub.subv)"
+    " + list_dot_product(csub.cs, csub.cs)"
+)
+
+
+@register(
+    "q29f_pq_ann",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id,
+               list_transform(v, x ->
+                   CAST(floor(x * {_PQ_SCALE}.0 + 0.5) AS BIGINT)) AS sv
+        FROM e
+    ),
+    sub AS (
+        SELECT vec_id, mm.m AS m,
+               sv[mm.m * {_PQ_D} + 1 : mm.m * {_PQ_D} + {_PQ_D}] AS subv
+        FROM s, unnest(generate_series(0, {_PQ_M - 1})) AS mm(m)
+    ),
+    csub AS (
+        SELECT vec_id AS cid, m, subv AS cs
+        FROM sub WHERE vec_id % {_PQ_CENT_MOD} = 0
+    ),
+    dist AS (
+        SELECT sub.vec_id, sub.m, csub.cid, {_DUCK_PQ_D2} AS d2
+        FROM sub JOIN csub ON csub.m = sub.m
+    ),
+    enc AS (
+        SELECT vec_id, m, cid AS code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY d2, cid
+            ) AS rn FROM dist
+        ) WHERE rn = 1
+    ),
+    adist AS (
+        SELECT d.vec_id AS query_id, enc.vec_id AS neighbor_id,
+               CAST(sum(d.d2) AS BIGINT) AS adist
+        FROM enc JOIN dist d ON d.m = enc.m AND d.cid = enc.code
+        WHERE d.vec_id < {N_QUERIES} AND enc.vec_id <> d.vec_id
+        GROUP BY 1, 2
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adist, neighbor_id
+            ) AS srn FROM adist
+        ) WHERE srn <= {_PQ_SHORTLIST}
+    ),
+    rer AS (
+        SELECT sh.query_id, sh.neighbor_id, {_DUCK_COS} AS sim
+        FROM short sh
+        JOIN (SELECT vec_id, v AS qv FROM e) q ON q.vec_id = sh.query_id
+        JOIN (SELECT vec_id, v AS nv FROM e) n ON n.vec_id = sh.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rn FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+        ) AS rn FROM rer
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def q29f_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-{TOP_K}: encode every vector as {_PQ_M} codebook ids
+    (codewords = the fixed-id centroid set's sub-vectors, argmin by exact
+    integer L2), build each query's (subspace, codeword) distance table,
+    score candidates by summing table entries over their codes, then
+    exact-cosine re-rank the {_PQ_SHORTLIST}-deep shortlist.
+
+    Scale shape: encoding is a broadcast(codebook) join + a map-side-
+    combined argmin groupBy — the shuffle carries n×{_PQ_M} code rows, not
+    distances. The ADC scan joins CODES against a BROADCAST distance table
+    (queries × {_PQ_M} × K entries — tiny) and partial-aggregates the
+    per-(query, neighbor) sums map-side. Raw vectors are touched only in
+    the final shortlist re-rank — at 100 TB the scan reads ~8 bytes of
+    code per vector instead of 256 bytes of floats, the PQ memory-
+    bandwidth win. At production scale codewords come from per-subspace
+    k-means (q50's loop); the fixed-id rule keeps the oracle exact.
+    """
+    from spark_state_provider_spark.functions.vector import dot, idot
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    s = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("v"), lambda x: F.floor(x * _PQ_SCALE + F.lit(0.5))
+        ).alias("sv"),
+    )
+    sub = s.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[F.slice("sv", m * _PQ_D + 1, _PQ_D) for m in range(_PQ_M)]
+            )
+        ).alias("m", "subv"),
+    )
+    csub = sub.where(F.col("vec_id") % _PQ_CENT_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("m").alias("cm"),
+        F.col("subv").alias("cs"),
+    )
+    sv_, cs_ = F.col("subv"), F.col("cs")
+    dist = sub.join(F.broadcast(csub), F.col("m") == F.col("cm")).select(
+        "vec_id",
+        "m",
+        "cid",
+        (idot(sv_, cs_) * F.lit(-2) + idot(sv_, sv_) + idot(cs_, cs_)).alias(
+            "d2"
+        ),
+    )
+    enc = (
+        dist.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "cid")).alias("best"))
+        .select("vec_id", "m", F.col("best.cid").alias("code"))
+    )
+    dt = dist.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("m").alias("qm"),
+        F.col("cid").alias("qcid"),
+        "d2",
+    )
+    adist = (
+        enc.join(
+            F.broadcast(dt),
+            (F.col("m") == F.col("qm"))
+            & (F.col("code") == F.col("qcid"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("adist"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    short = (
+        adist.withColumn("srn", F.row_number().over(ws))
+        .where(F.col("srn") <= _PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qside = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rer = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+        .join(F.broadcast(short.join(qside, "query_id")), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("nv"))
+             / (F.sqrt(dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(dot(F.col("nv"), F.col("nv"))))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return rer.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= TOP_K
+    )

@@ -75,3 +75,31 @@ def test_conf_driven_ttl_resolves_through_state_timeout(spark, sf_dir, tmp_path)
     )
     rows2 = run_upsert_table(out2, ["user_id"]).collect()
     assert {r["user_id"]: r["total_visits"] for r in rows2} == batch
+
+
+def test_binaryfile_source_glob_pruning(spark, sf_dir):
+    """q82's directory reads correctly under pathGlobFilter (planning-time
+    file pruning — the object-store partition-pruning analog), and every
+    decoded row carries a recognized format."""
+    import os
+    import tempfile
+
+    from spark_state_provider_spark.operators.multimodal import (
+        _binsrc_files,
+        q82_binaryfile_source,
+    )
+
+    rows = q82_binaryfile_source(spark, sf_dir).collect()
+    assert len(rows) == len(_binsrc_files())
+    by_name = {r.file_name: r for r in rows}
+    assert all(r.fmt in ("png", "wav") for r in rows)
+    assert by_name["img_00.png"].width == 32
+    assert by_name["aud_01.wav"].sample_rate == 8250
+
+    out = os.path.join(tempfile.gettempdir(), f"ssps_binsrc_{os.getpid()}")
+    pngs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(out)
+    )
+    assert pngs.count() == 12

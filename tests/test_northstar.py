@@ -179,6 +179,37 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
         assert lbl == min(docs), (lbl, docs)
 
 
+def test_cluster_representative_is_best_member(spark, sf_dir):
+    """q80 keeps the max-quality member (ties → min doc_id) of each cluster
+    and accounts for every dropped copy — and does it without a Window sort
+    (argmax must stay a combinable hash aggregate)."""
+    from spark_state_provider_spark.plans.explain import plan_string
+
+    clusters = registry.get("q28e_dedup_clusters").fn(spark, sf_dir).collect()
+    qual = {
+        r["doc_id"]: r["quality_score"]
+        for r in registry.get("q30e_quality").fn(spark, sf_dir).collect()
+    }
+    reps_df = registry.get("q80_cluster_representative").fn(spark, sf_dir)
+    assert "Window" not in plan_string(reps_df)
+    reps = reps_df.collect()
+
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for r in clusters:
+        members[r["cluster_id"]].append(r["doc_id"])
+    assert sorted(members) == sorted(r["cluster_id"] for r in reps)
+    for r in reps:
+        docs = members[r["cluster_id"]]
+        best_q = max(qual[d] for d in docs)
+        expect = min(d for d in docs if qual[d] == best_q)
+        assert r["keep_doc_id"] == expect, (r, docs)
+        assert r["best_quality"] == best_q
+        assert r["n_members"] == len(docs)
+        assert r["n_dropped"] == len(docs) - 1
+
+
 def test_image_header_parser_roundtrip():
     """Every synthesizer's output must decode to its own dimensions, and
     junk/truncated payloads must be rejected (None), not misparsed."""
@@ -317,3 +348,31 @@ def test_kmeans_lloyd_monotone(spark, sf_dir):
     # SSE of the c2 partition (with its own optimal centroids) must not
     # exceed SSE of the c1 partition: one full Lloyd step happened between.
     assert sse(j, "c2") <= sse(j, "c1") * (1 + 1e-9)
+
+
+def test_pq_ann_recall_and_sim_exactness(spark, sf_dir):
+    """q29f: PQ-ADC shortlist + exact re-rank must agree with brute force on
+    a recall floor, and every reported sim must equal the brute-force sim
+    for that pair bit-for-bit (the re-rank is exact cosine). The floor
+    matches q29d's: the synthetic vectors are near-random, so coarse
+    product codes are at their worst case (measured 0.53 at sf0.001 with
+    10 codewords x 8 subspaces, shortlist 20); real corpora cluster."""
+    brute = registry.get("q29_knn_brute").fn(spark, sf_dir).collect()
+    pq = registry.get("q29f_pq_ann").fn(spark, sf_dir).collect()
+    brute_top = {(r["query_id"], r["neighbor_id"]) for r in brute if r["rn"] <= 3}
+    pq_all = {(r["query_id"], r["neighbor_id"]) for r in pq}
+    recall = len(brute_top & pq_all) / len(brute_top)
+    assert recall >= 0.35, recall
+    brute_sims = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in brute}
+    for r in pq:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute_sims:
+            assert r["sim"] == brute_sims[key]
+    # shape: per query at most TOP_K rows, rn dense from 1
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in pq:
+        per_q[r["query_id"]].append(r["rn"])
+    for q, rns in per_q.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1))

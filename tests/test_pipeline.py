@@ -244,3 +244,50 @@ def test_chunking_reconstructs_documents(spark, sf_dir):
             assert rebuilt[-overlap:] == t[:overlap], doc_id
             rebuilt.extend(t[overlap:])
         assert rebuilt == originals[doc_id].split(" "), doc_id
+
+
+def test_boilerplate_strip_reconstruction(spark, sf_dir):
+    """q81 invariants, recomputed independently in Python: segment counts
+    follow ceil(len/W); removed segments are exactly those whose full-corpus
+    frequency reaches the threshold; untouched docs round-trip verbatim."""
+    from collections import Counter
+
+    from spark_state_provider_spark.operators.dedup import (
+        _BOILER_T,
+        _BOILER_W,
+        q81_boilerplate_strip,
+    )
+    from spark_state_provider_spark.tables import load_table
+
+    originals = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    segs = {}
+    freq = Counter()
+    for doc_id, text in originals.items():
+        toks = text.split(" ")
+        s = [
+            " ".join(toks[i : i + _BOILER_W])
+            for i in range(0, len(toks), _BOILER_W)
+        ]
+        segs[doc_id] = s
+        freq.update(s)
+
+    out = {r.doc_id: r for r in q81_boilerplate_strip(spark, sf_dir).collect()}
+    assert set(out) == set(originals)
+    any_removed = False
+    for doc_id, r in out.items():
+        s = segs[doc_id]
+        assert r.n_segments == len(s)
+        expect_removed = sum(1 for x in s if freq[x] >= _BOILER_T)
+        assert r.n_removed == expect_removed, doc_id
+        expect_text = " ".join(x for x in s if freq[x] < _BOILER_T)
+        assert r.clean_text == expect_text, doc_id
+        if expect_removed == 0:
+            assert r.clean_text == originals[doc_id]
+        else:
+            any_removed = True
+    # the synthetic corpus contains duplicated docs, so the operator must
+    # actually fire somewhere — otherwise this test proves nothing
+    assert any_removed
