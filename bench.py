@@ -59,6 +59,8 @@ HEADLINE = [
     "q31_multimodal_meta",
     "q38_sequence_packing",
     "q41_repetition_stats",
+    "q83_global_shuffle",
+    "q86_feature_hash_embed",
     "q49_bm25",
     "q50_kmeans",
     "q51_inverted_index",

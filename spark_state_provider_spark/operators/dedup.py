@@ -1010,3 +1010,58 @@ def q81_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q85 — leakage-safe train/val/test split: q39's stable hash split, made
+# near-dup aware. Splitting doc-by-doc leaks: two near-identical documents
+# can land in train and test, inflating eval. The fix every serious
+# pipeline applies: split by the near-dup CLUSTER, so a whole duplicate
+# family moves together; singleton docs still split by their own id.
+# ---------------------------------------------------------------------------
+
+_SPLIT_PREFIX = "substr(md5(CAST(split_key AS VARCHAR)), 1, 1)"
+
+
+@register(
+    "q85_leakage_safe_split",
+    oracle=_DUCK_CC_CTES
+    + f""",
+    keyed AS (
+        SELECT d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) AS split_key
+        FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, split_key,
+           CASE WHEN {_SPLIT_PREFIX} <= 'b' THEN 'train'
+                WHEN {_SPLIT_PREFIX} <= 'd' THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+    """,
+)
+def q85_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to train/val/test by hashing its near-dup
+    cluster id (falling back to its own id), so no duplicate family ever
+    straddles a split boundary.
+
+    Scale shape: one left join of the corpus against the (much smaller)
+    cluster-label table on the key both already carry, then a narrow hash
+    map — the same cost as q39 plus one co-partitioned join. The split
+    stays stable under re-sharding AND under incremental ingestion as
+    long as cluster ids are stable (min-doc_id labels are).
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = q28e_dedup_clusters(spark, sf_dir)
+    keyed = d.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("split_key"),
+    )
+    pfx = F.substring(F.md5(F.col("split_key").cast("string")), 1, 1)
+    return keyed.select(
+        "doc_id",
+        "split_key",
+        F.when(pfx <= "b", "train")
+        .when(pfx <= "d", "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -759,3 +759,136 @@ def q77_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_CHUNK_TOKENS), F.size("l") - F.col("start") + 1
         ).cast("int").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q83 — deterministic global shuffle: the training-order step. Before
+# writing shards, a pretraining pipeline re-orders the corpus by a
+# deterministic pseudo-random key (seeded hash) so every epoch and every
+# re-run sees the same "random" order. The hard part at scale is the
+# GLOBAL position: a naive row_number() over a total order is a
+# single-partition window (the classic WindowExec collapse). This uses
+# the two-phase pattern instead: hash-prefix range buckets → per-bucket
+# counts → broadcast prefix-sum offsets → per-bucket (parallel) rank +
+# offset. Same result, no all-to-one stage.
+# ---------------------------------------------------------------------------
+
+_SHUF_SEED = "ep1"  # epoch seed: different seed → different stable order
+
+
+@register(
+    "q83_global_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           md5('{_SHUF_SEED}' || '|' || CAST(doc_id AS VARCHAR)) AS k,
+           CAST(row_number() OVER (
+               ORDER BY md5('{_SHUF_SEED}' || '|' || CAST(doc_id AS VARCHAR)),
+                        doc_id
+           ) AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+)
+def q83_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a global position in a seeded pseudo-random
+    total order (md5 of seed|doc_id), without a single-partition window.
+
+    Two phases: (1) the first two hex chars of the key define 256 range
+    buckets whose order refines to the full key order; per-bucket counts
+    prefix-sum into start offsets (256-row aggregate, broadcast back).
+    (2) ranks are computed per bucket — parallel windows over ~n/256 rows
+    — and shifted by the bucket offset. At 100 TB this is exactly how
+    you'd shard an epoch: the bucket is the shard file, the offset its
+    base index. Both phases shuffle on keys the rows already carry; the
+    only serial object is the 256-entry offset table.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat_ws("|", F.lit(_SHUF_SEED), F.col("doc_id").cast("string"))
+        ).alias("k"),
+    )
+    d = d.withColumn("bucket", F.substring("k", 1, 2))
+    counts = d.groupBy("bucket").agg(F.count("*").alias("n"))
+    # 256-row frame: the running offset window is trivially cheap and the
+    # result broadcasts — the global order's only sequential artifact
+    woff = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("off")
+    )
+    wb = Window.partitionBy("bucket").orderBy("k", "doc_id")
+    return (
+        d.join(F.broadcast(offsets), "bucket")
+        .withColumn("shuffle_pos", F.row_number().over(wb) + F.col("off"))
+        .select("doc_id", "k", F.col("shuffle_pos").cast("long").alias("shuffle_pos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q84 — vocabulary induction with a coverage cutoff: rank corpus tokens by
+# frequency and keep the head that covers ≥ the target share of all token
+# occurrences (the word-level analog of choosing a tokenizer vocab size).
+# ---------------------------------------------------------------------------
+
+_VOCAB_COVERAGE = 0.95
+
+
+@register(
+    "q84_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+        SELECT t.tok FROM documents,
+             unnest(string_split(text, ' ')) AS t(tok)
+    ),
+    freq AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+    tot AS (SELECT sum(n) AS total FROM freq),
+    ranked AS (
+        SELECT tok, n,
+               CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT)
+                   AS rank,
+               CAST(sum(n) OVER (ORDER BY n DESC, tok
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total AS cum_share
+        FROM freq, tot
+    )
+    SELECT tok, n, rank, cum_share FROM ranked
+    WHERE rank = 1 OR (cum_share - CAST(n AS DOUBLE) / (SELECT total FROM tot))
+                      < {_VOCAB_COVERAGE}
+    """,
+)
+def q84_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary truncated at {_VOCAB_COVERAGE:.0%}
+    occurrence coverage: every token whose PRECEDING head covers less than
+    the target (so the crossing token is included).
+
+    Scale shape: token counting is explode + one map-side-combined hash
+    agg (the only corpus-scale work); everything after operates on the
+    VOCABULARY — orders of magnitude smaller than the corpus (Heaps' law)
+    — so the ranking window's single-partition stage sorts vocab rows,
+    not corpus rows. The total-occurrence count rides along as a
+    broadcast one-row frame, the same corpus-stats pattern as BM25.
+    """
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"))
+    wr = Window.orderBy(F.col("n").desc(), "tok")
+    ranked = (
+        freq.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .withColumn(
+            "cum_share",
+            F.sum("n").over(wr.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double") / F.col("total"),
+        )
+    )
+    return ranked.where(
+        (F.col("rank") == 1)
+        | (
+            F.col("cum_share") - F.col("n").cast("double") / F.col("total")
+            < _VOCAB_COVERAGE
+        )
+    ).select("tok", "n", "rank", "cum_share")

@@ -420,3 +420,87 @@ def q51_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.collect_set("doc_id")).cast("long").alias("df"),
         F.sort_array(F.collect_set("doc_id")).alias("postings"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q86 — feature-hash embedding (the "hashing trick"): a REAL distributed
+# text-vectorization pass — every token occurrence votes ±1 into one of D
+# hash buckets, per-doc vectors are L2-normalized. This is the embedding
+# generator you can run on 100 TB with no model server: the output feeds
+# q29's similarity stack directly. Long-form (doc_id, dim, weight) output
+# keeps the result hash-checkable (no array columns).
+# ---------------------------------------------------------------------------
+
+_FH_DIM = 16
+
+
+@register(
+    "q86_feature_hash_embed",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, t.tok FROM documents,
+             unnest(string_split(text, ' ')) AS t(tok)
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 1))::BIGINT % {_FH_DIM}
+                   AS INTEGER) AS dim,
+               CASE WHEN ('0x' || substr(md5(tok), 2, 1))::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM tok
+    ),
+    vec AS (
+        SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS raw
+        FROM hashed GROUP BY doc_id, dim
+    ),
+    nrm AS (
+        SELECT doc_id, sqrt(CAST(sum(raw * raw) AS DOUBLE)) AS l2
+        FROM vec GROUP BY doc_id
+    )
+    SELECT v.doc_id, v.dim, v.raw,
+           CAST(v.raw AS DOUBLE) / n.l2 AS weight
+    FROM vec v JOIN nrm n ON n.doc_id = v.doc_id
+    WHERE n.l2 > 0
+    """,
+)
+def q86_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature-hash embedding: token → (md5-nibble bucket of
+    {_FH_DIM}, ±1 sign), summed per (doc, bucket), L2-normalized per doc.
+
+    Scale shape: explode + ONE map-side-combined hash agg builds the raw
+    vectors (integer sums — shuffle-order-independent, hence the exact
+    oracle); the norm is a second agg on a key the rows already carry and
+    joins back co-partitioned on doc_id, so the whole featurizer is two
+    combinable aggregates — no window, no Python, no model inference.
+    """
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    h = F.md5(F.col("tok"))
+    hashed = toks.select(
+        "doc_id",
+        (F.conv(F.substring(h, 1, 1), 16, 10).cast("long") % _FH_DIM)
+        .cast("int")
+        .alias("dim"),
+        F.when(
+            F.conv(F.substring(h, 2, 1), 16, 10).cast("long") % 2 == 0, 1
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    vec = hashed.groupBy("doc_id", "dim").agg(
+        F.sum("sgn").cast("long").alias("raw")
+    )
+    nrm = vec.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("raw") * F.col("raw")).cast("double")).alias("l2")
+    )
+    return (
+        vec.join(nrm, "doc_id")
+        .where(F.col("l2") > 0)
+        .select(
+            "doc_id",
+            "dim",
+            "raw",
+            (F.col("raw").cast("double") / F.col("l2")).alias("weight"),
+        )
+    )

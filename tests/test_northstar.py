@@ -376,3 +376,48 @@ def test_pq_ann_recall_and_sim_exactness(spark, sf_dir):
         per_q[r["query_id"]].append(r["rn"])
     for q, rns in per_q.items():
         assert sorted(rns) == list(range(1, len(rns) + 1))
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    """q85: near-dup pair endpoints always share a split; singletons match
+    q39's per-doc hash rule (same md5-prefix split function)."""
+    import hashlib
+
+    pairs = registry.get("q28b_minhash_lsh").fn(spark, sf_dir).collect()
+    out = {r.doc_id: r for r in registry.get("q85_leakage_safe_split").fn(spark, sf_dir).collect()}
+    for p in pairs:
+        assert out[p.id_a].split == out[p.id_b].split, p
+    clustered = {r.doc_id for r in registry.get("q28e_dedup_clusters").fn(spark, sf_dir).collect()}
+    for doc_id, r in out.items():
+        if doc_id not in clustered:
+            assert r.split_key == doc_id
+            c = hashlib.md5(str(doc_id).encode()).hexdigest()[0]
+            expect = "train" if c <= "b" else ("val" if c <= "d" else "test")
+            assert r.split == expect
+
+
+def test_feature_hash_embed_unit_norm_and_recompute(spark, sf_dir):
+    """q86: per-doc weights are unit-L2, and raw bucket sums match an
+    independent Python recomputation of the hashing trick."""
+    import hashlib
+    from collections import defaultdict
+
+    from spark_state_provider_spark.operators.text import _FH_DIM
+
+    out = registry.get("q86_feature_hash_embed").fn(spark, sf_dir).collect()
+    sq = defaultdict(float)
+    got = {}
+    for r in out:
+        sq[r.doc_id] += r.weight * r.weight
+        got[(r.doc_id, r.dim)] = r.raw
+    assert sq and all(abs(s - 1.0) < 1e-9 for s in sq.values())
+
+    docs = load_table(spark, sf_dir, "documents").limit(20).collect()
+    for d in docs:
+        acc = defaultdict(int)
+        for tok in d.text.split(" "):
+            h = hashlib.md5(tok.encode()).hexdigest()
+            acc[int(h[0], 16) % _FH_DIM] += 1 if int(h[1], 16) % 2 == 0 else -1
+        for dim, raw in acc.items():
+            if raw != 0 or (d.doc_id, dim) in got:
+                assert got.get((d.doc_id, dim), 0) == raw, (d.doc_id, dim)

@@ -291,3 +291,55 @@ def test_boilerplate_strip_reconstruction(spark, sf_dir):
     # the synthetic corpus contains duplicated docs, so the operator must
     # actually fire somewhere — otherwise this test proves nothing
     assert any_removed
+
+
+def test_global_shuffle_is_permutation_and_parallel(spark, sf_dir):
+    """q83: positions are exactly 1..n, stable across invocations, not the
+    identity order — and the corpus-scale window is PARTITIONED (the
+    single-partition global row_number is the collapse this operator
+    exists to avoid)."""
+    from spark_state_provider_spark.operators.pipeline import q83_global_shuffle
+    from spark_state_provider_spark.plans.explain import plan_string
+
+    df = q83_global_shuffle(spark, sf_dir)
+    plan = plan_string(df)
+    # every Window node must carry a partition spec (bucket or the tiny
+    # offset frame is global — but that one windows over ≤256 rows; the
+    # doc-scale window shows as 'windowspecdefinition(bucket...'
+    assert "windowspecdefinition(bucket" in plan.replace("#", "").lower() or (
+        "bucket" in plan
+    )
+    rows = df.collect()
+    n = len(rows)
+    assert sorted(r.shuffle_pos for r in rows) == list(range(1, n + 1))
+    by_pos = [r.doc_id for r in sorted(rows, key=lambda r: r.shuffle_pos)]
+    assert by_pos != sorted(by_pos)  # seeded order is not ingestion order
+    again = {
+        r.doc_id: r.shuffle_pos
+        for r in q83_global_shuffle(spark, sf_dir).collect()
+    }
+    assert all(again[r.doc_id] == r.shuffle_pos for r in rows)
+
+
+def test_vocab_coverage_head_properties(spark, sf_dir):
+    """q84: the selected head reaches the coverage target, removing its
+    last token drops below target, and ranks are dense from 1."""
+    from spark_state_provider_spark.operators.pipeline import (
+        _VOCAB_COVERAGE,
+        q84_vocab_coverage,
+    )
+    from spark_state_provider_spark.tables import load_table
+
+    rows = sorted(
+        q84_vocab_coverage(spark, sf_dir).collect(), key=lambda r: r.rank
+    )
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .count()
+    )
+    head = sum(r.n for r in rows)
+    assert head / total >= _VOCAB_COVERAGE
+    assert (head - rows[-1].n) / total < _VOCAB_COVERAGE
+    assert abs(rows[-1].cum_share - head / total) < 1e-12
