@@ -56,6 +56,7 @@ HEADLINE = [
     "q33c_tpch_q18",
     "q34_tpch_q5",
     "q30c_token_freq",
+    "q87_rare_ngram_ratio",
     "q31_multimodal_meta",
     "q38_sequence_packing",
     "q41_repetition_stats",

@@ -67,6 +67,13 @@ QUERIES = [
     "q57_funnel",
     "q58_range_frame",
     "q59_table_fingerprint",
+    # round-2 additions: dedup finishing, training-order, featurization
+    "q80_cluster_representative",
+    "q81_boilerplate_strip",
+    "q83_global_shuffle",
+    "q86_feature_hash_embed",
+    "q87_rare_ngram_ratio",
+    "q29f_pq_ann",
 ]
 
 

@@ -504,3 +504,71 @@ def q86_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("raw").cast("double") / F.col("l2")).alias("weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q87 — rare-n-gram ratio: the "is this text like anything else in the
+# corpus?" quality filter. Word trigrams unique to a single document mark
+# novel (or garbled/OCR-damaged) content; near-duplicate copies share
+# almost all their trigrams. Pipelines threshold on this ratio both ways:
+# too low → boilerplate/duplicate, too high on a clean corpus → noise.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q87_rare_ngram_ratio",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    tri AS (
+        SELECT doc_id, l[i.i] || ' ' || l[i.i+1] || ' ' || l[i.i+2] AS tg
+        FROM tok, unnest(generate_series(1, len(l) - 2)) AS i(i)
+        WHERE len(l) >= 3
+    ),
+    df AS (SELECT tg, count(DISTINCT doc_id) AS ndocs FROM tri GROUP BY tg)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(count(*) FILTER (WHERE df.ndocs = 1) AS BIGINT) AS n_rare,
+           CAST(count(*) FILTER (WHERE df.ndocs = 1) AS DOUBLE) / count(*)
+               AS rare_ratio
+    FROM tri t JOIN df USING (tg)
+    GROUP BY t.doc_id
+    """,
+)
+def q87_rare_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document share of word trigrams that occur in NO other document.
+
+    Scale shape: trigram expansion is a narrow row-expanding map; the
+    document-frequency table is one count-distinct hash agg keyed on the
+    trigram; the flagging join is co-keyed on the same column the rows
+    carry, and the per-doc rollup partial-aggregates map-side. Same
+    linear skeleton as the MinHash pipeline (explode → agg → join →
+    agg), no pairwise work anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
+    tri = (
+        d.where(F.size("l") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 2), i -> "
+                    "concat(element_at(l, i), ' ', element_at(l, i + 1), "
+                    "' ', element_at(l, i + 2)))"
+                )
+            ).alias("tg"),
+        )
+    )
+    df_ = tri.groupBy("tg").agg(F.count_distinct("doc_id").alias("ndocs"))
+    flagged = tri.join(df_, "tg").withColumn("rare", F.col("ndocs") == 1)
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_ngrams"),
+        F.sum(F.when(F.col("rare"), 1).otherwise(0)).cast("long").alias("n_rare"),
+        (
+            F.sum(F.when(F.col("rare"), 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("rare_ratio"),
+    )

@@ -421,3 +421,19 @@ def test_feature_hash_embed_unit_norm_and_recompute(spark, sf_dir):
         for dim, raw in acc.items():
             if raw != 0 or (d.doc_id, dim) in got:
                 assert got.get((d.doc_id, dim), 0) == raw, (d.doc_id, dim)
+
+
+def test_rare_ngram_ratio_separates_duplicates(spark, sf_dir):
+    """q87: documents with a near-duplicate share almost all trigrams, so
+    their rare-ngram ratio must sit well below the rest of the corpus."""
+    pairs = registry.get("q28b_minhash_lsh").fn(spark, sf_dir).collect()
+    dup_docs = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert dup_docs
+    rows = registry.get("q87_rare_ngram_ratio").fn(spark, sf_dir).collect()
+    dup = [r.rare_ratio for r in rows if r.doc_id in dup_docs]
+    rest = [r.rare_ratio for r in rows if r.doc_id not in dup_docs]
+    assert dup and rest
+    assert sum(dup) / len(dup) < 0.5 * (sum(rest) / len(rest))
+    for r in rows:
+        assert 0.0 <= r.rare_ratio <= 1.0
+        assert r.n_rare <= r.n_ngrams
