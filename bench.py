@@ -98,6 +98,10 @@ HEADLINE = [
     "q77_doc_chunking",
     "q78_incremental_dedup",
     "q79_salted_join",
+    # composed/maintenance ops (round 2, second batch)
+    "q88_rollup_hierarchy",
+    "q89_small_file_compaction",
+    "q90_corpus_pipeline",
 ]
 
 

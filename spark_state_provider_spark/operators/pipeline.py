@@ -892,3 +892,133 @@ def q84_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             < _VOCAB_COVERAGE
         )
     ).select("tok", "n", "rank", "cum_share")
+
+
+# ---------------------------------------------------------------------------
+# q90 — the composed end-to-end training-corpus pipeline: quality gate →
+# exact dedup → benchmark decontamination → split/pack accounting, as ONE
+# lazy plan. Each stage exists standalone elsewhere (q30e quality, q28
+# dedup, q46 contamination, q39 split, q38 packing); this operator proves
+# they compose — the DuckDB oracle replays the identical CTE chain, so the
+# whole pipeline (not just each stage) is hash-verified.
+# ---------------------------------------------------------------------------
+
+_PIPE_MIN_CHARS = 100  # quality gate: minimum document length
+_PIPE_MIN_TOKS = 10  # quality gate: minimum whitespace tokens
+
+
+@register(
+    "q90_corpus_pipeline",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, text, source,
+               {_SPLIT_CASE} AS split,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+        FROM documents
+        WHERE length(text) >= {_PIPE_MIN_CHARS}
+          AND len(string_split(text, ' ')) >= {_PIPE_MIN_TOKS}
+          AND doc_id % 97 <> 0
+    ),
+    s AS (
+        SELECT * FROM (
+            SELECT *, min(doc_id) OVER (PARTITION BY text) AS rep FROM q
+        ) WHERE doc_id = rep
+    ),
+    tok AS (
+        SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    tri AS (
+        SELECT DISTINCT doc_id, t.tri
+        FROM tok, unnest(list_transform(
+            generate_series(1, len(l) - 2),
+            i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        )) AS t(tri)
+    ),
+    contam AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS ns
+            FROM tri c JOIN tri b USING (tri)
+            WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+            GROUP BY c.doc_id, b.doc_id
+            HAVING count(*) >= {CONTAM_MIN_SHARED}
+        )
+    ),
+    clean AS (
+        SELECT * FROM s WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    )
+    SELECT source, split,
+           count(*) AS n_docs,
+           sum(est_tokens) AS n_tokens,
+           CAST(ceil(sum(est_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS n_packs
+    FROM clean
+    GROUP BY source, split
+    """,
+)
+def q90_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus build: quality gate → exact dedup (min-doc_id
+    representative) → benchmark decontamination (≥{CONTAM_MIN_SHARED}
+    shared word-trigrams with the doc_id%97 benchmark slice) → per
+    (source, split) doc/token/pack accounting.
+
+    Scale shape of the composed plan (all lazy, Catalyst fuses the stages):
+    the quality gate is a narrow filter ON THE SCAN (no extra pass); exact
+    dedup is the plan's one fact-sized shuffle, keyed by text (at 100 TB
+    key by md5(text) — same semantics, 16-byte shuffle key instead of the
+    document body; raw text is kept here so the DuckDB oracle is literal);
+    the contamination probe broadcasts only benchmark trigrams (benchmark
+    suites are MBs against a 100 TB corpus), so the corpus side is a
+    map-side hash probe; the contaminated-id set (bounded by benchmark
+    overlap, not corpus size) broadcasts back as an anti join; the final
+    rollup is a combinable agg on (source, split) — a few hundred groups.
+    Stage order matters and is chosen cheapest-first: the quality filter
+    prunes before the dedup shuffle, and only deduped survivors are probed
+    for contamination.
+    """
+    from spark_state_provider_spark.operators.dedup import _trigrams_persisted
+
+    d = load_table(spark, sf_dir, "documents")
+    split = (
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "b",
+            "train",
+        )
+        .when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "d", "val")
+        .otherwise("test")
+    )
+    q = d.where(
+        (F.length("text") >= _PIPE_MIN_CHARS)
+        & (F.size(F.split("text", " ")) >= _PIPE_MIN_TOKS)
+        & (F.col("doc_id") % 97 != 0)
+    ).select(
+        "doc_id",
+        "text",
+        "source",
+        split.alias("split"),
+        F.ceil(F.length("text") / 4.0).alias("est_tokens"),
+    )
+    s = (
+        q.withColumn("rep", F.min("doc_id").over(Window.partitionBy("text")))
+        .where(F.col("doc_id") == F.col("rep"))
+        .drop("rep", "text")
+    )
+    tri = _trigrams_persisted(spark, sf_dir)
+    bench = tri.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "tri"
+    )
+    contam = (
+        tri.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "tri")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("ns"))
+        .where(F.col("ns") >= CONTAM_MIN_SHARED)
+        .select("doc_id")
+        .distinct()
+    )
+    clean = s.join(F.broadcast(contam), "doc_id", "left_anti")
+    return clean.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("est_tokens").alias("n_tokens"),
+        F.ceil(F.sum("est_tokens") / float(PACK_BUDGET)).alias("n_packs"),
+    )

@@ -377,3 +377,91 @@ def q66_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         _sh.rmtree(ckpt, ignore_errors=True)
     return spark.table("mem_q66")
+
+
+# ---------------------------------------------------------------------------
+# q89 — small-file compaction: the maintenance pass every long-lived
+# 100 TB table needs. Streaming ingestion / per-batch writes fragment a
+# table into thousands of tiny files (here: 64 round-robin shards of the
+# documents table); the compactor rewrites them into a few large
+# range-clustered files. Row-for-row content equality is certified with an
+# order-insensitive xor fingerprint (same construction as
+# q59_table_fingerprint), and the file counts before/after come from the
+# parquet scan's `_metadata.file_path` — the real physical layout, not an
+# assumption.
+# ---------------------------------------------------------------------------
+
+_COMPACT_SHARDS = 64  # fragmented input files (one per repartition slot)
+_COMPACT_TARGET = 4  # compacted output files
+
+
+@register(
+    "q89_small_file_compaction",
+    oracle=f"""
+    SELECT CAST({_COMPACT_SHARDS} AS BIGINT) AS files_before,
+           CAST({_COMPACT_TARGET} AS BIGINT) AS files_after,
+           count(*) AS n_rows,
+           bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),
+                    1, 12))::BIGINT) AS content_fp
+    FROM documents
+    """,
+)
+def q89_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment → compact → certify: rewrite {_COMPACT_SHARDS} small parquet
+    files as {_COMPACT_TARGET} range-clustered ones and prove bit-exact
+    content preservation plus the physical file counts.
+
+    Scale design: compaction is a single `repartitionByRange` on the
+    cluster key — one shuffle sized by the data, no driver involvement; at
+    100 TB you run it per partition-directory (compact yesterday's files
+    only), so cost tracks the daily increment, not the table. The range
+    partitioner samples the key distribution, so output files are
+    size-balanced even under doc-size skew. The fingerprint check is one
+    combinable agg per side (the q59 pattern) — certifying the rewrite
+    costs two scans, no sort, no join. `_metadata.file_path` counts the
+    files actually scanned, making the before/after layout part of the
+    verified contract rather than a comment.
+    """
+    frag_dir = _out(sf_dir, "frag_parquet")
+    compact_dir = _out(sf_dir, "compact_parquet")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(_COMPACT_SHARDS).write.mode("overwrite").parquet(frag_dir)
+
+    frag = spark.read.parquet(frag_dir)
+    frag.repartitionByRange(_COMPACT_TARGET, "doc_id").write.mode(
+        "overwrite"
+    ).parquet(compact_dir)
+
+    def layout(path: str):
+        d = spark.read.parquet(path)
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), "text")),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return d.select(
+            F.col("_metadata.file_path").alias("fp_path"), h.alias("h")
+        ).agg(
+            F.count_distinct("fp_path").alias("n_files"),
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(h)").alias("content_fp"),
+        )
+
+    before = layout(frag_dir).select(
+        F.col("n_files").alias("files_before"),
+        F.col("n_rows").alias("rows_before"),
+        F.col("content_fp").alias("fp_before"),
+    )
+    after = layout(compact_dir)
+    # one-row × one-row broadcast combine; equality of the two fingerprints
+    # is part of the returned (oracle-checked) row via the shared columns
+    return before.crossJoin(F.broadcast(after)).select(
+        "files_before",
+        F.col("n_files").alias("files_after"),
+        "n_rows",
+        "content_fp",
+    )

@@ -469,3 +469,82 @@ def q62_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_active").cast("double") / F.col("cohort_size").cast("double")
         ).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q88 — multi-resolution rollup hierarchy (hour → day → month), the
+# continuous-aggregate / hypertable-rollup shape: coarser grains are
+# derived FROM the finer grain's partial aggregates, never from a re-scan
+# of the raw events. The oracle computes every grain directly from the raw
+# table, so equality proves the merge-from-partials property (count and
+# decimal-cent sums are mergeable; the same bits come out either way).
+# ---------------------------------------------------------------------------
+
+_ROLLUP_GRAINS = ("hour", "day", "month")
+
+
+def _rollup_oracle() -> str:
+    parts = []
+    for g in _ROLLUP_GRAINS:
+        parts.append(
+            f"SELECT '{g}' AS resolution, event_type, "
+            f"date_trunc('{g}', ts) AS bucket, "
+            f"count(*) AS n_events, "
+            f"CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 "
+            f"AS sum_value "
+            f"FROM events GROUP BY event_type, date_trunc('{g}', ts)"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("q88_rollup_hierarchy", oracle=_rollup_oracle())
+def q88_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour/day/month rollup pyramid built bottom-up from hourly partials.
+
+    Scale design: raw events are scanned and shuffled ONCE (the hourly
+    aggregate — verified by the plan test: one FileScan in the whole
+    plan); each hourly partial then fans out to its (hour, day, month)
+    grain rows and a second, hourly-sized aggregation merges them per
+    grain. A naive union of per-grain aggregates would re-scan the fact
+    table once per grain (Spark's ReuseExchange does not canonicalize the
+    three branches together), which at 100 TB is 3 scans instead of 1 —
+    the explode-then-merge shape buys grain count × cheaper refresh, and
+    is exactly how a materialized rollup pyramid is maintained: persist
+    the hourly layer, re-derive every coarser grain from it. Sums
+    accumulate as exact integer cents so the merged path is bit-identical
+    to the oracle's direct per-grain computation at any parallelism.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    hourly = ev.groupBy("event_type", "hour").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("vc").cast("decimal(38,0)")).alias("sv"),
+    )
+    fanned = hourly.select(
+        "event_type",
+        "n_events",
+        "sv",
+        F.explode(F.array(*[F.lit(g) for g in _ROLLUP_GRAINS])).alias(
+            "resolution"
+        ),
+        "hour",
+    ).withColumn(
+        "bucket",
+        F.when(F.col("resolution") == "hour", F.col("hour"))
+        .when(F.col("resolution") == "day", F.date_trunc("day", "hour"))
+        .otherwise(F.date_trunc("month", "hour")),
+    )
+    return (
+        fanned.groupBy("resolution", "event_type", "bucket")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+        .select(
+            "resolution",
+            "event_type",
+            "bucket",
+            "n_events",
+            (F.col("sv").cast("double") / 100).alias("sum_value"),
+        )
+    )

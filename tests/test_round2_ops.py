@@ -1,0 +1,134 @@
+"""Round-2 additions: rollup hierarchy (q88), small-file compaction (q89),
+composed corpus pipeline (q90) — oracle parity plus the scale properties
+each operator's docstring claims (single raw scan, physical layout change,
+stage-composition invariants)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from spark_state_provider_spark import operators
+from spark_state_provider_spark.operators import registry
+from spark_state_provider_spark.plans.explain import plan_string
+from tests.oracle import compare_query
+
+operators.load_all()
+
+
+def _df(spark, sf_dir, name):
+    return registry.get(name).fn(spark, sf_dir)
+
+
+# -- q88 rollup hierarchy ----------------------------------------------------
+
+
+def test_q88_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q88_rollup_hierarchy")
+
+
+def test_q88_single_raw_scan(spark, sf_dir):
+    """The pyramid is derived from hourly partials: exactly ONE parquet
+    scan in the whole plan (a per-grain union would scan 3×)."""
+    plan = plan_string(_df(spark, sf_dir, "q88_rollup_hierarchy"), "simple")
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_q88_grains_conserve_totals(spark, sf_dir):
+    """Every resolution partitions the same events: per-grain totals of
+    n_events and sum_value agree exactly (mergeability, the property the
+    operator exists to certify)."""
+    rows = _df(spark, sf_dir, "q88_rollup_hierarchy").collect()
+    by_res: dict[str, tuple[int, float]] = {}
+    for r in rows:
+        n, s = by_res.get(r.resolution, (0, 0.0))
+        by_res[r.resolution] = (n + r.n_events, s + r.sum_value)
+    assert set(by_res) == {"hour", "day", "month"}
+    (n0, s0), *rest = by_res.values()
+    for n, s in rest:
+        assert n == n0
+        assert abs(s - s0) < 1e-6  # cent-exact sums, float only at output
+
+
+# -- q89 small-file compaction ----------------------------------------------
+
+
+def test_q89_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q89_small_file_compaction")
+
+
+def test_q89_layout_and_content(spark, sf_dir):
+    from spark_state_provider_spark.operators.sources_sinks import (
+        _COMPACT_SHARDS,
+        _COMPACT_TARGET,
+    )
+
+    row = _df(spark, sf_dir, "q89_small_file_compaction").collect()[0]
+    assert row.files_before == _COMPACT_SHARDS
+    assert row.files_after == _COMPACT_TARGET
+    # fingerprint equals the source table's (content preserved bit-exactly)
+    from spark_state_provider_spark.tables import load_table
+
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.col("doc_id").cast("string"), "text"
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h")
+        )
+        .agg(F.expr("bit_xor(h)").alias("fp"))
+        .collect()[0]
+    )
+    assert row.content_fp == src.fp
+
+
+# -- q90 composed corpus pipeline -------------------------------------------
+
+
+def test_q90_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q90_corpus_pipeline")
+
+
+def test_q90_stage_monotonicity(spark, sf_dir):
+    """Each stage only removes documents: pipeline output ≤ quality-gated
+    count ≤ raw count; pack counts are exactly ceil(tokens/budget)."""
+    from spark_state_provider_spark.operators.pipeline import (
+        _PIPE_MIN_CHARS,
+        _PIPE_MIN_TOKS,
+        PACK_BUDGET,
+    )
+    from spark_state_provider_spark.tables import load_table
+
+    rows = _df(spark, sf_dir, "q90_corpus_pipeline").collect()
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.count()
+    gated = docs.where(
+        (F.length("text") >= _PIPE_MIN_CHARS)
+        & (F.size(F.split("text", " ")) >= _PIPE_MIN_TOKS)
+        & (F.col("doc_id") % 97 != 0)
+    ).count()
+    survived = sum(r.n_docs for r in rows)
+    assert survived <= gated <= raw
+    assert survived > 0
+    for r in rows:
+        assert r.n_packs == math.ceil(r.n_tokens / PACK_BUDGET)
+        assert set(rows[0].asDict()) == {
+            "source",
+            "split",
+            "n_docs",
+            "n_tokens",
+            "n_packs",
+        }
