@@ -51,6 +51,7 @@ HEADLINE = [
     "q29b_ann_lsh",
     "q29d_ivf_ann",
     "q29f_pq_ann",
+    "q91_multiprobe_lsh",
     "q33_tpch_q3",
     "q33b_tpch_q10",
     "q33c_tpch_q18",

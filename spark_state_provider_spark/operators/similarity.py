@@ -817,3 +817,143 @@ def q29f_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rer.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") <= TOP_K
     )
+
+
+# ---------------------------------------------------------------------------
+# q91 — MULTI-PROBE hyperplane LSH: the recall lever that doesn't cost
+# tables. SCALE.md tracks q29b/q29d recall (~0.4-0.7 on these weakly
+# clustered synthetic vectors) as a known risk; multi-probe attacks it by
+# also searching every bucket at Hamming distance 1 from the query's
+# bucket in each table (flip one hyperplane bit). Candidates are a strict
+# SUPERSET of q29b's, so recall can only go up — for the cost of
+# (planes+1)× more PROBE rows (query-side only, still broadcast), not
+# more data-side hashing, storage, or tables. The classic alternative —
+# more tables — multiplies the data-side index; multi-probe multiplies
+# only the query fan-out, which is the right trade at 100 TB where the
+# index dominates.
+# ---------------------------------------------------------------------------
+
+_MP_MASKS = [0] + [1 << i for i in range(N_PLANES)]  # self + 1-bit flips
+
+
+def _multiprobe_oracle() -> str:
+    tables = [
+        _deterministic_planes(N_PLANES, _EMB_DIM, seed=t) for t in range(N_TABLES)
+    ]
+    legs = []
+    for t, planes in enumerate(tables):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in plane)}])"
+            f" >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        )
+        legs.append(f"SELECT vec_id, v, {t} AS tbl, {bits} AS bucket FROM e")
+    union = " UNION ALL ".join(legs)
+    masks = ", ".join(str(m) for m in _MP_MASKS)
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    b AS ({union}),
+    q AS (
+        SELECT vec_id AS query_id, tbl AS qtbl, xor(bucket, m.m) AS qbucket
+        FROM b, unnest([{masks}]) AS m(m)
+        WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+        FROM q JOIN b ON b.tbl = q.qtbl AND b.bucket = q.qbucket
+                     AND b.vec_id <> q.query_id
+    ),
+    s AS (
+        SELECT c.query_id, c.neighbor_id, {_DUCK_COS} AS sim
+        FROM cand c
+        JOIN (SELECT vec_id, v AS qv FROM e) a ON a.vec_id = c.query_id
+        JOIN (SELECT vec_id, v AS nv FROM e) d ON d.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rn FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+        ) AS rn FROM s
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+@register("q91_multiprobe_lsh", oracle=_multiprobe_oracle())
+def q91_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-{TOP_K} with 1-bit multi-probe over the q29b index: each
+    query probes its own bucket plus the {N_PLANES} buckets one bit-flip
+    away, per table — same data-side index, (1+{N_PLANES})× query fan-out,
+    candidate superset of q29b (recall-dominance asserted in tests).
+
+    Plan shape: identical to q29b (bucket equijoin against a broadcast
+    query side, exact re-rank on the candidate set) — the probe expansion
+    is query-side-only, so data-side cost is unchanged at any scale.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("nrm", norm(F.col("v")))
+    )
+    dim = len(emb.select("v").first()["v"])
+    if dim != _EMB_DIM:
+        raise ValueError(
+            f"embedding dim {dim} != _EMB_DIM {_EMB_DIM}; update _EMB_DIM so "
+            "the oracle's plane literals match the data"
+        )
+    planes = [
+        _deterministic_planes(N_PLANES, dim, seed=t) for t in range(N_TABLES)
+    ]
+    bucketed = emb.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.posexplode(hyperplane_buckets(F.col("v"), planes)).alias(
+            "tbl", "bucket"
+        ),
+    )
+    q = (
+        bucketed.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.col("tbl").alias("qtbl"),
+            F.explode(
+                F.array(*[F.lit(m) for m in _MP_MASKS])
+            ).alias("mask"),
+            F.col("bucket").alias("qb0"),
+        )
+        .withColumn("qbucket", F.col("qb0").bitwiseXOR(F.col("mask")))
+    )
+    cands = (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "qv",
+            "v",
+            "qnrm",
+            "nrm",
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_prenormed(
+                F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return cands.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= TOP_K
+    )

@@ -132,3 +132,24 @@ def test_q90_stage_monotonicity(spark, sf_dir):
             "n_tokens",
             "n_packs",
         }
+
+
+# -- q91 multi-probe LSH -----------------------------------------------------
+
+
+def test_q91_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q91_multiprobe_lsh")
+
+
+def test_q91_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe candidates are a superset of q29b's, so recall vs the
+    brute-force truth can only be ≥ single-probe recall."""
+    brute = registry.get("q29_knn_brute").fn(spark, sf_dir).collect()
+    sp = registry.get("q29b_ann_lsh").fn(spark, sf_dir).collect()
+    mp = registry.get("q91_multiprobe_lsh").fn(spark, sf_dir).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in brute if r.rn <= 3}
+    sp_pairs = {(r.query_id, r.neighbor_id) for r in sp}
+    mp_pairs = {(r.query_id, r.neighbor_id) for r in mp}
+    sp_recall = len(truth & sp_pairs) / len(truth)
+    mp_recall = len(truth & mp_pairs) / len(truth)
+    assert mp_recall >= sp_recall, (mp_recall, sp_recall)
