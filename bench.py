@@ -98,6 +98,7 @@ HEADLINE = [
     "q76_dynamic_partition_pruning",
     "q77_doc_chunking",
     "q78_incremental_dedup",
+    "q92_stream_incremental_dedup",
     "q79_salted_join",
     # composed/maintenance ops (round 2, second batch)
     "q88_rollup_hierarchy",

@@ -270,7 +270,14 @@ def _trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    return _trigrams_of(load_table(spark, sf_dir, "documents"))
+
+
+def _trigrams_of(d: DataFrame) -> DataFrame:
+    """Same shingling over an arbitrary (doc_id, text) frame — used by the
+    q92 streaming twin on each incoming micro-batch."""
+    from pyspark.sql.window import Window
+
     # spread docs across cores before the explode: the testdata table is a
     # single parquet file (one input split), and the window shuffle comes
     # only after tokenization
@@ -776,9 +783,49 @@ def q54_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INC_MOD = 5  # doc_id % 5 == 0 -> incoming batch, else corpus
 
 
-@register(
-    "q78_incremental_dedup",
-    oracle=f"""
+def _minhash_bands(tri: DataFrame) -> DataFrame:
+    """(doc_id, n, band, bkey) MinHash band keys from a distinct
+    (doc_id, tri) shingle frame — the shared index-building step of q78
+    (batch incremental probe) and q92 (its streaming twin)."""
+    sig = tri.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("tri")))).alias(f"h{i}")
+            for i, s in enumerate(_SALTS)
+        ],
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "",
+                    F.array_sort(
+                        F.array(
+                            *[
+                                F.col(f"h{i}")
+                                for i in range(N_SALTS)
+                                if i % N_BANDS == b
+                            ]
+                        )
+                    ),
+                ).alias("bkey"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", "n", F.explode(band_structs).alias("bs")).select(
+        "doc_id",
+        "n",
+        F.col("bs.band").alias("band"),
+        F.col("bs.bkey").alias("bkey"),
+    )
+
+
+# shared by q78 (batch) and q92 (streaming twin, streaming_queries.py):
+# deterministic micro-batch replay makes the streamed union of per-batch
+# probes equal the one-shot batch computation, so both use this oracle.
+_INC_DEDUP_ORACLE = f"""
     WITH {_DUCK_TRI},
     salts AS ({_DUCK_SALTS}),
     mh AS (
@@ -814,8 +861,10 @@ _INC_MOD = 5  # doc_id % 5 == 0 -> incoming batch, else corpus
     JOIN sizes sb ON sb.doc_id = i.id_corpus
     WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)
           >= {JACCARD_THRESHOLD}
-    """,
-)
+    """
+
+
+@register("q78_incremental_dedup", oracle=_INC_DEDUP_ORACLE)
 def q78_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs between an incoming batch and the existing corpus
     (same shingle→minhash→band pipeline as q28b, but the bucket join is
@@ -831,38 +880,7 @@ def q78_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicates (the drop/keep decision is a groupBy away).
     """
     tri = _trigrams_persisted(spark, sf_dir)
-    sig = tri.groupBy("doc_id").agg(
-        F.count("*").alias("n"),
-        *[
-            F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("tri")))).alias(f"h{i}")
-            for i, s in enumerate(_SALTS)
-        ],
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "",
-                    F.array_sort(
-                        F.array(
-                            *[
-                                F.col(f"h{i}")
-                                for i in range(N_SALTS)
-                                if i % N_BANDS == b
-                            ]
-                        )
-                    ),
-                ).alias("bkey"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", "n", F.explode(band_structs).alias("bs")
-    ).select(
-        "doc_id", "n", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey")
-    )
+    bands = _minhash_bands(tri)
     new_b = bands.where(F.col("doc_id") % _INC_MOD == 0).select(
         F.col("doc_id").alias("id_new"),
         F.col("n").alias("na"),

@@ -476,3 +476,136 @@ def q21s2_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("w.start").alias("window_start"), "n_events")
         )
         return run_to_memory(agg, "mem_q21s2", "complete")
+
+
+# ---------------------------------------------------------------------------
+# q92 — STREAMING incremental near-dedup: q78's continuous-crawl form.
+# The corpus MinHash band index and shingle sets are built ONCE before the
+# stream starts (at 100 TB: maintained at ingest, stored partitioned by
+# band key); each arriving document micro-batch computes its own
+# signatures inside ``foreachBatch``, equijoins into the persisted index,
+# exact-Jaccard-verifies its candidates, and APPENDS the flagged pairs to
+# the result table. Per-batch cost is O(batch + matching buckets) — the
+# corpus is never re-hashed, which is exactly why the streaming form
+# exists. Deterministic batch replay ⇒ union of per-batch outputs equals
+# the one-shot batch computation ⇒ same oracle as q78.
+# ---------------------------------------------------------------------------
+
+
+def _register_q92() -> None:
+    from spark_state_provider_spark.operators.dedup import (
+        _INC_DEDUP_ORACLE,
+        _INC_MOD,
+        JACCARD_THRESHOLD,
+        _minhash_bands,
+        _trigrams_of,
+        _trigrams_persisted,
+    )
+
+    @register("q92_stream_incremental_dedup", oracle=_INC_DEDUP_ORACLE)
+    def q92_stream_incremental_dedup(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Streaming crawl-batch near-dedup against a persisted corpus
+        index ({N_BATCHES} document micro-batches through foreachBatch)."""
+        import os
+        import shutil
+        import tempfile
+
+        from pyspark.storagelevel import StorageLevel
+
+        from spark_state_provider_spark.streaming.sources import stream_docs
+
+        tri = _trigrams_persisted(spark, sf_dir)
+        corpus_tri = tri.where(F.col("doc_id") % _INC_MOD != 0)
+        # the index: band keys + verification shingle sets, built once
+        corp_bands = (
+            _minhash_bands(corpus_tri)
+            .select(
+                F.col("doc_id").alias("id_corpus"),
+                F.col("n").alias("nb"),
+                F.col("band").alias("band_b"),
+                F.col("bkey").alias("bkey_b"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        corp_sets = (
+            corpus_tri.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("tri")).alias("set_b"))
+            .select(F.col("doc_id").alias("id_corpus"), "set_b")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        corp_bands.count(), corp_sets.count()  # materialize before streaming
+
+        out_dir = tempfile.mkdtemp(prefix="ssps_q92_out_")
+        ckpt = tempfile.mkdtemp(prefix="ssps_ckpt_q92_")
+
+        def probe(batch_df: DataFrame, batch_id: int) -> None:
+            btri = _trigrams_of(batch_df.select("doc_id", "text"))
+            bsets = btri.groupBy("doc_id").agg(
+                F.sort_array(F.collect_set("tri")).alias("set_a"),
+                F.count("*").alias("na"),
+            )
+            bbands = _minhash_bands(btri).select(
+                F.col("doc_id").alias("id_new"),
+                F.col("band").alias("band_a"),
+                F.col("bkey").alias("bkey_a"),
+            )
+            cand = (
+                F.broadcast(bbands)
+                .join(
+                    corp_bands,
+                    (F.col("band_a") == F.col("band_b"))
+                    & (F.col("bkey_a") == F.col("bkey_b")),
+                )
+                .select("id_new", "id_corpus", "nb")
+                .distinct()
+            )
+            verified = (
+                cand.join(
+                    F.broadcast(
+                        bsets.select(
+                            F.col("doc_id").alias("id_new"), "set_a", "na"
+                        )
+                    ),
+                    "id_new",
+                )
+                .join(corp_sets, "id_corpus")
+                .withColumn(
+                    "n_inter", F.size(F.array_intersect("set_a", "set_b"))
+                )
+                .withColumn(
+                    "jaccard",
+                    F.col("n_inter").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                )
+                .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+                .select("id_new", "id_corpus", "jaccard")
+            )
+            verified.write.mode("append").parquet(out_dir)
+
+        with _streaming_session(spark):
+            docs = stream_docs(
+                spark, sf_dir, N_BATCHES, tag="incdedup", mod=_INC_MOD
+            )
+            q = (
+                docs.writeStream.foreachBatch(probe)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                finished = q.awaitTermination(180)
+            finally:
+                q.stop()
+                shutil.rmtree(ckpt, ignore_errors=True)
+            if not finished:
+                raise TimeoutError("q92 stream did not drain within 180s")
+        corp_bands.unpersist()
+        corp_sets.unpersist()
+        return spark.read.schema(
+            "id_new bigint, id_corpus bigint, jaccard double"
+        ).parquet(out_dir)
+
+
+_register_q92()

@@ -80,3 +80,69 @@ def stream_events(
         .option("recursiveFileLookup", "true")
         .parquet(path)
     )
+
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def split_docs_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 2,
+    tag: str = "docs",
+    mod: int | None = None,
+) -> str:
+    """Materialize (a slice of) the documents table as ``n_batches``
+    doc_id-ordered parquet files — the crawl-drop-directory analog for
+    streaming document pipelines (q92). ``mod`` keeps only
+    ``doc_id % mod == 0`` rows (the 'incoming batch' convention shared
+    with q78's batch form)."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"ssps_stream_{tag}_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{n_batches}_{mod}_{os.getpid()}",
+    )
+    done_marker = os.path.join(base, "_SSPS_DONE")
+    if os.path.exists(done_marker):
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents")
+    if mod is not None:
+        docs = docs.where(F.col("doc_id") % mod == 0)
+    docs = docs.orderBy("doc_id")
+    rows = docs.count()
+    per = (rows + n_batches - 1) // n_batches
+    ranked = docs.withColumn(
+        "_slice",
+        F.floor(
+            (F.row_number().over(Window.orderBy("doc_id")) - 1) / per
+        ).cast("int"),
+    )
+    for k in range(n_batches):
+        (
+            ranked.where(F.col("_slice") == k)
+            .drop("_slice")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, f"slice={k:03d}"))
+        )
+    open(done_marker, "w").close()
+    return base
+
+
+def stream_docs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 2,
+    tag: str = "docs",
+    mod: int | None = None,
+) -> DataFrame:
+    """Streaming DataFrame replaying (a slice of) documents in n batches."""
+    path = split_docs_dir(spark, sf_dir, n_batches, tag, mod)
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )

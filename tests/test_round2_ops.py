@@ -153,3 +153,27 @@ def test_q91_recall_dominates_single_probe(spark, sf_dir):
     sp_recall = len(truth & sp_pairs) / len(truth)
     mp_recall = len(truth & mp_pairs) / len(truth)
     assert mp_recall >= sp_recall, (mp_recall, sp_recall)
+
+
+# -- q92 streaming incremental dedup -----------------------------------------
+
+
+def test_q92_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q92_stream_incremental_dedup")
+
+
+def test_q92_equals_batch_form(spark, sf_dir):
+    """The streamed union of per-micro-batch probes equals q78's one-shot
+    batch computation (deterministic replay)."""
+    batch = {
+        (r.id_new, r.id_corpus, round(r.jaccard, 12))
+        for r in registry.get("q78_incremental_dedup").fn(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.id_new, r.id_corpus, round(r.jaccard, 12))
+        for r in registry.get("q92_stream_incremental_dedup")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert stream == batch
+    assert len(stream) > 0
