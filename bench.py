@@ -104,6 +104,12 @@ HEADLINE = [
     "q88_rollup_hierarchy",
     "q89_small_file_compaction",
     "q90_corpus_pipeline",
+    # round 2, third batch: runtime row pruning, anomaly monitor,
+    # quality-constraint audit, streaming hot-key detection
+    "q93_runtime_bloom_join",
+    "q94_rolling_anomaly",
+    "q95_data_quality_audit",
+    "q96_stream_heavy_hitters",
 ]
 
 

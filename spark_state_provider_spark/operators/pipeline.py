@@ -1022,3 +1022,130 @@ def q90_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("est_tokens").alias("n_tokens"),
         F.ceil(F.sum("est_tokens") / float(PACK_BUDGET)).alias("n_packs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q95 — single-pass data-quality audit (the Deequ-style constraint suite):
+# the gate every pipeline runs before trusting a new drop of data.
+# Scan-expressible constraints (completeness, uniqueness, accepted values,
+# value ranges) compile to conditional-count aggregates — ONE combinable
+# aggregate row per table, no matter how many constraints — and the one
+# relational constraint (FK referential integrity) is a broadcast-able
+# anti-join count. Output is a tidy (constraint, violations, n_checked,
+# passed) verdict table. One accepted-values constraint is deliberately
+# narrower than the data (o_orderpriority ∈ top-3 priorities) so the
+# failing branch of the verdict is exercised deterministically, not just
+# the all-green path.
+# ---------------------------------------------------------------------------
+
+_DQ_STATUS = ("O", "F", "P")
+_DQ_PRIORITY = ("1-URGENT", "2-HIGH", "3-MEDIUM")  # deliberately incomplete
+
+
+@register(
+    "q95_data_quality_audit",
+    oracle=f"""
+    WITH o AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS null_cust,
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
+               CAST(sum(CASE WHEN o_orderstatus NOT IN {_DQ_STATUS} THEN 1
+                             ELSE 0 END) AS BIGINT) AS bad_status,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN {_DQ_PRIORITY} THEN 1
+                             ELSE 0 END) AS BIGINT) AS bad_priority,
+               CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nonpos_price
+        FROM orders
+    ), l AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1
+                             ELSE 0 END) AS BIGINT) AS bad_qty
+        FROM lineitem
+    ), fk AS (
+        SELECT CAST(count(*) AS BIGINT) AS orphans,
+               (SELECT n FROM o) AS n
+        FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    )
+    SELECT 'orders.o_custkey.complete' AS constraint, null_cust AS violations,
+           n AS n_checked, null_cust = 0 AS passed FROM o
+    UNION ALL
+    SELECT 'orders.o_orderkey.unique', dup_keys, n, dup_keys = 0 FROM o
+    UNION ALL
+    SELECT 'orders.o_orderstatus.accepted', bad_status, n, bad_status = 0 FROM o
+    UNION ALL
+    SELECT 'orders.o_orderpriority.accepted', bad_priority, n,
+           bad_priority = 0 FROM o
+    UNION ALL
+    SELECT 'orders.o_totalprice.positive', nonpos_price, n,
+           nonpos_price = 0 FROM o
+    UNION ALL
+    SELECT 'lineitem.l_quantity.range', bad_qty, n, bad_qty = 0 FROM l
+    UNION ALL
+    SELECT 'orders.o_custkey.fk_customer', orphans, n, orphans = 0 FROM fk
+    """,
+)
+def q95_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-suite verdicts over orders/lineitem (+ the orders →
+    customer FK), one tidy row per constraint.
+
+    Scale shape: all six scan constraints ride TWO aggregate rows (one
+    combinable single-pass agg per table — adding a constraint adds a
+    column, not a scan); the FK check is a broadcast anti-join count of
+    the key column only. Everything stays one lazy plan — no eager
+    counts, no driver-side loop over constraints.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    o_agg = o.agg(
+        F.count("*").alias("n"),
+        cnt(F.col("o_custkey").isNull()).alias("null_cust"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_keys"),
+        cnt(~F.col("o_orderstatus").isin(*_DQ_STATUS)).alias("bad_status"),
+        cnt(~F.col("o_orderpriority").isin(*_DQ_PRIORITY)).alias(
+            "bad_priority"
+        ),
+        cnt(F.col("o_totalprice") <= 0).alias("nonpos_price"),
+    )
+    l_agg = li.agg(
+        F.count("*").alias("n"),
+        cnt(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+        ).alias("bad_qty"),
+    )
+    orphans = (
+        o.select("o_custkey")
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("orphans"))
+    )
+
+    def verdict(src, name, metric):
+        return src.select(
+            F.lit(name).alias("constraint"),
+            F.col(metric).alias("violations"),
+            F.col("n").alias("n_checked"),
+            (F.col(metric) == 0).alias("passed"),
+        )
+
+    fk = orphans.join(o_agg.select("n"))  # 1×1 row join — verdict context
+    return (
+        verdict(o_agg, "orders.o_custkey.complete", "null_cust")
+        .unionAll(verdict(o_agg, "orders.o_orderkey.unique", "dup_keys"))
+        .unionAll(
+            verdict(o_agg, "orders.o_orderstatus.accepted", "bad_status")
+        )
+        .unionAll(
+            verdict(o_agg, "orders.o_orderpriority.accepted", "bad_priority")
+        )
+        .unionAll(
+            verdict(o_agg, "orders.o_totalprice.positive", "nonpos_price")
+        )
+        .unionAll(verdict(l_agg, "lineitem.l_quantity.range", "bad_qty"))
+        .unionAll(verdict(fk, "orders.o_custkey.fk_customer", "orphans"))
+    )

@@ -386,3 +386,91 @@ def q79_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_mktsegment").alias("segment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q93 — runtime bloom-filter join pruning: the ROW-level twin of q76's
+# PARTITION-level pruning. When the selective filter sits on the dim side
+# of a shuffle join, partition layout can't help the fact side; Spark's
+# runtime row-level filtering builds a bloom filter over the filtered
+# dim's join keys during execution and injects a `might_contain` predicate
+# into the fact scan, dropping non-joining rows BEFORE they are shuffled.
+# At 100 TB this converts a full-fact shuffle into a shuffle of only the
+# ~matching rows — the single biggest lever on selective fact-dim joins
+# that are too big to broadcast.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join, planned while runtime bloom filtering is forced on."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.expr(
+                "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q93_runtime_bloom_join",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def q93_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-dim shuffle join with runtime bloom-filter row pruning.
+
+    The confs force the shape the pattern exists for (a dim above the
+    broadcast threshold; the application-side size gate dropped so the
+    injection fires at test scale) and the physical plan is materialized
+    eagerly inside the conf scope — `executedPlan` is cached on the
+    returned DataFrame's QueryExecution, so the bloom-filtered plan is the
+    one that runs even after the confs are restored. Bloom injection is
+    semantics-neutral (a false-positive row still dies in the join), so
+    the oracle is the PLAIN join; the plan gate in tests/test_plans.py
+    asserts `might_contain` + `bloom_filter_agg` actually appear.
+    """
+    restore = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": None,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": None,
+        "spark.sql.autoBroadcastJoinThreshold": None,
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": None,
+    }
+    for k in restore:
+        try:
+            restore[k] = spark.conf.get(k)
+        except Exception:
+            restore[k] = None
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        out = _bloom_join_plan(spark, sf_dir)
+        # force physical planning NOW, inside the conf scope
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in restore.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

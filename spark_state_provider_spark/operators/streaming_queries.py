@@ -609,3 +609,83 @@ def _register_q92() -> None:
 
 
 _register_q92()
+
+
+# ---------------------------------------------------------------------------
+# q96 — STREAMING heavy hitters: continuous hot-key detection (q75's
+# streaming twin, and the live feeder for the q32/q79 salting decisions).
+# Each micro-batch map-side-combines to per-batch partial counts — at most
+# |keys| rows per batch, never raw events — and APPENDS them to a keyed
+# partials table; the detector is then a mergeable aggregate over the
+# partials (sum per key vs K× threshold against the running total). This
+# is the classic continuous-aggregate-maintenance shape: the partials
+# table grows by O(batches × keys) and is compactable at any time without
+# changing the answer (sums re-merge). Deterministic replay ⇒ exactly the
+# batch groupBy ⇒ hard oracle.
+# ---------------------------------------------------------------------------
+
+_SHH_K = 150  # heavy = key holds > 1/K of all events seen so far
+
+
+def _register_q96() -> None:
+    @register(
+        "q96_stream_heavy_hitters",
+        oracle=f"""
+        WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM events, tot
+        GROUP BY user_id, tot.n
+        HAVING count(*) * {_SHH_K} > tot.n
+        """,
+    )
+    def q96_stream_heavy_hitters(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Users holding > 1/{_SHH_K} of all event traffic, maintained
+        across {N_BATCHES} micro-batches of partial counts."""
+        import shutil
+        import tempfile
+
+        partials_dir = tempfile.mkdtemp(prefix="ssps_q96_partials_")
+        ckpt = tempfile.mkdtemp(prefix="ssps_ckpt_q96_")
+
+        def fold(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.groupBy("user_id")
+                .agg(F.count("*").alias("n"))
+                .write.mode("append")
+                .parquet(partials_dir)
+            )
+
+        with _streaming_session(spark):
+            ev = stream_events(spark, sf_dir, N_BATCHES, tag="shh")
+            q = (
+                ev.writeStream.foreachBatch(fold)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                finished = q.awaitTermination(120)
+            finally:
+                q.stop()
+                shutil.rmtree(ckpt, ignore_errors=True)
+            if not finished:
+                raise TimeoutError("q96 stream did not drain within 120s")
+        partials = spark.read.schema("user_id bigint, n bigint").parquet(
+            partials_dir
+        )
+        counts = partials.groupBy("user_id").agg(
+            F.sum("n").alias("n_events")
+        )
+        total = partials.agg(F.sum("n").alias("total"))
+        return (
+            counts.join(
+                F.broadcast(total),
+                F.col("n_events") * _SHH_K > F.col("total"),
+            )
+            .select("user_id", "n_events")
+        )
+
+
+_register_q96()

@@ -548,3 +548,83 @@ def q88_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sv").cast("double") / 100).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q94 — rolling z-score anomaly detection: the monitoring op every event
+# pipeline runs over its metric streams. Per user, each event's value is
+# compared to the trailing-window mean/std; the |z| > 3 test is evaluated
+# ENTIRELY in integers (cents), so Spark and DuckDB flag bit-identical
+# rows — no float sqrt/div in the predicate:
+#   |x − S/n| > 3·σ   ⇔   (n·x − S)² > 9·(n·Q − S²)
+# with S = Σv, Q = Σv² over the frame (population σ). Bounds: n ≤ 24,
+# |cents| ≤ ~1e7 ⇒ every term < 2^63 at testdata magnitudes; the DECIMAL
+# cast keeps the squares exact anyway.
+# ---------------------------------------------------------------------------
+
+_ANOM_WINDOW = 24  # trailing events per user, current row included
+_ANOM_MIN_N = 12  # no verdict before this many observations
+
+
+@register(
+    "q94_rolling_anomaly",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_id, user_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        FROM events
+    ), w AS (
+        SELECT event_id, user_id, cents,
+               CAST(count(*) OVER fr AS BIGINT) AS n,
+               CAST(sum(cents) OVER fr AS BIGINT) AS s,
+               CAST(sum(cents * cents) OVER fr AS BIGINT) AS q
+        FROM c
+        WINDOW fr AS (
+            PARTITION BY user_id ORDER BY secs, event_id
+            ROWS BETWEEN {_ANOM_WINDOW - 1} PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT event_id, user_id, cents, n
+    FROM w
+    WHERE n >= {_ANOM_MIN_N}
+      AND CAST((n * cents - s) AS DECIMAL(38,0)) ** 2
+          > 9 * CAST((n * q - s * s) AS DECIMAL(38,0))
+    """,
+)
+def q94_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is > 3 trailing-window std-devs from the
+    trailing-{_ANOM_WINDOW}-event mean for that user (integer-exact test).
+
+    Scale shape: one shuffle on user_id, then a per-partition ordered scan
+    with a bounded ROWS frame — O(window) state per partition regardless
+    of history length. This is the batch form of a streaming anomaly
+    monitor (the same test over `applyInPandasWithState` state); batch
+    form chosen here so the verdict is replayable and oracle-exact.
+    """
+    c = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_timestamp("ts").alias("secs"),
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("secs", "event_id")
+        .rowsBetween(-(_ANOM_WINDOW - 1), 0)
+    )
+    w = c.select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.count("*").over(fr).alias("n"),
+        F.sum("cents").over(fr).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(fr).alias("q"),
+    )
+    lhs = (F.col("n") * F.col("cents") - F.col("s")).cast("decimal(38,0)")
+    rhs = (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast(
+        "decimal(38,0)"
+    )
+    return w.where(
+        (F.col("n") >= _ANOM_MIN_N) & (lhs * lhs > 9 * rhs)
+    ).select("event_id", "user_id", "cents", "n")

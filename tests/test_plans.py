@@ -308,3 +308,12 @@ def test_q79_salted_join_shuffles_on_salted_key(spark, sf_dir):
     plan = plan_string(_df(spark, sf_dir, "q79_salted_join"))
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q93_runtime_bloom_filter_injected(spark, sf_dir):
+    """Row-level runtime filtering must actually fire: the fact side scans
+    behind a might_contain over a bloom_filter_agg built from the filtered
+    dim — without it the query silently degrades to a full-fact shuffle."""
+    plan = plan_string(_df(spark, sf_dir, "q93_runtime_bloom_join"))
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan

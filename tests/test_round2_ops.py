@@ -177,3 +177,98 @@ def test_q92_equals_batch_form(spark, sf_dir):
     }
     assert stream == batch
     assert len(stream) > 0
+
+
+# -- q93 runtime bloom join / q94 anomaly / q95 audit / q96 stream HH --------
+
+
+def test_q93_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q93_runtime_bloom_join")
+
+
+def test_q93_restores_session_confs(spark, sf_dir):
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    _df(spark, sf_dir, "q93_runtime_bloom_join")
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
+def test_q94_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q94_rolling_anomaly")
+
+
+def test_q94_flags_true_outliers(spark, sf_dir):
+    """Independent float recomputation: every flagged event is > 3 trailing
+    std-devs from the trailing mean (numpy, per user), and at least one
+    event is flagged at this scale."""
+    import numpy as np
+
+    from spark_state_provider_spark.operators.timeseries import (
+        _ANOM_MIN_N,
+        _ANOM_WINDOW,
+    )
+    from spark_state_provider_spark.tables import load_table
+
+    flagged = {
+        (r.event_id, r.user_id)
+        for r in _df(spark, sf_dir, "q94_rolling_anomaly").collect()
+    }
+    assert flagged
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.unix_timestamp("ts").alias("secs"), "value")
+        .toPandas()
+        .sort_values(["user_id", "secs", "event_id"])
+    )
+    recomputed = set()
+    for uid, g in ev.groupby("user_id"):
+        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        ids = g["event_id"].to_numpy()
+        for i in range(len(cents)):
+            lo = max(0, i - (_ANOM_WINDOW - 1))
+            win = cents[lo : i + 1]
+            n = len(win)
+            if n < _ANOM_MIN_N:
+                continue
+            if (n * cents[i] - win.sum()) ** 2 > 9 * (
+                n * (win.astype(object) ** 2).sum() - int(win.sum()) ** 2
+            ):
+                recomputed.add((int(ids[i]), int(uid)))
+    assert flagged == recomputed
+
+
+def test_q95_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q95_data_quality_audit")
+
+
+def test_q95_only_narrow_constraint_fails(spark, sf_dir):
+    rows = {r.constraint: r for r in _df(spark, sf_dir, "q95_data_quality_audit").collect()}
+    assert len(rows) == 7
+    failing = {c for c, r in rows.items() if not r.passed}
+    assert failing == {"orders.o_orderpriority.accepted"}
+    assert rows["orders.o_orderpriority.accepted"].violations > 0
+    assert all(r.violations == 0 for c, r in rows.items() if c not in failing)
+
+
+def test_q96_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q96_stream_heavy_hitters")
+
+
+def test_q96_equals_batch_counts(spark, sf_dir):
+    """Merged per-batch partials equal the one-shot exact groupBy."""
+    from spark_state_provider_spark.operators.streaming_queries import _SHH_K
+    from spark_state_provider_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    batch = {
+        (r.user_id, r.n_events)
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .where(F.col("n_events") * _SHH_K > total)
+        .collect()
+    }
+    stream = {
+        (r.user_id, r.n_events)
+        for r in _df(spark, sf_dir, "q96_stream_heavy_hitters").collect()
+    }
+    assert stream == batch and len(stream) > 0
