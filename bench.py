@@ -110,6 +110,10 @@ HEADLINE = [
     "q94_rolling_anomaly",
     "q95_data_quality_audit",
     "q96_stream_heavy_hitters",
+    "q97_stream_rolling_anomaly",
+    "q98_join_size_estimate",
+    "q99_embedding_drift",
+    "q100_equidepth_histogram",
 ]
 
 

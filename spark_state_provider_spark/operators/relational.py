@@ -2676,3 +2676,85 @@ def q10f_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.count").alias("cnt"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q100 — equi-depth histogram (q53's adaptive twin): fixed-WIDTH bins tell
+# you nothing about a skewed distribution's tails; equi-DEPTH bins (equal
+# row count per bucket) are what range-partitioners, optimizers, and
+# drift monitors actually want. Needs each row's global rank in value
+# order — computed WITHOUT a single-partition window via the q83
+# two-phase trick: coarse value-range buckets count + prefix-sum into
+# start offsets (a ~60-row broadcast), then per-bucket parallel
+# row_numbers shift by their bucket's offset. Bucket id is then integer
+# arithmetic on the rank, and the per-bucket boundaries come from one
+# partial-aggregated shuffle.
+# ---------------------------------------------------------------------------
+
+_EQD_BUCKETS = 16
+_EQD_COARSE = 1_000_000  # cents per coarse range bucket (≈ $10k)
+
+
+@register(
+    "q100_equidepth_histogram",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+    r AS (
+        SELECT cents,
+               CAST(row_number() OVER (ORDER BY cents, o_orderkey) AS BIGINT)
+                   AS rnk
+        FROM c
+    )
+    SELECT CAST(((rnk - 1) * {_EQD_BUCKETS}) // n AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(cents) AS min_cents,
+           max(cents) AS max_cents
+    FROM r, t
+    GROUP BY 1
+    """,
+)
+def q100_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_EQD_BUCKETS}-bucket equi-depth histogram of order totals (exact
+    boundaries, deterministic tie-break by order key).
+
+    Scale shape: phase 1 shuffles only (coarse_bucket, count) pairs and
+    broadcasts a ~60-row offset table; phase 2's windows parallelize per
+    coarse bucket (~n/60 rows each). No global sort, no single-partition
+    window — the same layout computation a range-partitioned write would
+    run, surfaced as a profiling verdict.
+    """
+    c = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = c.withColumn("coarse", F.expr(f"cents div {_EQD_COARSE}"))
+    counts = c.groupBy("coarse").agg(F.count("*").alias("cn"))
+    woff = Window.orderBy("coarse").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "coarse", F.coalesce(F.sum("cn").over(woff), F.lit(0)).alias("off")
+    )
+    wb = Window.partitionBy("coarse").orderBy("cents", "o_orderkey")
+    ranked = (
+        c.join(F.broadcast(offsets), "coarse")
+        .withColumn("rnk", F.row_number().over(wb) + F.col("off"))
+    )
+    total = c.agg(F.count("*").alias("n"))
+    return (
+        ranked.join(F.broadcast(total))
+        .withColumn(
+            "bucket",
+            F.expr(f"((rnk - 1) * {_EQD_BUCKETS}) div n").cast("long"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )

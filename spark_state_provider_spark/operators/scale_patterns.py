@@ -474,3 +474,57 @@ def q93_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# q98 — join-size estimation from key histograms: the planning op behind
+# every salting/broadcast decision in this module (q32/q75/q79). The size
+# of a key-equijoin is EXACTLY Σ_k c_a(k)·c_b(k) over per-key counts, so
+# a 100 TB self-join's row count is known from one partial-aggregated
+# scan (|keys| histogram rows — here 150) without shuffling a single
+# joined row. The query computes the estimate AND executes the join to
+# count it, returning both plus their (always-true, because the formula
+# is an identity) agreement — the same verdict pattern as the q10 sketch
+# queries, giving the estimator a hard hash check.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q98_join_size_estimate",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(sum(n * n) AS BIGINT) AS est
+        FROM (SELECT count(*) AS n FROM events GROUP BY user_id)
+    ), j AS (
+        SELECT CAST(count(*) AS BIGINT) AS actual
+        FROM events a JOIN events b ON a.user_id = b.user_id
+    )
+    SELECT est AS est_rows, actual AS actual_rows, est = actual AS matches
+    FROM h, j
+    """,
+)
+def q98_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted vs executed size of the events-on-user_id self-join.
+
+    The estimate side is the scale path: one scan, map-side-combined
+    per-key counts, a 150-row sum of squares — no join. The executed
+    side exists only to certify the identity; in production you'd run
+    the histogram alone and pick broadcast/salt/bucket strategy from
+    `est_rows` (and the per-key maxima it's built from).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    hist = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    est = hist.agg(F.sum(F.col("n") * F.col("n")).cast("long").alias("est_rows"))
+    b = ev.select(F.col("user_id").alias("buid"))
+    actual = (
+        ev.join(b, ev.user_id == b.buid)
+        .agg(F.count("*").cast("long").alias("actual_rows"))
+    )
+    return (
+        est.join(actual)
+        .select(
+            "est_rows",
+            "actual_rows",
+            (F.col("est_rows") == F.col("actual_rows")).alias("matches"),
+        )
+    )

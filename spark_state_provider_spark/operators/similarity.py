@@ -957,3 +957,108 @@ def q91_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") <= TOP_K
     )
+
+
+# ---------------------------------------------------------------------------
+# q99 — embedding drift between corpus segments: the distribution monitor
+# a training pipeline runs when a new crawl lands ("did the new data move
+# in embedding space?"). Per label (the segment key) the centroid is an
+# exact INTEGER sum of int8-quantized vectors (quantize_int8 — validated
+# bit-identical cross-engine by q29e), so pairwise centroid distances
+# reduce to integer algebra: with S_a = Σq, n_a = |segment|,
+#   ‖S_a/n_a − S_b/n_b‖² = Σ_d (S_a[d]·n_b − S_b[d]·n_a)² / (n_a·n_b)²
+# — numerator exactly representable (< 2^53), one IEEE division at the
+# end. No float accumulation order anywhere, so the drift matrix is
+# hash-checkable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q99_embedding_drift",
+    oracle=f"""
+    WITH e AS (
+        SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    qz AS (SELECT label, {_DUCK_QUANT} AS q FROM e),
+    lf AS (
+        SELECT label, generate_subscripts(q, 1) AS pos, unnest(q) AS qv
+        FROM qz
+    ),
+    s AS (
+        SELECT label, pos, CAST(sum(qv) AS BIGINT) AS s
+        FROM lf GROUP BY label, pos
+    ),
+    n AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM qz GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+           na.n AS n_a, nb.n AS n_b,
+           CAST(CAST(sum((a.s * nb.n - b.s * na.n)
+                         * (a.s * nb.n - b.s * na.n)) AS DOUBLE)
+                / CAST((na.n * nb.n) * (na.n * nb.n) AS DOUBLE)
+                AS DOUBLE) AS drift2
+    FROM s a
+    JOIN s b ON a.pos = b.pos AND a.label < b.label
+    JOIN n na ON na.label = a.label
+    JOIN n nb ON nb.label = b.label
+    GROUP BY a.label, b.label, na.n, nb.n
+    """,
+)
+def q99_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise squared centroid distance between every pair of embedding
+    segments (labels), in exact integer arithmetic.
+
+    Scale shape: one scan of the embedding column → narrow long form
+    (label, dim, q) → ONE partial-aggregated shuffle keyed (label, dim)
+    producing k·dims sum rows (here 10·64); the pairwise comparison runs
+    entirely over that tiny aggregate (self-join on dim + broadcast
+    counts). A 100 TB corpus pays the scan; the drift matrix costs
+    nothing more.
+    """
+    from spark_state_provider_spark.functions.vector import (
+        as_double_vec,
+        quantize_int8,
+    )
+
+    qz = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", as_double_vec("embedding").alias("v"))
+        .select("label", quantize_int8(F.col("v")).alias("q"))
+    )
+    lf = qz.select("label", F.posexplode("q").alias("pos", "qv"))
+    s = lf.groupBy("label", "pos").agg(F.sum("qv").alias("s"))
+    n = qz.groupBy("label").agg(F.count("*").alias("n"))
+    a = s.select(
+        F.col("label").alias("label_a"), "pos", F.col("s").alias("sa")
+    )
+    b = s.select(
+        F.col("label").alias("label_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("s").alias("sb"),
+    )
+    na = n.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    diff = (
+        a.join(
+            b,
+            (F.col("pos") == F.col("pos_b"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .withColumn(
+            "d", F.col("sa") * F.col("n_b") - F.col("sb") * F.col("n_a")
+        )
+    )
+    return (
+        diff.groupBy("label_a", "label_b")
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            (
+                F.sum(F.col("d") * F.col("d")).cast("double")
+                / (
+                    (F.first("n_a") * F.first("n_b"))
+                    * (F.first("n_a") * F.first("n_b"))
+                ).cast("double")
+            ).alias("drift2"),
+        )
+    )

@@ -689,3 +689,106 @@ def _register_q96() -> None:
 
 
 _register_q96()
+
+
+# ---------------------------------------------------------------------------
+# q97 — STREAMING rolling anomaly monitor: q94's stateful twin, the live
+# form a 100 TB event pipeline actually deploys. State per user is the
+# trailing window's last (W−1) cent values riding Spark's RocksDB state
+# store via ``applyInPandasWithState``; each micro-batch extends the
+# window and emits the rows whose integer 3σ test fires. Time-ordered
+# deterministic replay ⇒ flags equal the batch computation ⇒ q94's oracle
+# applies unchanged — a hard hash check on a custom stateful operator.
+# ---------------------------------------------------------------------------
+
+
+def _register_q97() -> None:
+    from spark_state_provider_spark.operators.timeseries import (
+        _ANOM_MIN_N,
+        _ANOM_ORACLE,
+        _ANOM_WINDOW,
+    )
+
+    def handler(key, pdfs, state):
+        import pandas as pd
+
+        prev = list(state.get[0]) if state.exists else []
+        out_ids, out_cents, out_n = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["secs", "event_id"])
+            for eid, cents in zip(pdf["event_id"], pdf["cents"]):
+                win = prev + [int(cents)]
+                n = len(win)
+                s = sum(win)
+                q = sum(v * v for v in win)
+                x = int(cents)
+                if n >= _ANOM_MIN_N and (n * x - s) ** 2 > 9 * (n * q - s * s):
+                    out_ids.append(int(eid))
+                    out_cents.append(x)
+                    out_n.append(n)
+                prev = win[-(_ANOM_WINDOW - 1):]
+        state.update((prev,))
+        yield pd.DataFrame(
+            {
+                "event_id": pd.Series(out_ids, dtype="int64"),
+                "user_id": pd.Series(
+                    [key[0]] * len(out_ids), dtype="int64"
+                ),
+                "cents": pd.Series(out_cents, dtype="int64"),
+                "n": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    @register("q97_stream_rolling_anomaly", oracle=_ANOM_ORACLE)
+    def q97_stream_rolling_anomaly(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-user trailing-window 3σ anomaly flags maintained across
+        {N_BATCHES} micro-batches of RocksDB window state."""
+        import shutil
+        import tempfile
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        out_dir = tempfile.mkdtemp(prefix="ssps_q97_out_")
+        ckpt = tempfile.mkdtemp(prefix="ssps_ckpt_q97_")
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out_dir)
+
+        with _streaming_session(spark):
+            ev = stream_events(spark, sf_dir, N_BATCHES, tag="anom").select(
+                "event_id",
+                "user_id",
+                F.unix_timestamp("ts").alias("secs"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            flagged = ev.groupBy("user_id").applyInPandasWithState(
+                handler,
+                outputStructType=(
+                    "event_id long, user_id long, cents long, n long"
+                ),
+                stateStructType="window array<long>",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            q = (
+                flagged.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                finished = q.awaitTermination(120)
+            finally:
+                q.stop()
+                shutil.rmtree(ckpt, ignore_errors=True)
+            if not finished:
+                raise TimeoutError("q97 stream did not drain within 120s")
+        return spark.read.schema(
+            "event_id bigint, user_id bigint, cents bigint, n bigint"
+        ).parquet(out_dir)
+
+
+_register_q97()

@@ -565,10 +565,10 @@ def q88_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANOM_WINDOW = 24  # trailing events per user, current row included
 _ANOM_MIN_N = 12  # no verdict before this many observations
 
-
-@register(
-    "q94_rolling_anomaly",
-    oracle=f"""
+# shared by q94 (batch) and q97 (its stateful-streaming twin,
+# streaming_queries.py): time-ordered deterministic replay makes the
+# streamed flag set equal the batch computation, so both use this oracle.
+_ANOM_ORACLE = f"""
     WITH c AS (
         SELECT event_id, user_id,
                CAST(round(value * 100) AS BIGINT) AS cents,
@@ -590,8 +590,10 @@ _ANOM_MIN_N = 12  # no verdict before this many observations
     WHERE n >= {_ANOM_MIN_N}
       AND CAST((n * cents - s) AS DECIMAL(38,0)) ** 2
           > 9 * CAST((n * q - s * s) AS DECIMAL(38,0))
-    """,
-)
+    """
+
+
+@register("q94_rolling_anomaly", oracle=_ANOM_ORACLE)
 def q94_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events whose value is > 3 trailing-window std-devs from the
     trailing-{_ANOM_WINDOW}-event mean for that user (integer-exact test).

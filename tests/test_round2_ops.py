@@ -272,3 +272,68 @@ def test_q96_equals_batch_counts(spark, sf_dir):
         for r in _df(spark, sf_dir, "q96_stream_heavy_hitters").collect()
     }
     assert stream == batch and len(stream) > 0
+
+
+# -- q97 stream anomaly / q98 join estimate / q99 drift / q100 equi-depth ----
+
+
+def test_q97_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q97_stream_rolling_anomaly")
+
+
+def test_q97_equals_batch_form(spark, sf_dir):
+    """Stateful-streaming flags equal q94's batch window computation."""
+    batch = {
+        (r.event_id, r.user_id, r.cents, r.n)
+        for r in _df(spark, sf_dir, "q94_rolling_anomaly").collect()
+    }
+    stream = {
+        (r.event_id, r.user_id, r.cents, r.n)
+        for r in _df(spark, sf_dir, "q97_stream_rolling_anomaly").collect()
+    }
+    assert stream == batch and len(stream) > 0
+
+
+def test_q98_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q98_join_size_estimate")
+
+
+def test_q98_identity_holds(spark, sf_dir):
+    row = _df(spark, sf_dir, "q98_join_size_estimate").collect()[0]
+    assert row.matches and row.est_rows == row.actual_rows > 0
+
+
+def test_q99_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q99_embedding_drift")
+
+
+def test_q99_full_matrix_nonnegative(spark, sf_dir):
+    rows = _df(spark, sf_dir, "q99_embedding_drift").collect()
+    labels = set()
+    for r in rows:
+        labels.update((r.label_a, r.label_b))
+        assert r.label_a < r.label_b
+        assert r.drift2 >= 0.0
+    k = len(labels)
+    assert len(rows) == k * (k - 1) // 2  # every unordered pair, once
+
+
+def test_q100_depths_are_balanced(spark, sf_dir):
+    from spark_state_provider_spark.operators.relational import _EQD_BUCKETS
+    from spark_state_provider_spark.tables import load_table
+
+    rows = sorted(
+        _df(spark, sf_dir, "q100_equidepth_histogram").collect(),
+        key=lambda r: r.bucket,
+    )
+    total = load_table(spark, sf_dir, "orders").count()
+    assert [r.bucket for r in rows] == list(range(_EQD_BUCKETS))
+    assert sum(r.n_rows for r in rows) == total
+    depths = [r.n_rows for r in rows]
+    assert max(depths) - min(depths) <= 1  # equi-depth up to rounding
+    for prev, nxt in zip(rows, rows[1:]):  # value ranges ordered
+        assert prev.max_cents <= nxt.min_cents
+
+
+def test_q100_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q100_equidepth_histogram")
