@@ -114,6 +114,7 @@ HEADLINE = [
     "q98_join_size_estimate",
     "q99_embedding_drift",
     "q100_equidepth_histogram",
+    "q101_negative_sampling",
 ]
 
 

@@ -74,6 +74,13 @@ QUERIES = [
     "q86_feature_hash_embed",
     "q87_rare_ngram_ratio",
     "q29f_pq_ann",
+    # round-2 third batch: runtime pruning, monitoring, planning ops
+    "q93_runtime_bloom_join",
+    "q94_rolling_anomaly",
+    "q95_data_quality_audit",
+    "q98_join_size_estimate",
+    "q100_equidepth_histogram",
+    "q101_negative_sampling",
 ]
 
 

@@ -614,12 +614,33 @@ def q28e_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     one Spark job per hop. The DuckDB oracle computes the identical
     fixpoint via a recursive transitive closure.
     """
-    pairs = q28b_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
-    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-    labels, _ = alternating_connected_components(edges)
-    return labels.select(
-        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
-    )
+    return _clusters_persisted(spark, sf_dir)
+
+
+# Cluster labels per (session, sf) — the _TRI_CACHE pattern one level up:
+# in production the cluster index is materialized once per corpus snapshot
+# and every downstream consumer (representative selection q80, leakage
+# split q85, cluster-aware sampling) reads the materialization instead of
+# re-running LSH + connected components.
+_CLUSTER_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _clusters_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    key = (id(spark), sf_dir)
+    if key not in _CLUSTER_CACHE:
+        pairs = q28b_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+        edges = pairs.select(
+            F.col("id_a").alias("u"), F.col("id_b").alias("v")
+        )
+        labels, _ = alternating_connected_components(edges)
+        _CLUSTER_CACHE[key] = (
+            labels.select(
+                F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return _CLUSTER_CACHE[key]
 
 
 # ---------------------------------------------------------------------------

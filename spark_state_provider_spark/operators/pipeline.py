@@ -1149,3 +1149,104 @@ def q95_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(verdict(l_agg, "lineitem.l_quantity.range", "bad_qty"))
         .unionAll(verdict(fk, "orders.o_custkey.fk_customer", "orphans"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q101 — deterministic negative sampling: the pair-generation op behind
+# contrastive / embedding training ("for every anchor document, pick K
+# random other documents"). A naive implementation samples via a join
+# against a shuffled copy or, worse, a cross join; the scale answer is
+# CLOSED-FORM: negative j of anchor d is hash(seed|d|j) mod N (doc_ids
+# are dense 0..N−1 — the q39/q83 convention), bumped by one slot on
+# self-collision. Generation is a shuffle-free row-expanding map; the
+# single shuffle is the equi-join that enriches the sampled ids with
+# their features — and at 100 TB that join can be bucketed away too.
+# Hash = md5 48-bit prefix (the q59 pattern), so DuckDB replays it
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_NEG_K = 4
+_NEG_SEED = "negs1"
+
+
+@register(
+    "q101_negative_sampling",
+    oracle=f"""
+    WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    g AS (
+        SELECT d.doc_id, k.k,
+               ('0x' || substr(md5('{_NEG_SEED}|'
+                    || CAST(d.doc_id AS VARCHAR) || '|'
+                    || CAST(k.k AS VARCHAR)), 1, 12))::BIGINT % t.n AS raw,
+               t.n
+        FROM documents d, (SELECT unnest(range({_NEG_K})) AS k) k, t
+    ),
+    neg AS (
+        SELECT doc_id, CAST(k AS BIGINT) AS k,
+               CASE WHEN raw = doc_id THEN (raw + 1) % n ELSE raw END
+                   AS neg_doc_id
+        FROM g
+    )
+    SELECT neg.doc_id, neg.k, neg.neg_doc_id,
+           nd.source AS neg_source, nd.n_chars AS neg_n_chars
+    FROM neg JOIN documents nd ON nd.doc_id = neg.neg_doc_id
+    """,
+)
+def q101_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_NEG_K} seeded pseudo-random negatives per anchor document,
+    enriched with the negatives' features.
+
+    Scale shape: candidate generation is a narrow map (explode of a
+    {_NEG_K}-element literal sequence + hash arithmetic — no RNG state,
+    no shuffled copy of the corpus, rerunnable byte-identically on any
+    cluster layout); the only shuffle is the feature-fetch equi-join on
+    neg_doc_id. Self-pairs are impossible by construction (collision
+    bumps to the next id mod N).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    total = d.agg(F.count("*").alias("n"))
+    g = (
+        d.select("doc_id")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_NEG_K - 1))
+            ).alias("k"),
+            "n",
+        )
+    )
+    raw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(_NEG_SEED),
+                        F.col("doc_id").cast("string"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.col("n")
+    )
+    neg = g.select(
+        "doc_id",
+        F.col("k").cast("long").alias("k"),
+        F.when(raw == F.col("doc_id"), (raw + 1) % F.col("n"))
+        .otherwise(raw)
+        .alias("neg_doc_id"),
+    )
+    feats = d.select(
+        F.col("doc_id").alias("neg_doc_id"),
+        F.col("source").alias("neg_source"),
+        F.col("n_chars").alias("neg_n_chars"),
+    )
+    return neg.join(feats, "neg_doc_id").select(
+        "doc_id", "k", "neg_doc_id", "neg_source", "neg_n_chars"
+    )

@@ -251,13 +251,48 @@ def q25s_stream_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q22 streaming — session windows over the state store. Append mode emits a
-# session only once the watermark passes its close; with a finite replay the
-# trailing sessions never close, so the emitted set is schedule-dependent →
-# rows-only check here, subset-vs-batch asserted in tests/test_streaming.py.
+# session only once the watermark passes its close. The replay slices are
+# TIME-ORDERED (sources.split_events_dir), so — exactly as for q23 — the
+# final watermark is a pure function of the data (max(ts) − 1h) and the
+# emitted set is the batch sessionization filtered to sessions whose end
+# (last event + gap) the watermark passed; sessions straddling micro-batch
+# boundaries merge in state before closing, so each closed session emits
+# exactly once. The oracle sessionizes via gaps-and-islands (a new session
+# starts when the gap since the previous event is ≥ the 30-min gap —
+# Spark's session intervals are end-exclusive) and applies the same
+# eviction predicate. Trailing sessions the watermark never passes are
+# (deterministically) absent from both sides.
 # ---------------------------------------------------------------------------
 
 
-@register("q22s_stream_session_window", oracle=None)
+@register(
+    "q22s_stream_session_window",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    ),
+    g AS (
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL '30 minutes' AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, n_events
+    FROM g
+    WHERE session_end <= (SELECT max(ts) FROM events) - INTERVAL '1 hour'
+    """,
+)
 def q22s_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (30-min gap) with a 1-hour watermark."""
     with _streaming_session(spark):

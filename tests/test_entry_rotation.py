@@ -54,11 +54,13 @@ def test_rotation_advances_after_a_round_lands(tmp_path):
     with_oracle = [n for n in window_next if n in oracles]
     assert len(with_oracle) >= min(len(window_next), 1)
     # a rows-only-served oracle-less query becomes terminal z0_ once served
+    # (q28c: xxhash64 has no DuckDB twin, so it can never earn an oracle —
+    # q22s, the previous example here, graduated to a hard oracle)
     fake2 = dict(fake)
-    fake2["q22s_stream_session_window"] = {
+    fake2["q28c_simhash"] = {
         "rows_match": None, "schema_match": None, "hash_match": None,
         "spark_rows": 5, "oracle_rows": None, "err": "no_oracle",
     }
     (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps(fake2))
     tiers3 = entry._compute_tiers(str(tmp_path))
-    assert tiers3["q22s_stream_session_window"] == "z0_q22s_stream_session_window"
+    assert tiers3["q28c_simhash"] == "z0_q28c_simhash"

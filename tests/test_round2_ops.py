@@ -337,3 +337,32 @@ def test_q100_depths_are_balanced(spark, sf_dir):
 
 def test_q100_matches_oracle(spark, sf_dir):
     compare_query(spark, sf_dir, "q100_equidepth_histogram")
+
+
+# -- q22s oracle upgrade / q101 negative sampling ----------------------------
+
+
+def test_q22s_matches_oracle(spark, sf_dir):
+    """Streaming session windows now carry a hard oracle: time-ordered
+    replay makes the emitted set = batch sessionization filtered by the
+    final-watermark eviction predicate (same argument as q23)."""
+    compare_query(spark, sf_dir, "q22s_stream_session_window")
+
+
+def test_q101_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q101_negative_sampling")
+
+
+def test_q101_k_negatives_no_self_pairs(spark, sf_dir):
+    from spark_state_provider_spark.operators.pipeline import _NEG_K
+    from spark_state_provider_spark.tables import load_table
+
+    rows = _df(spark, sf_dir, "q101_negative_sampling").collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs * _NEG_K
+    per_doc = {}
+    for r in rows:
+        assert r.neg_doc_id != r.doc_id  # no self-pair survives
+        assert 0 <= r.neg_doc_id < n_docs
+        per_doc.setdefault(r.doc_id, set()).add(r.k)
+    assert all(ks == set(range(_NEG_K)) for ks in per_doc.values())
