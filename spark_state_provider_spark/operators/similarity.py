@@ -236,9 +236,13 @@ def q29b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # IVF coarse quantizer: centroids are the vectors at fixed ids (deterministic
-# across engines — no RNG, no k-means iterations to reproduce). NPROBE=2
-# clusters searched per query.
+# across engines — no RNG, no k-means iterations to reproduce), CAPPED at a
+# fixed-size codebook (production trains K ≈ √n centroids on a bounded
+# sample; an uncapped fraction-of-corpus rule makes assignment O(n²) —
+# the same defect the 10× experiment caught in q29f). NPROBE=2 clusters
+# searched per query.
 CENTROID_MOD = 50
+_IVF_CENT_MAX = 500  # centroids come from the first fixed-size shard
 NPROBE = 3
 
 _DUCK_COS_AV = _DUCK_COS.replace("qv", "cv").replace("nv", "v")  # assignment step
@@ -251,7 +255,8 @@ _DUCK_COS_AV = _DUCK_COS.replace("qv", "cv").replace("nv", "v")  # assignment st
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     c AS (
-        SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {CENTROID_MOD} = 0
+        SELECT vec_id AS cid, v AS cv FROM e
+        WHERE vec_id % {CENTROID_MOD} = 0 AND vec_id < {_IVF_CENT_MAX}
     ),
     scored AS (
         SELECT e.vec_id, c.cid, {_DUCK_COS_AV} AS sim,
@@ -304,7 +309,10 @@ def q29d_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("nrm", norm(F.col("v")))
     )
-    cent = emb.where(F.col("vec_id") % CENTROID_MOD == 0).select(
+    cent = emb.where(
+        (F.col("vec_id") % CENTROID_MOD == 0)
+        & (F.col("vec_id") < _IVF_CENT_MAX)
+    ).select(
         F.col("vec_id").alias("cid"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),
@@ -645,10 +653,15 @@ def q50_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M = 8  # subspaces
 _PQ_D = 8  # dims per subspace (embeddings are 64-dim)
 _PQ_SCALE = 1000  # global quantization scale: exact, geometry-preserving
-# PQ codebooks are small and per-subspace (production: 256 k-means
-# codewords regardless of corpus size), so the codeword id rule is
-# denser than IVF's coarse-centroid rule
+# PQ codebooks are small, per-subspace, and FIXED-SIZE (production: 256
+# k-means codewords regardless of corpus size — trained on a bounded
+# sample). The id rule mirrors that: every _PQ_CENT_MODth vector, capped
+# at vec_id < _PQ_CENT_MAX, so the codebook stays 100 codewords per
+# subspace however large the corpus grows. (The cap is what keeps the
+# encode argmin O(n·K) — an uncapped fraction-of-corpus rule made encode
+# O(n²): the 10× scale experiment measured 57× before the cap.)
 _PQ_CENT_MOD = 5
+_PQ_CENT_MAX = 500  # codewords come from the first fixed-size shard
 _PQ_SHORTLIST = 4 * TOP_K
 
 # ADC squared-L2 via three integer dots (exact in doubles far past 2^53 /
@@ -679,7 +692,8 @@ _DUCK_PQ_D2 = (
     ),
     csub AS (
         SELECT vec_id AS cid, m, subv AS cs
-        FROM sub WHERE vec_id % {_PQ_CENT_MOD} = 0
+        FROM sub
+        WHERE vec_id % {_PQ_CENT_MOD} = 0 AND vec_id < {_PQ_CENT_MAX}
     ),
     dist AS (
         SELECT sub.vec_id, sub.m, csub.cid, {_DUCK_PQ_D2} AS d2
@@ -757,7 +771,10 @@ def q29f_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("m", "subv"),
     )
-    csub = sub.where(F.col("vec_id") % _PQ_CENT_MOD == 0).select(
+    csub = sub.where(
+        (F.col("vec_id") % _PQ_CENT_MOD == 0)
+        & (F.col("vec_id") < _PQ_CENT_MAX)
+    ).select(
         F.col("vec_id").alias("cid"), F.col("m").alias("cm"),
         F.col("subv").alias("cs"),
     )

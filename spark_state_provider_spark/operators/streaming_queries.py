@@ -401,15 +401,44 @@ def q20s2_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q26b — stream-stream LEFT OUTER join: matched rows stream out like the
-# inner join; unmatched left rows emit null-padded only after the watermark
-# passes their join window. With a finite replay the trailing window never
-# closes, so the null-side set is schedule-dependent ⇒ rows-only check; the
-# matched-subset-equals-inner-join property is asserted in
+# inner join; unmatched left rows emit null-padded once the watermark
+# proves no future purchase can land in their 6-hour window. With the
+# time-ordered replay the final watermark is a pure function of the data:
+# the global watermark is the MIN over both (filtered) inputs of
+# max(event time) − 1h delay, and a click's null row emits iff
+# c_ts + 6h < that watermark (left-state eviction; measured exactly —
+# the min-of-both-sides detail is what makes the set reproducible).
+# Matched rows are watermark-independent. The oracle replays the whole
+# predicate in SQL, giving the OUTER join topology a hard hash check;
+# the matched-subset-equals-inner-join property stays asserted in
 # tests/test_streaming.py.
 # ---------------------------------------------------------------------------
 
 
-@register("q26b_stream_stream_left_join", oracle=None)
+@register(
+    "q26b_stream_stream_left_join",
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT least((SELECT max(c_ts) FROM c), (SELECT max(p_ts) FROM p))
+               - INTERVAL '1 hour' AS w
+    )
+    SELECT c.click_id, p.purchase_id, c.c_user AS user_id
+    FROM c
+    CROSS JOIN wm
+    LEFT JOIN p ON c_user = p_user AND p_ts >= c_ts
+               AND p_ts <= c_ts + INTERVAL '6 hours'
+    WHERE p.purchase_id IS NOT NULL
+       OR c.c_ts + INTERVAL '6 hours' < wm.w
+    """,
+)
 def q26b_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer stream-stream join (watermarks both sides + time bound)."""
     with _streaming_session(spark):

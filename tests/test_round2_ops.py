@@ -366,3 +366,11 @@ def test_q101_k_negatives_no_self_pairs(spark, sf_dir):
         assert 0 <= r.neg_doc_id < n_docs
         per_doc.setdefault(r.doc_id, set()).add(r.k)
     assert all(ks == set(range(_NEG_K)) for ks in per_doc.values())
+
+
+def test_q26b_matches_oracle(spark, sf_dir):
+    """Left-outer stream-stream join now carries a hard oracle: the
+    null-side emission cutoff is min(max click ts, max purchase ts) − 1h
+    (the global watermark is the min over both filtered inputs), measured
+    exactly against the streamed output."""
+    compare_query(spark, sf_dir, "q26b_stream_stream_left_join")
