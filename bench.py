@@ -115,6 +115,8 @@ HEADLINE = [
     "q99_embedding_drift",
     "q100_equidepth_histogram",
     "q101_negative_sampling",
+    "q102_aqe_skew_join",
+    "q103_stream_corpus_pipeline",
 ]
 
 

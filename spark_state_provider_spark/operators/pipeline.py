@@ -907,9 +907,11 @@ _PIPE_MIN_CHARS = 100  # quality gate: minimum document length
 _PIPE_MIN_TOKS = 10  # quality gate: minimum whitespace tokens
 
 
-@register(
-    "q90_corpus_pipeline",
-    oracle=f"""
+# shared by q90 (one-shot lazy plan) and q103 (its streaming twin,
+# streaming_queries.py): keep-first-seen dedup over a doc_id-ordered
+# replay equals keep-min-doc_id, and every other stage is per-doc, so the
+# streamed accounting equals the one-shot computation.
+_PIPE_ORACLE = f"""
     WITH q AS (
         SELECT doc_id, text, source,
                {_SPLIT_CASE} AS split,
@@ -954,8 +956,10 @@ _PIPE_MIN_TOKS = 10  # quality gate: minimum whitespace tokens
            CAST(ceil(sum(est_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS n_packs
     FROM clean
     GROUP BY source, split
-    """,
-)
+    """
+
+
+@register("q90_corpus_pipeline", oracle=_PIPE_ORACLE)
 def q90_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus build: quality gate → exact dedup (min-doc_id
     representative) → benchmark decontamination (≥{CONTAM_MIN_SHARED}

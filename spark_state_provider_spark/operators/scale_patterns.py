@@ -528,3 +528,132 @@ def q98_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_rows") == F.col("actual_rows")).alias("matches"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q102 — AQE skew-join splitting: the RUNTIME complement to q79's manual
+# salting. Salting pre-plans for skew you know about; AQE's
+# OptimizeSkewedJoin handles the skew you discover at execution time — it
+# reads the map-output statistics of the shuffle, finds reduce partitions
+# over factor×median, and splits them across multiple tasks (replicating
+# the matching dim rows), with NO query rewrite. The fact side carries a
+# deliberately skewed derived key (~90% of rows hash to one key — the
+# md5-prefix rule, so DuckDB replays it exactly); the contract result is
+# the plain join aggregate, and the split decision is captured from the
+# executed plan for the plan gate. Findings that generalize to 100 TB:
+# skew stats are COMPRESSED map-output bytes (a skewed-but-compressible
+# key can hide under the threshold), and a reduce partition written by a
+# single map task cannot be split at all (split boundaries are mapper
+# chunks) — both measured here, both worth knowing before relying on AQE
+# in production.
+# ---------------------------------------------------------------------------
+
+_SKEW_DIM = 1500  # covers every user_id (0..1499)
+
+# executed-plan capture for the plan gate (AQE decisions exist only after
+# execution, and the aggressive tuning confs are restored on exit)
+LAST_Q102_PLAN = ""
+
+_Q102_KEY_SQL = (
+    "CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT"
+    " % 10 < 9 THEN 0 ELSE user_id END"
+)
+
+
+@register(
+    "q102_aqe_skew_join",
+    oracle=f"""
+    WITH f AS (
+        SELECT {_Q102_KEY_SQL} AS k, props FROM events
+    ),
+    dim AS (SELECT range AS dk, range % 7 AS grp FROM range(0, {_SKEW_DIM}))
+    SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(length(props)) AS BIGINT) AS sum_plen
+    FROM f JOIN dim ON f.k = dim.dk
+    GROUP BY grp
+    """,
+)
+def q102_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed fact-dim shuffle join executed under AQE skew splitting;
+    returns the per-group aggregate (equal to the plain join — splitting
+    is semantics-neutral).
+
+    The join EXECUTES inside the conf scope (collect on the 7-row
+    aggregate — a `.write` would execute a separate QueryExecution and
+    leave the adaptive plan unfinalized) because OptimizeSkewedJoin acts
+    at runtime; the final adaptive plan is kept in ``LAST_Q102_PLAN`` for
+    the plan gate. The fact is pre-repartitioned so the shuffle has
+    multiple map tasks — a single-mapper reduce partition has one chunk
+    and cannot be split (measured: the one-file testdata scan produced
+    zero skew splits until this was added; real 100 TB inputs always
+    have many splits).
+    """
+    global LAST_Q102_PLAN
+    restore: dict[str, str | None] = {}
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        # thresholds sized for the COMPRESSED hot partition at the tiny
+        # test scales (map-output statistics are compressed bytes; at
+        # production scale the defaults 5x/256MB are the right knobs)
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    for k in confs:
+        try:
+            restore[k] = spark.conf.get(k)
+        except Exception:
+            restore[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        key = (
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 12
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 10
+                < 9,
+                F.lit(0),
+            )
+            .otherwise(F.col("user_id"))
+            .alias("k")
+        )
+        fact = (
+            load_table(spark, sf_dir, "events")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select(key, "props")
+        )
+        dim = spark.range(0, _SKEW_DIM).select(
+            F.col("id").alias("dk"), (F.col("id") % 7).alias("grp")
+        )
+        joined = (
+            fact.join(dim, fact.k == dim.dk)
+            .groupBy("grp")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.length("props")).alias("sum_plen"),
+            )
+        )
+        rows = joined.collect()
+        LAST_Q102_PLAN = (
+            joined._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        for k, v in restore.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        rows, "grp bigint, n bigint, sum_plen bigint"
+    )

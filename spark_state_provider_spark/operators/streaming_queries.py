@@ -234,13 +234,60 @@ if HAS_TWS_DEPS:
 
 # ---------------------------------------------------------------------------
 # Q25 streaming — TTL fold (strict event-time deadline, ttl.py rules). With
-# a 3-day TTL, users idle >3 days between their batch-1 and batch-2 events
-# restart their statistics — schedule-dependent ⇒ rows-only check; the
-# deterministic semantics are pinned by the injected-clock pytest scenarios.
+# a 3-day TTL, a user idle ≥3 days between one micro-batch's last event and
+# the next batch's horizon restarts their statistics. The 4-slice replay is
+# an equal-count quartile split of the (ts, event_id) order — expressible
+# as ntile(4) (the testdata row counts divide evenly) — so the oracle can
+# SIMULATE the batch schedule: per (user, slice) horizons, a break wherever
+# the gap between consecutive present slices reaches the TTL, and the
+# emitted upsert row = the fold of the LAST epoch's events. What was a
+# rows-only check is now a hard hash check of real cross-batch TTL expiry.
 # ---------------------------------------------------------------------------
 
+_TTL_US = 3 * 24 * 3600 * 1_000_000
 
-@register("q25s_stream_ttl", oracle=None)
+
+@register(
+    "q25s_stream_ttl",
+    oracle=f"""
+    WITH r AS (
+        SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS ts_us,
+               ntile(4) OVER (ORDER BY epoch_ns(ts)//1000, event_id) AS slice
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, slice, max(ts_us) AS mts
+        FROM r GROUP BY user_id, slice
+    ),
+    e AS (
+        SELECT user_id, slice,
+               CASE WHEN lag(mts) OVER w IS NULL THEN 0
+                    WHEN mts - lag(mts) OVER w >= {_TTL_US} THEN 1
+                    ELSE 0 END AS brk
+        FROM s WINDOW w AS (PARTITION BY user_id ORDER BY slice)
+    ),
+    ep AS (
+        SELECT user_id, slice,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY slice
+                              ROWS UNBOUNDED PRECEDING) AS epo
+        FROM e
+    ),
+    le AS (SELECT user_id, max(epo) AS m FROM ep GROUP BY user_id),
+    keep AS (
+        SELECT ep.user_id, ep.slice
+        FROM ep JOIN le USING (user_id) WHERE ep.epo = le.m
+    )
+    SELECT r.user_id,
+           CAST(count(*) AS BIGINT) AS total_visits,
+           min(event_id) AS first_event_id,
+           max(event_id) AS last_event_id,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           make_timestamp(min(ts_us)) AS first_ts,
+           make_timestamp(max(ts_us)) AS last_ts
+    FROM r JOIN keep ON keep.user_id = r.user_id AND keep.slice = r.slice
+    GROUP BY r.user_id
+    """,
+)
 def q25s_stream_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-stats fold where state expires 3 days after last access."""
     with _streaming_session(spark):
@@ -856,3 +903,155 @@ def _register_q97() -> None:
 
 
 _register_q97()
+
+
+# ---------------------------------------------------------------------------
+# q103 — the STREAMING corpus pipeline: q90's continuous-crawl form, the
+# job a 100 TB training-data platform actually keeps running. Per document
+# micro-batch inside ``foreachBatch``: quality gate (stateless filter) →
+# exact dedup against all PREVIOUSLY SEEN text (in-batch min-doc_id + an
+# anti-join against a persisted md5(text) seen-set the batch then extends
+# — keep-first-seen, which over the doc_id-ordered replay equals q90's
+# keep-min rule) → benchmark decontamination (broadcast static benchmark
+# trigrams — benchmark suites are MBs, built once) → per-(source, split)
+# partial accounting appended to a partials table. The final verdict
+# merges partials (sums re-merge; packs recomputed from merged sums), so
+# the streamed accounting equals the one-shot plan ⇒ q90's oracle applies
+# unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _register_q103() -> None:
+    from spark_state_provider_spark.operators.dedup import (
+        _trigrams_of,
+        _trigrams_persisted,
+    )
+    from spark_state_provider_spark.operators.pipeline import (
+        CONTAM_MIN_SHARED,
+        PACK_BUDGET,
+        _PIPE_MIN_CHARS,
+        _PIPE_MIN_TOKS,
+        _PIPE_ORACLE,
+    )
+
+    @register("q103_stream_corpus_pipeline", oracle=_PIPE_ORACLE)
+    def q103_stream_corpus_pipeline(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Quality → cross-batch dedup → decontamination → accounting,
+        maintained across {N_BATCHES} document micro-batches."""
+        import os
+        import shutil
+        import tempfile
+
+        from pyspark.sql.window import Window
+        from pyspark.storagelevel import StorageLevel
+
+        from spark_state_provider_spark.streaming.sources import stream_docs
+
+        bench_tri = (
+            _trigrams_persisted(spark, sf_dir)
+            .where(F.col("doc_id") % 97 == 0)
+            .select(F.col("doc_id").alias("bench_id"), "tri")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        bench_tri.count()  # the static benchmark index, built once
+
+        seen_dir = tempfile.mkdtemp(prefix="ssps_q103_seen_")
+        part_dir = tempfile.mkdtemp(prefix="ssps_q103_parts_")
+        ckpt = tempfile.mkdtemp(prefix="ssps_ckpt_q103_")
+
+        first_char = F.substring(
+            F.md5(F.col("doc_id").cast("string")), 1, 1
+        )
+        split_col = (
+            F.when(first_char <= "b", "train")
+            .when(first_char <= "d", "val")
+            .otherwise("test")
+        )
+
+        def step(batch_df: DataFrame, batch_id: int) -> None:
+            q = batch_df.where(
+                (F.length("text") >= _PIPE_MIN_CHARS)
+                & (F.size(F.split("text", " ")) >= _PIPE_MIN_TOKS)
+                & (F.col("doc_id") % 97 != 0)
+            ).select(
+                "doc_id",
+                "text",
+                "source",
+                split_col.alias("split"),
+                F.ceil(F.length("text") / 4.0).alias("est_tokens"),
+            )
+            s = (
+                q.withColumn(
+                    "rep", F.min("doc_id").over(Window.partitionBy("text"))
+                )
+                .where(F.col("doc_id") == F.col("rep"))
+                .withColumn("h", F.md5("text"))
+            )
+            # snapshot the seen-set FILE LIST now: the parquet path is
+            # re-listed at each job's execution, so reading the directory
+            # after this batch's own append would anti-join the whole
+            # batch away (the bug the first cut of this operator had)
+            seen_files = [
+                os.path.join(seen_dir, f)
+                for f in os.listdir(seen_dir)
+                if f.endswith(".parquet")
+            ]
+            if seen_files:
+                seen = spark.read.schema("h string").parquet(*seen_files)
+                s = s.join(seen, "h", "left_anti")
+            s = s.persist(StorageLevel.MEMORY_AND_DISK)
+            btri = _trigrams_of(s.select("doc_id", "text"))
+            contam = (
+                btri.join(F.broadcast(bench_tri), "tri")
+                .groupBy("doc_id", "bench_id")
+                .agg(F.count("*").alias("ns"))
+                .where(F.col("ns") >= CONTAM_MIN_SHARED)
+                .select("doc_id")
+                .distinct()
+            )
+            clean = s.join(F.broadcast(contam), "doc_id", "left_anti")
+            (
+                clean.groupBy("source", "split")
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum("est_tokens").alias("n_tokens"),
+                )
+                .write.mode("append")
+                .parquet(part_dir)
+            )
+            # extend the seen-set only after every consumer of this
+            # batch's snapshot has run
+            s.select("h").write.mode("append").parquet(seen_dir)
+            s.unpersist()
+
+        with _streaming_session(spark):
+            docs = stream_docs(spark, sf_dir, N_BATCHES, tag="pipe103")
+            q = (
+                docs.writeStream.foreachBatch(step)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                finished = q.awaitTermination(180)
+            finally:
+                q.stop()
+                shutil.rmtree(ckpt, ignore_errors=True)
+            if not finished:
+                raise TimeoutError("q103 stream did not drain within 180s")
+        bench_tri.unpersist()
+        partials = spark.read.schema(
+            "source string, split string, n_docs bigint, n_tokens bigint"
+        ).parquet(part_dir)
+        return partials.groupBy("source", "split").agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.ceil(F.sum("n_tokens") / float(PACK_BUDGET))
+            .cast("long")
+            .alias("n_packs"),
+        )
+
+
+_register_q103()

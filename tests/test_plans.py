@@ -317,3 +317,50 @@ def test_q93_runtime_bloom_filter_injected(spark, sf_dir):
     plan = plan_string(_df(spark, sf_dir, "q93_runtime_bloom_join"))
     assert "might_contain" in plan
     assert "bloom_filter_agg" in plan
+
+
+def test_q94_anomaly_single_user_shuffle(spark, sf_dir):
+    """The rolling window must ride ONE hash exchange on user_id — a
+    global (unpartitioned) window sort would serialize the whole table."""
+    plan = plan_string(_df(spark, sf_dir, "q94_rolling_anomaly"))
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(user_id" in plan
+    # no unpartitioned window: every Sort is preceded by the hash exchange
+    assert "SinglePartition" not in plan
+
+
+def test_q95_audit_single_scan_per_table_and_broadcast_fk(spark, sf_dir):
+    """Six scan constraints must ride two aggregate rows (one scan per
+    table, reused across the verdict union) and the FK check must
+    broadcast the dim keys, never shuffle orders for it."""
+    plan = plan_string(_df(spark, sf_dir, "q95_data_quality_audit"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q98_estimate_side_partial_aggregates(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q98_join_size_estimate"))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q99_drift_broadcasts_counts_no_cartesian(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q99_embedding_drift"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q100_equidepth_no_single_partition_window(spark, sf_dir):
+    """The whole point of the two-phase rank: no unpartitioned window over
+    the data (the 60-row offset window is fine — it rides the broadcast)."""
+    plan = plan_string(_df(spark, sf_dir, "q100_equidepth_histogram"))
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(coarse" in plan
+
+
+def test_q101_generation_is_narrow_then_one_join(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q101_negative_sampling"))
+    assert "CartesianProduct" not in plan
+    # row-expanding map, not a join (formatted mode prints the Generate
+    # node and its explode argument on separate lines)
+    assert "Generate" in plan and "explode(" in plan

@@ -374,3 +374,56 @@ def test_q26b_matches_oracle(spark, sf_dir):
     (the global watermark is the min over both filtered inputs), measured
     exactly against the streamed output."""
     compare_query(spark, sf_dir, "q26b_stream_stream_left_join")
+
+
+# -- q102 AQE skew join / q103 streaming corpus pipeline ---------------------
+
+
+def test_q102_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q102_aqe_skew_join")
+
+
+def test_q102_skew_split_fired(spark, sf_dir):
+    """The contract is hollow if AQE never actually split: the executed
+    adaptive plan must carry the skew markers."""
+    import spark_state_provider_spark.operators.scale_patterns as sp
+
+    _df(spark, sf_dir, "q102_aqe_skew_join")
+    assert "skew=true" in sp.LAST_Q102_PLAN
+    assert "skewed" in sp.LAST_Q102_PLAN  # AQEShuffleRead ... skewed
+
+
+def test_q102_restores_session_confs(spark, sf_dir):
+    before = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    _df(spark, sf_dir, "q102_aqe_skew_join")
+    after = {k: spark.conf.get(k) for k in before}
+    assert after == before
+
+
+def test_q103_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q103_stream_corpus_pipeline")
+
+
+def test_q103_equals_batch_pipeline(spark, sf_dir):
+    batch = {
+        (r.source, r.split, r.n_docs, r.n_tokens, r.n_packs)
+        for r in _df(spark, sf_dir, "q90_corpus_pipeline").collect()
+    }
+    stream = {
+        (r.source, r.split, r.n_docs, r.n_tokens, r.n_packs)
+        for r in _df(spark, sf_dir, "q103_stream_corpus_pipeline").collect()
+    }
+    assert stream == batch and len(stream) > 0
+
+
+def test_q25s_matches_oracle(spark, sf_dir):
+    """Streaming TTL fold now carries a hard oracle: the replay schedule
+    is an equal-count quartile split, so cross-batch expiry epochs are
+    SQL-expressible (ntile(4) + gap>=TTL breaks + last-epoch fold)."""
+    compare_query(spark, sf_dir, "q25s_stream_ttl")
