@@ -117,6 +117,7 @@ HEADLINE = [
     "q101_negative_sampling",
     "q102_aqe_skew_join",
     "q103_stream_corpus_pipeline",
+    "q104_cascade_delete",
 ]
 
 

@@ -81,6 +81,8 @@ QUERIES = [
     "q98_join_size_estimate",
     "q100_equidepth_histogram",
     "q101_negative_sampling",
+    "q102_aqe_skew_join",
+    "q104_cascade_delete",
 ]
 
 

@@ -1254,3 +1254,135 @@ def q101_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neg.join(feats, "neg_doc_id").select(
         "doc_id", "k", "neg_doc_id", "neg_source", "neg_n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — cascade delete (right-to-be-forgotten): the governance op every
+# training-data platform must run — a deletion-request list must purge the
+# primary corpus AND every derived artifact (chunk windows, inverted-index
+# postings, embedding rows), with PROOF of removal. At 100 TB the shape
+# is: the tombstone list is small → broadcast anti-join per artifact +
+# rewrite of affected partitions only; the verification is one combinable
+# scan per artifact counting surviving references (computed from the
+# post-delete frames, not assumed). Chunk accounting uses the q77 closed
+# form ((tokens−1)//stride + 1) so the derived-artifact count needs no
+# explode.
+# ---------------------------------------------------------------------------
+
+_DEL_MOD = 131  # deletion-request rule: doc_id % 131 == 0
+
+
+@register(
+    "q104_cascade_delete",
+    oracle=f"""
+    WITH tomb AS (SELECT doc_id FROM documents WHERE doc_id % {_DEL_MOD} = 0),
+    d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS ntok,
+               doc_id % {_DEL_MOD} = 0 AS dead
+        FROM documents
+    ),
+    post AS (
+        SELECT DISTINCT doc_id, t.term, doc_id % {_DEL_MOD} = 0 AS dead
+        FROM documents, unnest(string_split(text, ' ')) AS t(term)
+    ),
+    emb AS (
+        SELECT vec_id, vec_id % {_DEL_MOD} = 0 AS dead FROM embeddings
+    )
+    SELECT 'documents' AS artifact,
+           CAST(count(*) AS BIGINT) AS n_before,
+           CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+           CAST(count(*) - sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_after,
+           sum(CASE WHEN dead THEN 1 ELSE 0 END)
+               = (SELECT count(*) FROM tomb) AS clean
+    FROM d
+    UNION ALL
+    SELECT 'chunks',
+           CAST(sum((ntok - 1) // {_CHUNK_STRIDE} + 1) AS BIGINT),
+           CAST(sum(CASE WHEN dead THEN (ntok - 1) // {_CHUNK_STRIDE} + 1
+                         ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN dead THEN 0
+                         ELSE (ntok - 1) // {_CHUNK_STRIDE} + 1 END) AS BIGINT),
+           true
+    FROM d
+    UNION ALL
+    SELECT 'postings',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) - sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT),
+           true
+    FROM post
+    UNION ALL
+    SELECT 'embeddings',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) - sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT),
+           true
+    FROM emb
+    """,
+)
+def q104_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purge every artifact referencing a deletion-request doc and verify:
+    one tidy row per artifact with before/purged/after counts and a
+    clean-verdict COMPUTED by re-scanning the post-delete frame for
+    surviving tombstone references.
+
+    The tombstone set broadcasts (deletion lists are small); each
+    artifact's delete is a broadcast anti-join; each verdict is a
+    combinable aggregate. Nothing here is quadratic in the corpus, and
+    the expensive artifact (postings) is counted from one explode +
+    distinct — the same cost its original build paid.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tomb = docs.where(F.col("doc_id") % _DEL_MOD == 0).select("doc_id")
+
+    tomb_k = tomb.select(F.col("doc_id").alias("tomb_id"))
+
+    def verdict(name, before_df, keyname):
+        after = before_df.join(
+            F.broadcast(tomb_k),
+            F.col(keyname) == F.col("tomb_id"),
+            "left_anti",
+        )
+        survivors = after.join(
+            F.broadcast(tomb_k),
+            F.col(keyname) == F.col("tomb_id"),
+            "left_semi",
+        )
+        n_b = before_df.agg(F.count("*").alias("nb"))
+        n_a = after.agg(F.count("*").alias("na"))
+        n_s = survivors.agg(F.count("*").alias("ns"))
+        return (
+            n_b.join(n_a)
+            .join(n_s)
+            .select(
+                F.lit(name).alias("artifact"),
+                F.col("nb").alias("n_before"),
+                (F.col("nb") - F.col("na")).alias("n_purged"),
+                F.col("na").alias("n_after"),
+                (F.col("ns") == 0).alias("clean"),
+            )
+        )
+
+    d = docs.select("doc_id", F.size(F.split("text", " ")).alias("ntok"))
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.col("ntok") - 1) / _CHUNK_STRIDE).cast("int"),
+            )
+        ).alias("chunk_idx"),
+    )
+    postings = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("ref_id")
+    )
+    return (
+        verdict("documents", docs.select("doc_id"), "doc_id")
+        .unionAll(verdict("chunks", chunks, "doc_id"))
+        .unionAll(verdict("postings", postings, "doc_id"))
+        .unionAll(verdict("embeddings", emb, "ref_id"))
+    )

@@ -427,3 +427,19 @@ def test_q25s_matches_oracle(spark, sf_dir):
     is an equal-count quartile split, so cross-batch expiry epochs are
     SQL-expressible (ntile(4) + gap>=TTL breaks + last-epoch fold)."""
     compare_query(spark, sf_dir, "q25s_stream_ttl")
+
+
+# -- q104 cascade delete -----------------------------------------------------
+
+
+def test_q104_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q104_cascade_delete")
+
+
+def test_q104_all_artifacts_clean_and_consistent(spark, sf_dir):
+    rows = {r.artifact: r for r in _df(spark, sf_dir, "q104_cascade_delete").collect()}
+    assert set(rows) == {"documents", "chunks", "postings", "embeddings"}
+    for r in rows.values():
+        assert r.clean  # post-delete re-scan found zero tombstone refs
+        assert r.n_before == r.n_purged + r.n_after
+        assert r.n_purged > 0  # the delete actually removed something
