@@ -603,6 +603,30 @@ def q21s2_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+
+def _fresh_run_dirs(tag: str, sf_dir: str, *names: str) -> list[str]:
+    """Deterministic per-(pid, sf) scratch dirs for a streaming run,
+    WIPED at invocation start: the returned DataFrame reads the output
+    lazily (so the dir cannot be deleted on exit), but reusing one
+    deterministic path per process bounds the /tmp footprint to a single
+    copy per query instead of one mkdtemp per invocation (bench runs each
+    query three times; the q66 ADVICE lesson, applied here)."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out = []
+    for n in names:
+        d = os.path.join(
+            tempfile.gettempdir(), f"ssps_{tag}_{n}_{base}_{os.getpid()}"
+        )
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        out.append(d)
+    return out
+
+
 def _register_q92() -> None:
     from spark_state_provider_spark.operators.dedup import (
         _INC_DEDUP_ORACLE,
@@ -621,7 +645,6 @@ def _register_q92() -> None:
         index ({N_BATCHES} document micro-batches through foreachBatch)."""
         import os
         import shutil
-        import tempfile
 
         from pyspark.storagelevel import StorageLevel
 
@@ -655,8 +678,7 @@ def _register_q92() -> None:
             _Q92_INDEX_CACHE[key] = (corp_bands, corp_sets)
         corp_bands, corp_sets = _Q92_INDEX_CACHE[key]
 
-        out_dir = tempfile.mkdtemp(prefix="ssps_q92_out_")
-        ckpt = tempfile.mkdtemp(prefix="ssps_ckpt_q92_")
+        out_dir, ckpt = _fresh_run_dirs("q92", sf_dir, "out", "ckpt")
 
         def probe(batch_df: DataFrame, batch_id: int) -> None:
             btri = _trigrams_of(batch_df.select("doc_id", "text"))
@@ -763,10 +785,8 @@ def _register_q96() -> None:
         """Users holding > 1/{_SHH_K} of all event traffic, maintained
         across {N_BATCHES} micro-batches of partial counts."""
         import shutil
-        import tempfile
 
-        partials_dir = tempfile.mkdtemp(prefix="ssps_q96_partials_")
-        ckpt = tempfile.mkdtemp(prefix="ssps_ckpt_q96_")
+        partials_dir, ckpt = _fresh_run_dirs("q96", sf_dir, "partials", "ckpt")
 
         def fold(batch_df: DataFrame, batch_id: int) -> None:
             (
@@ -865,12 +885,10 @@ def _register_q97() -> None:
         """Per-user trailing-window 3σ anomaly flags maintained across
         {N_BATCHES} micro-batches of RocksDB window state."""
         import shutil
-        import tempfile
 
         from pyspark.sql.streaming.state import GroupStateTimeout
 
-        out_dir = tempfile.mkdtemp(prefix="ssps_q97_out_")
-        ckpt = tempfile.mkdtemp(prefix="ssps_ckpt_q97_")
+        out_dir, ckpt = _fresh_run_dirs("q97", sf_dir, "out", "ckpt")
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
             batch_df.write.mode("append").parquet(out_dir)
@@ -950,7 +968,6 @@ def _register_q103() -> None:
         maintained across {N_BATCHES} document micro-batches."""
         import os
         import shutil
-        import tempfile
 
         from pyspark.sql.window import Window
         from pyspark.storagelevel import StorageLevel
@@ -965,9 +982,9 @@ def _register_q103() -> None:
         )
         bench_tri.count()  # the static benchmark index, built once
 
-        seen_dir = tempfile.mkdtemp(prefix="ssps_q103_seen_")
-        part_dir = tempfile.mkdtemp(prefix="ssps_q103_parts_")
-        ckpt = tempfile.mkdtemp(prefix="ssps_ckpt_q103_")
+        seen_dir, part_dir, ckpt = _fresh_run_dirs(
+            "q103", sf_dir, "seen", "parts", "ckpt"
+        )
 
         first_char = F.substring(
             F.md5(F.col("doc_id").cast("string")), 1, 1

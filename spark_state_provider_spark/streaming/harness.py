@@ -36,11 +36,12 @@ def run_to_memory(
         spark.catalog.dropTempView(name)
     except Exception:
         pass
+    ckpt = tempfile.mkdtemp(prefix=f"ssps_ckpt_{name}_")
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ssps_ckpt_{name}_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
@@ -48,6 +49,9 @@ def run_to_memory(
         finished = q.awaitTermination(timeout_secs)
     finally:
         q.stop()
+        # drained + stopped: the memory-sink table lives in the session,
+        # the checkpoint is ephemeral — remove, don't leak across runs
+        shutil.rmtree(ckpt, ignore_errors=True)
     if not finished:
         raise TimeoutError(
             f"streaming query {name!r} did not drain within {timeout_secs}s"
