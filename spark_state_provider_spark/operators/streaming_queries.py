@@ -604,6 +604,19 @@ def q21s2_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _batch_subdir(root: str, batch_id: int) -> str:
+    """Per-micro-batch output directory (no '=' — not a partition column).
+
+    foreachBatch can RE-RUN a batch after a task failure; appending from
+    the function would then double-count. Writing each batch to its own
+    deterministic subdirectory with mode("overwrite") makes the sink
+    idempotent per batch_id — the exactly-once recipe the Structured
+    Streaming docs prescribe for foreachBatch sinks."""
+    import os
+
+    return os.path.join(root, f"b{batch_id:05d}")
+
+
 def _fresh_run_dirs(tag: str, sf_dir: str, *names: str) -> list[str]:
     """Deterministic per-(pid, sf) scratch dirs for a streaming run,
     WIPED at invocation start: the returned DataFrame reads the output
@@ -722,7 +735,9 @@ def _register_q92() -> None:
                 .where(F.col("jaccard") >= JACCARD_THRESHOLD)
                 .select("id_new", "id_corpus", "jaccard")
             )
-            verified.write.mode("append").parquet(out_dir)
+            verified.write.mode("overwrite").parquet(
+                _batch_subdir(out_dir, batch_id)
+            )
 
         with _streaming_session(spark):
             docs = stream_docs(
@@ -741,9 +756,13 @@ def _register_q92() -> None:
                 shutil.rmtree(ckpt, ignore_errors=True)
             if not finished:
                 raise TimeoutError("q92 stream did not drain within 180s")
-        return spark.read.schema(
-            "id_new bigint, id_corpus bigint, jaccard double"
-        ).parquet(out_dir)
+        return (
+            spark.read.schema(
+                "id_new bigint, id_corpus bigint, jaccard double"
+            )
+            .option("recursiveFileLookup", "true")
+            .parquet(out_dir)
+        )
 
 
 # corpus index per (session, sf): persisted band keys + shingle sets
@@ -792,8 +811,8 @@ def _register_q96() -> None:
             (
                 batch_df.groupBy("user_id")
                 .agg(F.count("*").alias("n"))
-                .write.mode("append")
-                .parquet(partials_dir)
+                .write.mode("overwrite")
+                .parquet(_batch_subdir(partials_dir, batch_id))
             )
 
         with _streaming_session(spark):
@@ -811,8 +830,10 @@ def _register_q96() -> None:
                 shutil.rmtree(ckpt, ignore_errors=True)
             if not finished:
                 raise TimeoutError("q96 stream did not drain within 120s")
-        partials = spark.read.schema("user_id bigint, n bigint").parquet(
-            partials_dir
+        partials = (
+            spark.read.schema("user_id bigint, n bigint")
+            .option("recursiveFileLookup", "true")
+            .parquet(partials_dir)
         )
         counts = partials.groupBy("user_id").agg(
             F.sum("n").alias("n_events")
@@ -891,7 +912,9 @@ def _register_q97() -> None:
         out_dir, ckpt = _fresh_run_dirs("q97", sf_dir, "out", "ckpt")
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            batch_df.write.mode("append").parquet(out_dir)
+            batch_df.write.mode("overwrite").parquet(
+                _batch_subdir(out_dir, batch_id)
+            )
 
         with _streaming_session(spark):
             ev = stream_events(spark, sf_dir, N_BATCHES, tag="anom").select(
@@ -923,9 +946,13 @@ def _register_q97() -> None:
                 shutil.rmtree(ckpt, ignore_errors=True)
             if not finished:
                 raise TimeoutError("q97 stream did not drain within 120s")
-        return spark.read.schema(
-            "event_id bigint, user_id bigint, cents bigint, n bigint"
-        ).parquet(out_dir)
+        return (
+            spark.read.schema(
+                "event_id bigint, user_id bigint, cents bigint, n bigint"
+            )
+            .option("recursiveFileLookup", "true")
+            .parquet(out_dir)
+        )
 
 
 _register_q97()
@@ -1043,11 +1070,13 @@ def _register_q103() -> None:
                     F.count("*").alias("n_docs"),
                     F.sum("est_tokens").alias("n_tokens"),
                 )
-                .write.mode("append")
-                .parquet(part_dir)
+                .write.mode("overwrite")
+                .parquet(_batch_subdir(part_dir, batch_id))
             )
             # extend the seen-set only after every consumer of this
             # batch's snapshot has run
+            # seen-set append stays append-mode: duplicate hashes from a
+            # retried batch are harmless to an anti-join
             s.select("h").write.mode("append").parquet(seen_dir)
             s.unpersist()
 
@@ -1067,9 +1096,13 @@ def _register_q103() -> None:
             if not finished:
                 raise TimeoutError("q103 stream did not drain within 180s")
         bench_tri.unpersist()
-        partials = spark.read.schema(
-            "source string, split string, n_docs bigint, n_tokens bigint"
-        ).parquet(part_dir)
+        partials = (
+            spark.read.schema(
+                "source string, split string, n_docs bigint, n_tokens bigint"
+            )
+            .option("recursiveFileLookup", "true")
+            .parquet(part_dir)
+        )
         return partials.groupBy("source", "split").agg(
             F.sum("n_docs").alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
