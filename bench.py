@@ -118,6 +118,7 @@ HEADLINE = [
     "q102_aqe_skew_join",
     "q103_stream_corpus_pipeline",
     "q104_cascade_delete",
+    "q105_corpus_diff",
 ]
 
 

@@ -1386,3 +1386,108 @@ def q104_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(verdict("postings", postings, "doc_id"))
         .unionAll(verdict("embeddings", emb, "ref_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — corpus snapshot diff: the dataset-versioning audit ("what changed
+# between crawl v1 and crawl v2?") every training-data release pipeline
+# runs before accepting a new snapshot. v2 is derived from v1 by three
+# independent deterministic rules (deletions, in-place modifications,
+# re-crawled additions under offset ids), and the diff classifies every
+# key via ONE full-outer join on the primary key comparing content
+# hashes — at 100 TB: a single co-partitioned shuffle (or none, if both
+# snapshots are bucketed on the key), narrow md5 comparison, combinable
+# counts. No row bodies cross the network twice: the join carries
+# (doc_id, md5, length) only.
+# ---------------------------------------------------------------------------
+
+_DIFF_REMOVE = 131  # v2 drops doc_id % 131 == 0
+_DIFF_MODIFY = 89  # v2 upper-cases text of doc_id % 89 == 0
+_DIFF_ADD = 83  # v2 adds a copy of doc_id % 83 == 0 at doc_id + offset
+_DIFF_OFFSET = 1_000_000
+
+
+@register(
+    "q105_corpus_diff",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT doc_id, md5(text) AS h, length(text) AS nc FROM documents
+    ),
+    v2 AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % {_DIFF_MODIFY} = 0 THEN upper(text)
+                        ELSE text END) AS h,
+               length(text) AS nc
+        FROM documents WHERE doc_id % {_DIFF_REMOVE} <> 0
+        UNION ALL
+        SELECT doc_id + {_DIFF_OFFSET}, md5(text), length(text)
+        FROM documents WHERE doc_id % {_DIFF_ADD} = 0
+    )
+    SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.h <> v2.h THEN 'modified'
+                ELSE 'unchanged' END AS change,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(v1.nc), 0) AS BIGINT) AS chars_v1,
+           CAST(coalesce(sum(v2.nc), 0) AS BIGINT) AS chars_v2
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    GROUP BY 1
+    """,
+)
+def q105_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify every document key across two corpus snapshots as
+    added / removed / modified / unchanged, with per-class doc and char
+    accounting.
+
+    The diff never compares text bodies: each side reduces to
+    (doc_id, md5, length) in the scan stage, the full-outer join
+    co-partitions on doc_id, and the verdict is a combinable aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.select(
+        "doc_id", F.md5("text").alias("h"), F.length("text").alias("nc")
+    )
+    v2 = (
+        d.where(F.col("doc_id") % _DIFF_REMOVE != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % _DIFF_MODIFY == 0, F.upper("text")
+                ).otherwise(F.col("text"))
+            ).alias("h"),
+            F.length("text").alias("nc"),
+        )
+        .unionAll(
+            d.where(F.col("doc_id") % _DIFF_ADD == 0).select(
+                (F.col("doc_id") + _DIFF_OFFSET).alias("doc_id"),
+                F.md5("text").alias("h"),
+                F.length("text").alias("nc"),
+            )
+        )
+    )
+    a = v1.select(
+        F.col("doc_id").alias("k1"),
+        F.col("h").alias("h1"),
+        F.col("nc").alias("nc1"),
+    )
+    b = v2.select(
+        F.col("doc_id").alias("k2"),
+        F.col("h").alias("h2"),
+        F.col("nc").alias("nc2"),
+    )
+    j = a.join(b, a.k1 == b.k2, "full_outer")
+    change = (
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "modified")
+        .otherwise("unchanged")
+    )
+    return (
+        j.groupBy(change.alias("change"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("nc1"), F.lit(0)).alias("chars_v1"),
+            F.coalesce(F.sum("nc2"), F.lit(0)).alias("chars_v2"),
+        )
+    )

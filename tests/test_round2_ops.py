@@ -443,3 +443,28 @@ def test_q104_all_artifacts_clean_and_consistent(spark, sf_dir):
         assert r.clean  # post-delete re-scan found zero tombstone refs
         assert r.n_before == r.n_purged + r.n_after
         assert r.n_purged > 0  # the delete actually removed something
+
+
+# -- q105 corpus snapshot diff -----------------------------------------------
+
+
+def test_q105_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q105_corpus_diff")
+
+
+def test_q105_all_classes_and_conservation(spark, sf_dir):
+    from spark_state_provider_spark.tables import load_table
+
+    rows = {r.change: r for r in _df(spark, sf_dir, "q105_corpus_diff").collect()}
+    assert set(rows) == {"added", "removed", "modified", "unchanged"}
+    n_docs_v1 = load_table(spark, sf_dir, "documents").count()
+    # every v1 key is classified exactly once (added rows are v2-only)
+    assert (
+        rows["removed"].n_docs
+        + rows["modified"].n_docs
+        + rows["unchanged"].n_docs
+        == n_docs_v1
+    )
+    assert rows["added"].chars_v1 == 0 and rows["removed"].chars_v2 == 0
+    # in-place modification here preserves length (upper-casing)
+    assert rows["modified"].chars_v1 == rows["modified"].chars_v2
