@@ -119,6 +119,7 @@ HEADLINE = [
     "q103_stream_corpus_pipeline",
     "q104_cascade_delete",
     "q105_corpus_diff",
+    "q106_media_similarity",
 ]
 
 

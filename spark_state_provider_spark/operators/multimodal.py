@@ -656,3 +656,141 @@ def q82_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return base.mapInPandas(decode, schema=_BINSRC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# q106 — cross-media similarity search over REAL extracted features: the
+# media twin of q29. Each asset's feature vector is its 16-bin byte
+# histogram (a real, deterministic content feature computed from the
+# loaded bytes — no model server, no stub), extracted in the same
+# Arrow-batched map that q82 uses for header decode; similarity is then
+# exactly the q29 machinery (integer dots, IEEE cosine, per-query top-k
+# window). 20 files make the all-pairs form the oracle-checkable bounded
+# witness — at asset-lake scale the identical feature column feeds q29b's
+# LSH bucketing instead (same plumbing, linear candidates). The oracle
+# recomputes the whole pipeline in Python from the same deterministic
+# bytes at registration time (the q82 pattern), so DuckDB just evaluates
+# the literal expected rows.
+# ---------------------------------------------------------------------------
+
+_MEDIA_BINS = 16
+_MEDIA_TOP_K = 3
+
+
+def _byte_histogram(b: bytes) -> list[int]:
+    h = [0] * _MEDIA_BINS
+    for v in b:
+        h[v >> 4] += 1
+    return h
+
+
+def _media_sim_oracle() -> str:
+    import math
+
+    feats = [
+        (fname, _byte_histogram(b)) for fname, b in _binsrc_files()
+    ]
+    rows = []
+    for fname, ha in feats:
+        na = math.sqrt(float(sum(x * x for x in ha)))
+        scored = []
+        for other, hb in feats:
+            if other == fname:
+                continue
+            nb = math.sqrt(float(sum(x * x for x in hb)))
+            dot = float(sum(x * y for x, y in zip(ha, hb)))
+            scored.append((dot / (na * nb), other))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rn, (sim, other) in enumerate(scored[:_MEDIA_TOP_K], start=1):
+            # string → DOUBLE: a bare numeric literal parses as DECIMAL
+            # first in DuckDB and the DECIMAL→DOUBLE conversion can land
+            # one ulp away from the IEEE value Python/Spark computed
+            rows.append(f"('{fname}', '{other}', '{sim!r}', {rn})")
+    values = ",\n           ".join(rows)
+    return f"""
+    SELECT file_name, neighbor, CAST(sim AS DOUBLE) AS sim,
+           CAST(rn AS BIGINT) AS rn
+    FROM (VALUES {values}) AS t(file_name, neighbor, sim, rn)
+    """
+
+
+@register("q106_media_similarity", oracle=_media_sim_oracle())
+def q106_media_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_MEDIA_TOP_K} nearest media assets per file by cosine over
+    {_MEDIA_BINS}-bin byte histograms extracted from the real file bytes.
+
+    Scale shape: feature extraction is one narrow Arrow map with one task
+    per file (binaryFile semantics); the integer histograms are 128 bytes
+    per asset — the thing you materialize as a column at ingest. The
+    pairwise stage broadcasts the (tiny) feature set; at lake scale the
+    same features feed the LSH/IVF index builders instead of the
+    all-pairs witness.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from spark_state_provider_spark.functions.vector import idot
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"ssps_mediasim_{os.getpid()}"
+    )
+    os.makedirs(out, exist_ok=True)
+    for fname, b in _binsrc_files():
+        path = os.path.join(out, fname)
+        if not os.path.exists(path):
+            with open(path, "wb") as f:
+                f.write(b)
+
+    df = spark.read.format("binaryFile").load(out)
+    base = df.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        "content",
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            hists = [
+                np.bincount(
+                    np.frombuffer(bytes(b), dtype=np.uint8) >> 4,
+                    minlength=_MEDIA_BINS,
+                ).astype("int64").tolist()
+                for b in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {"file_name": pdf["file_name"], "hist": hists}
+            )
+
+    feats = base.mapInPandas(
+        featurize, schema=f"file_name string, hist array<long>"
+    )
+    a = feats.select(
+        F.col("file_name").alias("file_name"), F.col("hist").alias("ha")
+    )
+    b = feats.select(
+        F.col("file_name").alias("neighbor"), F.col("hist").alias("hb")
+    )
+    sims = (
+        a.join(F.broadcast(b), F.col("file_name") != F.col("neighbor"))
+        .select(
+            "file_name",
+            "neighbor",
+            (
+                idot(F.col("ha"), F.col("hb")).cast("double")
+                / (
+                    F.sqrt(idot(F.col("ha"), F.col("ha")).cast("double"))
+                    * F.sqrt(idot(F.col("hb"), F.col("hb")).cast("double"))
+                )
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("file_name").orderBy(
+        F.col("sim").desc(), F.col("neighbor")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= _MEDIA_TOP_K)
+    )

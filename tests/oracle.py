@@ -2,10 +2,11 @@
 
 Runs a registered Spark query and its DuckDB oracle on the same sf dir and
 compares row count, column-name set, and the order-insensitive multiset of
-values (columns sorted by name — the driver's hashing contract). Exact
-equality; floats get a tiny absolute tolerance only in the sort-stable
-fallback comparison, so any rounding-policy gap in a query surfaces here
-before the driver sees it.
+values (columns sorted by name — the driver's hashing contract). Floats
+compare EXACTLY (bit-for-bit), matching the driver's value-hash: a 1e-9
+tolerance here once hid a last-ulp oracle literal bug (q106) that the
+driver then caught — the local gate must be at least as strict as the
+real one.
 """
 
 from __future__ import annotations
@@ -18,7 +19,7 @@ import duckdb
 
 from spark_state_provider_spark.tables import TABLE_NAMES, table_path
 
-FLOAT_ABS_TOL = 1e-9
+FLOAT_ABS_TOL = 0.0  # exact — the driver hashes values, no slack
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:

@@ -468,3 +468,25 @@ def test_q105_all_classes_and_conservation(spark, sf_dir):
     assert rows["added"].chars_v1 == 0 and rows["removed"].chars_v2 == 0
     # in-place modification here preserves length (upper-casing)
     assert rows["modified"].chars_v1 == rows["modified"].chars_v2
+
+
+# -- q106 media similarity ---------------------------------------------------
+
+
+def test_q106_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q106_media_similarity")
+
+
+def test_q106_topk_shape_and_no_self(spark, sf_dir):
+    from spark_state_provider_spark.operators.multimodal import (
+        _MEDIA_TOP_K,
+        _binsrc_files,
+    )
+
+    rows = _df(spark, sf_dir, "q106_media_similarity").collect()
+    n_files = len(_binsrc_files())
+    assert len(rows) == n_files * _MEDIA_TOP_K
+    for r in rows:
+        assert r.file_name != r.neighbor
+        assert -1.0 <= r.sim <= 1.0 + 1e-12
+        assert 1 <= r.rn <= _MEDIA_TOP_K
