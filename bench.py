@@ -120,6 +120,7 @@ HEADLINE = [
     "q104_cascade_delete",
     "q105_corpus_diff",
     "q106_media_similarity",
+    "q107_trend_slope",
 ]
 
 

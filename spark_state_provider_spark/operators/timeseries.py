@@ -630,3 +630,87 @@ def q94_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.where(
         (F.col("n") >= _ANOM_MIN_N) & (lhs * lhs > 9 * rhs)
     ).select("event_id", "user_id", "cents", "n")
+
+
+# ---------------------------------------------------------------------------
+# q107 — per-key trend detection (OLS slope): q94 flags point outliers;
+# this flags DRIFT — "is this user's metric trending up or down, and how
+# fast?". The least-squares slope
+#   β = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+# is computed from five combinable sums, so the whole operator is ONE
+# map-side-combined aggregate per key — no window, no sort, no second
+# pass. x is event time in whole HOURS since the user's first event
+# (slope is shift-invariant; the hour grain keeps every product int64-
+# and double-exact: n·Σx² ≤ ~2e11 « 2^53), y in cents; the single IEEE
+# division at the end is deterministic, so the slope column is
+# hash-checkable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q107_trend_slope",
+    oracle="""
+    WITH c AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS y,
+               CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        FROM events
+    ),
+    x AS (
+        SELECT user_id, y,
+               (secs - min(secs) OVER (PARTITION BY user_id)) // 3600 AS xh
+        FROM c
+    ),
+    s AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xh) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(xh * y) AS BIGINT) AS sxy,
+               CAST(sum(xh * xh) AS BIGINT) AS sxx
+        FROM x GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE)
+               AS slope_cents_per_hr,
+           n * sxy - sx * sy > 0 AS rising
+    FROM s
+    WHERE n * sxx - sx * sx <> 0
+    """,
+)
+def q107_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares value trend per user (cents/hour since first event),
+    with the direction flag decided in pure integers.
+
+    The min-shift is the only window (per-key running min folded into the
+    aggregate via a self-free window — it partial-aggregates as a MIN);
+    everything else is one combinable groupBy. Keys with zero time
+    variance are excluded (slope undefined).
+    """
+    c = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+        F.unix_timestamp("ts").alias("secs"),
+    )
+    x = c.select(
+        "user_id",
+        "y",
+        F.expr("(secs - min(secs) OVER (PARTITION BY user_id)) div 3600")
+        .alias("xh"),
+    )
+    s = x.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("xh").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("xh") * F.col("y")).alias("sxy"),
+        F.sum(F.col("xh") * F.col("xh")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.where(den != 0).select(
+        "user_id",
+        "n",
+        (num.cast("double") / den.cast("double")).alias(
+            "slope_cents_per_hr"
+        ),
+        (num > 0).alias("rising"),
+    )

@@ -490,3 +490,36 @@ def test_q106_topk_shape_and_no_self(spark, sf_dir):
         assert r.file_name != r.neighbor
         assert -1.0 <= r.sim <= 1.0 + 1e-12
         assert 1 <= r.rn <= _MEDIA_TOP_K
+
+
+# -- q107 trend slope --------------------------------------------------------
+
+
+def test_q107_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q107_trend_slope")
+
+
+def test_q107_slope_matches_numpy(spark, sf_dir):
+    """Independent verification: the integer-sum slope equals numpy's
+    polyfit-style OLS slope on the same (hour, cents) points."""
+    import numpy as np
+
+    from spark_state_provider_spark.tables import load_table
+
+    got = {r.user_id: r.slope_cents_per_hr for r in _df(spark, sf_dir, "q107_trend_slope").collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.unix_timestamp("ts").alias("secs"), "value")
+        .toPandas()
+    )
+    checked = 0
+    for uid, g in ev.groupby("user_id"):
+        x = ((g["secs"] - g["secs"].min()) // 3600).to_numpy(dtype=float)
+        y = np.round(g["value"].to_numpy() * 100)
+        if np.var(x) == 0:
+            assert uid not in got
+            continue
+        beta = np.polyfit(x, y, 1)[0]
+        assert abs(got[uid] - beta) < 1e-6 * max(1.0, abs(beta))
+        checked += 1
+    assert checked > 0
