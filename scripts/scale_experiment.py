@@ -83,6 +83,11 @@ QUERIES = [
     "q101_negative_sampling",
     "q102_aqe_skew_join",
     "q104_cascade_delete",
+    "q105_corpus_diff",
+    "q107_trend_slope",
+    # streaming twins: measures the per-batch probe/fold cost at 10x corpus
+    "q92_stream_incremental_dedup",
+    "q103_stream_corpus_pipeline",
 ]
 
 
