@@ -121,6 +121,7 @@ HEADLINE = [
     "q105_corpus_diff",
     "q106_media_similarity",
     "q107_trend_slope",
+    "q108_stream_leaderboard",
 ]
 
 

@@ -1113,3 +1113,104 @@ def _register_q103() -> None:
 
 
 _register_q103()
+
+
+# ---------------------------------------------------------------------------
+# q108 — continuous leaderboard: streaming per-group top-k with BOUNDED
+# state. The state the job carries across micro-batches is only k rows
+# per group (the current leaders) — never the history — because top-k
+# merge is monotone: topk(prev ∪ batch) = topk(topk(prev) ∪ topk(batch)).
+# Each batch map-side-combines to its own per-group top-k, merges with
+# the persisted leaders, and overwrites the (k·groups)-row state. None
+# of the other streaming ops exercise this shape: q96 keeps growing
+# partials, q24s keeps per-key state — the leaderboard keeps a CONSTANT
+# footprint at any corpus size. Deterministic replay ⇒ equals the batch
+# top-k ⇒ hard oracle.
+# ---------------------------------------------------------------------------
+
+_LB_K = 5
+
+
+def _register_q108() -> None:
+    @register(
+        "q108_stream_leaderboard",
+        oracle=f"""
+        SELECT event_type, event_id, user_id,
+               CAST(value AS DOUBLE) AS value, CAST(rn AS BIGINT) AS rn
+        FROM (
+            SELECT event_type, event_id, user_id, value,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value DESC, event_id
+                   ) AS rn
+            FROM events
+        ) WHERE rn <= {_LB_K}
+        """,
+    )
+    def q108_stream_leaderboard(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Top-{_LB_K} events by value per event type, maintained across
+        micro-batches with k·groups rows of state."""
+        import os
+        import shutil
+
+        from pyspark.sql.window import Window
+
+        (state_root, ckpt) = _fresh_run_dirs("q108", sf_dir, "state", "ckpt")
+        latest: dict[str, str | None] = {"path": None}
+
+        def topk(df: DataFrame) -> DataFrame:
+            w = Window.partitionBy("event_type").orderBy(
+                F.col("value").desc(), "event_id"
+            )
+            return (
+                df.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= _LB_K)
+                .drop("rn")
+            )
+
+        def merge(batch_df: DataFrame, batch_id: int) -> None:
+            sess = batch_df.sparkSession
+            cur = topk(
+                batch_df.select("event_type", "event_id", "user_id", "value")
+            )
+            prev = latest["path"]
+            if prev is not None:
+                cur = topk(
+                    sess.read.parquet(prev).unionByName(cur)
+                )
+            new_path = os.path.join(state_root, f"v{batch_id}")
+            cur.write.mode("overwrite").parquet(new_path)
+            latest["path"] = new_path
+            if prev is not None:
+                shutil.rmtree(prev, ignore_errors=True)
+
+        with _streaming_session(spark):
+            ev = stream_events(spark, sf_dir, N_BATCHES, tag="lb")
+            q = (
+                ev.writeStream.foreachBatch(merge)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                finished = q.awaitTermination(120)
+            finally:
+                q.stop()
+                shutil.rmtree(ckpt, ignore_errors=True)
+            if not finished:
+                raise TimeoutError("q108 stream did not drain within 120s")
+        final = spark.read.parquet(latest["path"])
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("value").desc(), "event_id"
+        )
+        return final.select(
+            "event_type",
+            "event_id",
+            "user_id",
+            F.col("value").cast("double").alias("value"),
+        ).withColumn("rn", F.row_number().over(w).cast("long"))
+
+
+_register_q108()

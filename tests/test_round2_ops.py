@@ -523,3 +523,25 @@ def test_q107_slope_matches_numpy(spark, sf_dir):
         assert abs(got[uid] - beta) < 1e-6 * max(1.0, abs(beta))
         checked += 1
     assert checked > 0
+
+
+# -- q108 streaming leaderboard ----------------------------------------------
+
+
+def test_q108_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q108_stream_leaderboard")
+
+
+def test_q108_state_is_bounded(spark, sf_dir):
+    """The final persisted state holds at most k rows per group — the
+    whole point of the monotone top-k merge."""
+    from spark_state_provider_spark.operators.streaming_queries import _LB_K
+
+    rows = _df(spark, sf_dir, "q108_stream_leaderboard").collect()
+    per_group: dict = {}
+    for r in rows:
+        per_group.setdefault(r.event_type, []).append(r)
+    for grp, rs in per_group.items():
+        assert len(rs) <= _LB_K
+        vals = [r.value for r in sorted(rs, key=lambda r: r.rn)]
+        assert vals == sorted(vals, reverse=True)
