@@ -122,6 +122,7 @@ HEADLINE = [
     "q106_media_similarity",
     "q107_trend_slope",
     "q108_stream_leaderboard",
+    "q109_null_skew_outer_join",
 ]
 
 

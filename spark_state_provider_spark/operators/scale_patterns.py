@@ -657,3 +657,90 @@ def q102_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "grp bigint, n bigint, sum_plen bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# q109 — NULL-skew outer join: the skew class q32/q79/q102 don't cover.
+# In an outer join, NULL-keyed rows can never match but still flow
+# through the join operator — and every one of them hashes to the SAME
+# reducer, so a fact table where most join keys are missing (unresolved
+# user ids, anonymous sessions — the normal case in clickstream data)
+# serializes on one task. AQE skew splitting can subdivide that partition,
+# but the rows still pay the shuffle + join machinery for keys that
+# provably cannot match. The split plan is structural: null-keyed rows
+# BYPASS the join entirely (null-extended by construction) and union with
+# the not-null side's join — zero shuffled null rows, provably equal
+# results. The oracle is the PLAIN left join.
+# ---------------------------------------------------------------------------
+
+_NULLSKEW_MOD = 10  # ~90% of fact keys become NULL
+
+
+@register(
+    "q109_null_skew_outer_join",
+    oracle=f"""
+    WITH f AS (
+        SELECT event_id,
+               CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
+                         % {_NULLSKEW_MOD} < {_NULLSKEW_MOD - 1}
+                    THEN NULL ELSE user_id END AS k,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unmatched,
+           CAST(sum(v) AS DOUBLE) AS sum_value,
+           CAST(sum(CASE WHEN c.c_custkey IS NOT NULL THEN v END) AS DOUBLE)
+               AS matched_value
+    FROM f LEFT JOIN customer c ON f.k = c.c_custkey
+    """,
+)
+def q109_null_skew_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer enrichment where ~90% of fact keys are NULL, executed
+    with the null-split plan: NULL-keyed rows never enter the join.
+
+    Scale shape: the not-null slice joins normally (here it would even
+    broadcast; at 100 TB it shuffles only the ~10% resolvable rows); the
+    NULL slice is a pure narrow pass-through with null-extended dim
+    columns. No reducer ever receives the NULL hotspot. The aggregate
+    proves equality with the naive plan (the oracle IS the naive join).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 12),
+                16,
+                10,
+            ).cast("long")
+            % _NULLSKEW_MOD
+            < _NULLSKEW_MOD - 1,
+            F.lit(None).cast("long"),
+        )
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck")
+    )
+    notnull = (
+        ev.where(F.col("k").isNotNull())
+        .join(cust, F.col("k") == F.col("ck"), "left")
+        .select("event_id", "k", "v", "ck")
+    )
+    nulls = ev.where(F.col("k").isNull()).select(
+        "event_id", "k", "v", F.lit(None).cast("long").alias("ck")
+    )
+    j = notnull.unionByName(nulls)
+    return j.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("ck").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unmatched"),
+        F.sum("v").cast("double").alias("sum_value"),
+        F.sum(F.when(F.col("ck").isNotNull(), F.col("v")))
+        .cast("double")
+        .alias("matched_value"),
+    )

