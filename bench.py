@@ -123,6 +123,7 @@ HEADLINE = [
     "q107_trend_slope",
     "q108_stream_leaderboard",
     "q109_null_skew_outer_join",
+    "q110_bfs_distances",
 ]
 
 

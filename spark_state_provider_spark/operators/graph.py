@@ -121,3 +121,94 @@ def q74_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("id").alias("node_id"), F.col("rank").alias("rank_scaled")
     )
+
+
+# ---------------------------------------------------------------------------
+# q110 — BFS shortest-path distances: the traversal member of the graph
+# family (q74 ranks, q28e clusters, this one measures reach). Level-
+# synchronous BFS is the canonical bounded-round Pregel traversal: each
+# round expands the current frontier through ONE edge join and anti-joins
+# the already-visited set, so round k's cost is |frontier_k| ⋈ edges —
+# never the whole graph re-walked — and level order guarantees first
+# visit = shortest distance (no min-reduction needed). Rounds are FIXED
+# (_BFS_MAX), so the oracle is a depth-bounded recursive CTE, and on this
+# dense bipartite graph the horizon covers everything reachable.
+# ---------------------------------------------------------------------------
+
+_BFS_MAX = 4
+_BFS_SOURCES = ("C1", "C2")
+
+
+@register(
+    "q110_bfs_distances",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (
+        SELECT 'C' || c AS src, 'S' || s AS dst FROM pairs
+        UNION ALL
+        SELECT 'S' || s AS src, 'C' || c AS dst FROM pairs),
+    reach AS (
+        SELECT id, 0 AS d
+        FROM (VALUES {", ".join(f"('{s}')" for s in _BFS_SOURCES)}) v(id)
+        UNION
+        SELECT e.dst, r.d + 1
+        FROM reach r JOIN edges e ON e.src = r.id
+        WHERE r.d < {_BFS_MAX}
+    )
+    SELECT id, CAST(min(d) AS BIGINT) AS dist
+    FROM reach GROUP BY id
+    """,
+)
+def q110_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path distance (≤ {_BFS_MAX} hops) from the source
+    customers {_BFS_SOURCES} to every reachable node of the order graph.
+
+    Scale shape: per round, one equi-join of the FRONTIER (not the
+    visited set, not the graph) against the edge list plus one anti-join
+    against visited — both partial-aggregable shuffles on node id; the
+    edge list is computed once and persisted. Fixed round count keeps
+    the driver loop bounded (the q74/q50 discipline) and makes the
+    traversal SQL-expressible for the oracle.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dist = spark.createDataFrame(
+        [(s, 0) for s in _BFS_SOURCES], "id string, dist bigint"
+    )
+    frontier = dist
+    for k in range(1, _BFS_MAX + 1):
+        nxt = (
+            frontier.join(edges, frontier.id == edges.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(dist, "id", "left_anti")
+            .select("id", F.lit(k).cast("long").alias("dist"))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    edges.unpersist()
+    return dist

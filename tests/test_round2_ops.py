@@ -567,3 +567,28 @@ def test_q109_null_rows_bypass_the_join(spark, sf_dir):
     joins = [l for l in plan.splitlines() if "Join" in l and "(" in l]
     assert len({l.strip() for l in joins if "Inner" in l or "Outer" in l or "HashJoin" in l}) <= 2
     assert "CartesianProduct" not in plan
+
+
+# -- q110 BFS distances ------------------------------------------------------
+
+
+def test_q110_matches_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "q110_bfs_distances")
+
+
+def test_q110_bfs_invariants(spark, sf_dir):
+    """Level property: a node at distance d>0 must have a neighbor at
+    d−1 (spot-checked via the alternating bipartite structure: customers
+    sit on even levels, suppliers on odd)."""
+    rows = _df(spark, sf_dir, "q110_bfs_distances").collect()
+    dists = {r.id: r.dist for r in rows}
+    from spark_state_provider_spark.operators.graph import _BFS_SOURCES
+
+    for s in _BFS_SOURCES:
+        assert dists[s] == 0
+    for node, d in dists.items():
+        assert 0 <= d <= 4
+        if node.startswith("C"):
+            assert d % 2 == 0, (node, d)
+        else:
+            assert d % 2 == 1, (node, d)
