@@ -63,7 +63,7 @@ N_PACK_BUCKETS = 16  # md5 first hex nibble → 16 parallel packing streams
     SELECT bucket,
            CAST(floor((cum - est_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
            count(*) AS n_docs,
-           sum(est_tokens) AS pack_tokens
+           CAST(sum(est_tokens) AS BIGINT) AS pack_tokens
     FROM c
     GROUP BY bucket, CAST(floor((cum - est_tokens) / {PACK_BUDGET}.0) AS BIGINT)
     """,
@@ -123,7 +123,7 @@ _SPLIT_CASE = """
     oracle=f"""
     SELECT {_SPLIT_CASE} AS split,
            count(*) AS n_docs,
-           sum(CAST(length(text) AS BIGINT)) AS n_chars,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
            min(doc_id) AS min_doc,
            max(doc_id) AS max_doc
     FROM documents
@@ -235,7 +235,7 @@ REPETITION_FLAG = 0.10  # top token > 10% of doc → repetitive
         FROM tok GROUP BY doc_id, t
     )
     SELECT doc_id,
-           sum(cnt) AS n_tokens,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
            count(*) AS n_distinct,
            max(cnt) AS top_token_count,
            CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_token_ratio,
@@ -301,7 +301,7 @@ def _rate_threshold_sql(src: str) -> str:
     )
     SELECT source,
            count(*) AS n_kept,
-           sum(CAST(n_chars AS BIGINT)) AS kept_chars,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars,
            min(doc_id) AS min_doc
     FROM kept
     GROUP BY source
@@ -952,7 +952,7 @@ _PIPE_ORACLE = f"""
     )
     SELECT source, split,
            count(*) AS n_docs,
-           sum(est_tokens) AS n_tokens,
+           CAST(sum(est_tokens) AS BIGINT) AS n_tokens,
            CAST(ceil(sum(est_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS n_packs
     FROM clean
     GROUP BY source, split
