@@ -250,10 +250,17 @@ _TTL_US = 3 * 24 * 3600 * 1_000_000
 @register(
     "q25s_stream_ttl",
     oracle=f"""
-    WITH r AS (
+    WITH n AS (SELECT count(*) AS n_rows FROM events),
+    r AS (
+        -- mirror split_events_dir EXACTLY: slice = floor((rn-1)/ceil(n/4))
+        -- (ntile(4) spreads the remainder across the FIRST groups while the
+        -- replay slicer cuts ceil(n/4)-sized contiguous ranges — they differ
+        -- whenever n % 4 != 0)
         SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS ts_us,
-               ntile(4) OVER (ORDER BY epoch_ns(ts)//1000, event_id) AS slice
-        FROM events
+               CAST(floor((row_number() OVER (ORDER BY epoch_ns(ts)//1000,
+                                              event_id) - 1)
+                    / ceil(n_rows / 4.0)) AS BIGINT) AS slice
+        FROM events, n
     ),
     s AS (
         SELECT user_id, slice, max(ts_us) AS mts
@@ -640,6 +647,18 @@ def _fresh_run_dirs(tag: str, sf_dir: str, *names: str) -> list[str]:
     return out
 
 
+def _pinned(df: DataFrame) -> DataFrame:
+    """Detach a streaming-run result from the scratch files it reads.
+
+    ``_fresh_run_dirs`` wipes the deterministic per-pid dir at the START of
+    the next invocation, so a caller still holding the PREVIOUS invocation's
+    lazy result would read vanished files. The results here are verdict- /
+    rollup-sized (hundreds of rows), so an eager ``localCheckpoint``
+    materializes them into block storage and the scratch dir can be wiped
+    safely under them."""
+    return df.localCheckpoint(eager=True)
+
+
 def _register_q92() -> None:
     from spark_state_provider_spark.operators.dedup import (
         _INC_DEDUP_ORACLE,
@@ -756,7 +775,7 @@ def _register_q92() -> None:
                 shutil.rmtree(ckpt, ignore_errors=True)
             if not finished:
                 raise TimeoutError("q92 stream did not drain within 180s")
-        return (
+        return _pinned(
             spark.read.schema(
                 "id_new bigint, id_corpus bigint, jaccard double"
             )
@@ -839,7 +858,7 @@ def _register_q96() -> None:
             F.sum("n").alias("n_events")
         )
         total = partials.agg(F.sum("n").alias("total"))
-        return (
+        return _pinned(
             counts.join(
                 F.broadcast(total),
                 F.col("n_events") * _SHH_K > F.col("total"),
@@ -874,19 +893,25 @@ def _register_q97() -> None:
 
         prev = list(state.get[0]) if state.exists else []
         out_ids, out_cents, out_n = [], [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["secs", "event_id"])
-            for eid, cents in zip(pdf["event_id"], pdf["cents"]):
-                win = prev + [int(cents)]
-                n = len(win)
-                s = sum(win)
-                q = sum(v * v for v in win)
-                x = int(cents)
-                if n >= _ANOM_MIN_N and (n * x - s) ** 2 > 9 * (n * q - s * s):
-                    out_ids.append(int(eid))
-                    out_cents.append(x)
-                    out_n.append(n)
-                prev = win[-(_ANOM_WINDOW - 1):]
+        # applyInPandasWithState delivers a group's micro-batch rows as
+        # multiple Arrow chunks in arbitrary post-shuffle order — sorting
+        # each chunk independently would let window state leak across the
+        # chunk boundary out of (secs, event_id) order. Materialize the
+        # whole group (bounded: one user's slice of one micro-batch) and
+        # sort ONCE before folding state.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["secs", "event_id"])
+        for eid, cents in zip(pdf["event_id"], pdf["cents"]):
+            win = prev + [int(cents)]
+            n = len(win)
+            s = sum(win)
+            q = sum(v * v for v in win)
+            x = int(cents)
+            if n >= _ANOM_MIN_N and (n * x - s) ** 2 > 9 * (n * q - s * s):
+                out_ids.append(int(eid))
+                out_cents.append(x)
+                out_n.append(n)
+            prev = win[-(_ANOM_WINDOW - 1):]
         state.update((prev,))
         yield pd.DataFrame(
             {
@@ -946,7 +971,7 @@ def _register_q97() -> None:
                 shutil.rmtree(ckpt, ignore_errors=True)
             if not finished:
                 raise TimeoutError("q97 stream did not drain within 120s")
-        return (
+        return _pinned(
             spark.read.schema(
                 "event_id bigint, user_id bigint, cents bigint, n bigint"
             )
@@ -1103,12 +1128,14 @@ def _register_q103() -> None:
             .option("recursiveFileLookup", "true")
             .parquet(part_dir)
         )
-        return partials.groupBy("source", "split").agg(
-            F.sum("n_docs").alias("n_docs"),
-            F.sum("n_tokens").alias("n_tokens"),
-            F.ceil(F.sum("n_tokens") / float(PACK_BUDGET))
-            .cast("long")
-            .alias("n_packs"),
+        return _pinned(
+            partials.groupBy("source", "split").agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.ceil(F.sum("n_tokens") / float(PACK_BUDGET))
+                .cast("long")
+                .alias("n_packs"),
+            )
         )
 
 
@@ -1205,12 +1232,14 @@ def _register_q108() -> None:
         w = Window.partitionBy("event_type").orderBy(
             F.col("value").desc(), "event_id"
         )
-        return final.select(
-            "event_type",
-            "event_id",
-            "user_id",
-            F.col("value").cast("double").alias("value"),
-        ).withColumn("rn", F.row_number().over(w).cast("long"))
+        return _pinned(
+            final.select(
+                "event_type",
+                "event_id",
+                "user_id",
+                F.col("value").cast("double").alias("value"),
+            ).withColumn("rn", F.row_number().over(w).cast("long"))
+        )
 
 
 _register_q108()

@@ -588,7 +588,8 @@ _ANOM_ORACLE = f"""
     SELECT event_id, user_id, cents, n
     FROM w
     WHERE n >= {_ANOM_MIN_N}
-      AND CAST((n * cents - s) AS DECIMAL(38,0)) ** 2
+      AND CAST((n * cents - s) AS DECIMAL(38,0))
+          * CAST((n * cents - s) AS DECIMAL(38,0))
           > 9 * CAST((n * q - s * s) AS DECIMAL(38,0))
     """
 

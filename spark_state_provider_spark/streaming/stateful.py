@@ -106,9 +106,14 @@ def make_ttl_handler(ttl_secs: int):
             yield _emit(key[0], st)
             return
         st = state.get if state.exists else _ZERO
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
+        # Materialize the group's whole micro-batch before the expiry test:
+        # Arrow chunking splits a group at arbitrary ~10k-row boundaries in
+        # post-shuffle order, so a per-chunk deadline check would make the
+        # expiry decision depend on the chunk split. One batch → one check
+        # (now = the batch's max event time for the key), as documented.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
             if ttl_secs != NO_TTL and st[5] is not None:
                 now_us = int(pdf["ts"].astype("int64").max() // 1000)
                 if now_us - st[5] >= ttl_secs * 1_000_000:
