@@ -300,11 +300,52 @@ def _trigrams_of(d: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("q28c_simhash", oracle=None)  # xxhash64 is engine-specific
+def _portable_simhash64_sql() -> str:
+    """DuckDB oracle for the 64-bit md5-derived simhash: the 64-bit token
+    hash is the first 16 md5 hex chars, carried as two 32-bit halves so
+    neither engine ever materializes an unsigned 64-bit value."""
+    votes = ", ".join(
+        (
+            f"sum(CASE WHEN (hi >> {j - 32}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+            if j >= 32
+            else f"sum(CASE WHEN (lo >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        )
+        for j in range(64)
+    )
+    # bit 63 wraps into the sign bit of the signed i64 fingerprint; emitting
+    # it LAST keeps every partial sum of the addition chain <= 2^63 - 1.
+    bits = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {(1 << j) if j < 63 else -(1 << 63)} ELSE 0 END)"
+        for j in range(64)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, t.t
+        FROM documents, unnest(string_split(text, ' ')) AS t(t)
+    ),
+    hv AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+               ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+        FROM tok
+    ),
+    v AS (SELECT doc_id, {votes} FROM hv GROUP BY doc_id)
+    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM v
+    """
+
+
+@register("q28c_simhash", oracle=_portable_simhash64_sql())
 def q28c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash over distinct tokens (xxhash64 bit votes) — the fast
-    native fingerprint; near-dup docs differ in few bits (Hamming). Tested
-    structurally (planted-dup proximity) in tests/test_northstar.py.
+    """64-bit SimHash over distinct tokens — near-dup docs differ in few
+    bits (Hamming). Tested structurally (planted-dup proximity) in
+    tests/test_northstar.py AND bit-for-bit against the DuckDB oracle.
+
+    The token hash is the first 64 bits of md5, split into two 32-bit
+    halves (`conv` of 8 hex chars each) so the value stays inside signed
+    64-bit range in both engines; bit votes then read each half directly.
+    md5 is the portable choice that makes the fingerprint oracle-checkable
+    — at production scale swap the token hash for `xxhash64` (one JVM
+    intrinsic instead of a crypto digest; identical algorithm otherwise).
     """
     d = load_table(spark, sf_dir, "documents")
     # single-row-group input ⇒ the scan is one task; spread docs across
@@ -313,18 +354,31 @@ def q28c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
     ).distinct()
-    hv = tok.withColumn("hv", F.xxhash64("t"))
+    hv = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(F.md5("t"), 9, 8), 16, 10).cast("long").alias("lo"),
+    )
     votes = [
         F.sum(
-            F.when(F.expr(f"(shiftright(hv, {j}) & 1)").cast("int") == 1, 1).otherwise(-1)
+            F.when(
+                F.expr(
+                    f"(shiftright(hi, {j - 32}) & 1)"
+                    if j >= 32
+                    else f"(shiftright(lo, {j}) & 1)"
+                ).cast("int")
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"b{j}")
         for j in range(64)
     ]
     agg = hv.groupBy("doc_id").agg(*votes)
     sim = F.lit(0).cast("long")
     for j in range(64):
-        # shiftleft wraps bit 63 into the sign bit (simhash is a signed i64)
-        sim = sim + F.when(F.col(f"b{j}") > 0, F.expr(f"shiftleft(1L, {j})")).otherwise(
+        # bit 63 is the sign bit of the signed i64 fingerprint
+        term = F.lit(1 << j if j < 63 else -(1 << 63)).cast("long")
+        sim = sim + F.when(F.col(f"b{j}") > 0, term).otherwise(
             F.lit(0).cast("long")
         )
     return agg.select("doc_id", sim.alias("simhash"))
@@ -507,30 +561,34 @@ def alternating_connected_components(
     ``edges`` is (u, v) in either orientation. Returns (labels, rounds)
     where labels = (node, component-minimum) covering every endpoint. Each
     round is two groupBy+join stages; the driver reads ONE scalar (the
-    changed-edge count) per round — never row data — and per-round
-    ``localCheckpoint`` truncates lineage so round N doesn't replay rounds
-    1..N-1.
+    edge count, which doubles as the lazy checkpoint's materializing
+    action) per round — never row data — and per-round lineage truncation
+    (``checkpointing.truncate``: localCheckpoint by default, reliable
+    ``checkpoint()`` under SSPS_RELIABLE_CHECKPOINT for executor-loss
+    survival at cluster scale) keeps round N from replaying rounds 1..N-1.
     """
-    e = (
+    from spark_state_provider_spark.checkpointing import truncate
+
+    e = truncate(
         edges.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        eager=False,
     )
+    n_e = e.count()
     rounds = 0
     for rounds in range(1, max_iters + 1):
-        new_e = _small_star(_large_star(e)).localCheckpoint()
-        # converged when the edge set is a fixpoint (counts equal and no
-        # new edge outside the old set — two scalar reads)
-        if (
-            new_e.count() == e.count()
-            and new_e.exceptAll(e).limit(1).count() == 0
-        ):
+        new_e = truncate(_small_star(_large_star(e)), eager=False)
+        # converged when the edge set is a fixpoint: counts equal (the new
+        # count materializes the checkpoint; the old one is carried from
+        # last round — no recount job) and no edge outside the old set
+        n_new = new_e.count()
+        if n_new == n_e and new_e.exceptAll(e).limit(1).count() == 0:
             e = new_e
             break
-        e = new_e
+        e, n_e = new_e, n_new
     # fixpoint is a star graph: (node, root) plus the roots themselves
     labels = e.union(
         e.select(F.col("v").alias("u"), F.col("v").alias("v")).distinct()

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_state_provider_spark.checkpointing import truncate
 from spark_state_provider_spark.operators.registry import register
 from spark_state_provider_spark.tables import load_table
 
@@ -205,10 +206,14 @@ def q110_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(dist, "id", "left_anti")
             .select("id", F.lit(k).cast("long").alias("dist"))
         )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        # ONE job per round: the lazy checkpoint materializes under the
+        # count() that also answers the emptiness probe. dist itself is a
+        # union of already-truncated frontiers (bounded rounds ⇒ bounded
+        # plan), so it needs no re-checkpoint of the growing visited set.
+        nxt = truncate(nxt, eager=False)
+        if nxt.count() == 0:
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        dist = dist.unionByName(nxt)
         frontier = nxt
     edges.unpersist()
     return dist

@@ -1,0 +1,74 @@
+"""CI guard: every registered query — INCLUDING the zN-tier names the
+driver's 50-slot correctness window no longer re-checks — must still
+value-match its DuckDB oracle (VERDICT r2 item 6: a refactor must never
+silently break a previously-green query).
+
+One test per registered query (parametrized) at sf0.001, using the exact
+comparison discipline of scripts/driver_replica.py (sorted column names,
+order-insensitive rows, Decimal/date normalization).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from scripts.driver_replica import TABLES, eq, norm
+from spark_state_provider_spark import operators
+from spark_state_provider_spark.operators import registry
+
+operators.load_all()
+_ALL = sorted(registry.all_queries())
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _spark_rows(df):
+    cols = sorted(df.columns)
+    rows = sorted(
+        [tuple(norm(r[c]) for c in cols) for r in df.collect()],
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
+    return cols, rows
+
+
+def _duck_rows(con, sql):
+    cur = con.execute(sql)
+    raw = [d[0] for d in cur.description]
+    order = sorted(range(len(raw)), key=lambda i: raw[i])
+    cols = [raw[i] for i in order]
+    rows = sorted(
+        [tuple(norm(r[i]) for i in order) for r in cur.fetchall()],
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
+    return cols, rows
+
+
+@pytest.mark.parametrize("name", _ALL)
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    spec = registry.get(name)
+    scols, srows = _spark_rows(spec.fn(spark, sf_dir))
+    assert srows is not None
+    if not spec.oracle:
+        pytest.fail(f"{name} has no oracle — registry must stay 100% checkable")
+    dcols, drows = _duck_rows(duck, spec.oracle)
+    assert scols == dcols, f"{name}: column sets differ: {scols} != {dcols}"
+    assert len(srows) == len(drows), (
+        f"{name}: row counts differ: {len(srows)} != {len(drows)}"
+    )
+    bad = [
+        (s, d)
+        for s, d in zip(srows, drows)
+        if not all(eq(a, b) for a, b in zip(s, d))
+    ]
+    assert not bad, f"{name}: {len(bad)} value mismatches, first: {bad[0]}"

@@ -68,7 +68,10 @@ def test_simhash_neardups_are_hamming_close(spark, sf_dir, brute_pairs):
         return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
 
     near = [ham(sh[a], sh[b]) for a, b in brute_pairs]
-    assert near and max(near) <= 12, near  # near-dups within ~12/64 bits
+    # near-dups within a quarter of the bits (random pairs expect ~32/64;
+    # the exact constant shifts with the token hash — 12 under xxhash64,
+    # 15 under the portable md5 hash that earns the DuckDB oracle row)
+    assert near and max(near) <= 16, near
     # random pairs should be far (~32 bits expected)
     ids = sorted(sh)[:50]
     far = [
