@@ -82,26 +82,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _WINDOW_CAP = 50
 
-# Hand-picked front of this round's window (the round-1 verdict asked for
-# hard rows on the sketch trio, streaming, LLM ops, and TPC-H composites).
+# Hand-picked front of this round's window (the round-2 verdict asked to
+# front-load the HUGEINT-fixed oracles — q38/q39/q41/q42/q45c/q90/q103 —
+# plus the LLM-pipeline family q39–q54, the 12 remaining TPC-H shapes
+# (q45*, q73*), and the graph pair q74/q110; q28c joins with its fresh
+# portable 64-bit oracle).
 _PRIORITY_HINT = [
-    "q10b_approx_distinct", "q10d_hll_sketch", "q10e_approx_percentile",
-    "q21b_sliding_window", "q21s2_stream_sliding_window",
-    "q21s_stream_window", "q22_session_window", "q23_watermark",
-    "q24_user_statistics", "q24s_stream_user_stats", "q25_ttl_liveness",
-    "q26_stream_stream_join", "q26c_stream_static_join",
-    "q27_pandas_udf", "q27b_python_udtf", "q27c_grouped_agg_udaf",
-    "q27d_grouped_map_udf", "q28_dedup_exact", "q28b_minhash_lsh",
-    "q28c2_simhash_portable", "q28d_ngram_jaccard", "q28e_dedup_clusters",
-    "q29_knn_brute", "q29b_ann_lsh", "q29c_embedding_neardup",
-    "q29d_ivf_ann", "q29e_int8_quantized", "q30_text_stats",
-    "q30b_lang_id", "q30c_token_freq", "q30d_fingerprint", "q30e_quality",
-    "q30f_regex_tokens", "q31_multimodal_meta", "q31b_multimodal_partitioned",
-    "q31c_multimodal_arrow", "q31d_frame_sample", "q32_salted_agg",
-    "q33_tpch_q3", "q33b_tpch_q10", "q33c_tpch_q18", "q33d_tpch_q6",
-    "q33e_tpch_q14", "q34_tpch_q5", "q38_sequence_packing",
-    "q63_tpch_q1", "q63b_tpch_q8", "q63c_tpch_q9", "q63d_tpch_q19",
-    "q63e_tpch_q21",
+    # HUGEINT-fixed seven (the round-2 red row + its six queued twins)
+    "q38_sequence_packing", "q39_hash_split", "q41_repetition_stats",
+    "q42_domain_mix", "q45c_tpch_q12", "q90_corpus_pipeline",
+    "q103_stream_corpus_pipeline",
+    # rest of the LLM training-data pipeline family
+    "q40_pii_scrub", "q43_scd2_intervals", "q44_merge_upsert",
+    "q44b_state_as_of", "q46_contamination", "q47_tfidf_terms",
+    "q48_range_layout", "q49_bm25", "q50_kmeans", "q51_inverted_index",
+    "q52_unigram_lm", "q53_histogram", "q54_fuzzy_join",
+    # remaining TPC-H shapes
+    "q45_tpch_q4", "q45b_tpch_q7", "q45d_tpch_q13", "q45e_tpch_q15",
+    "q45f_tpch_q22", "q73_tpch_q2", "q73b_tpch_q11", "q73c_tpch_q16",
+    "q73d_tpch_q20", "q73e_tpch_q22",
+    # graph pair
+    "q74_pagerank", "q110_bfs_distances",
+    # newly-oracled fingerprint + streaming twins awaiting their slot
+    "q28c_simhash", "q22s_stream_session_window", "q25s_stream_ttl",
+    "q26b_stream_stream_left_join",
+    # longest-waiting rest
+    "q10f_approx_top_k", "q29f_pq_ann", "q31e_image_header_decode",
+    "q31f_audio_meta", "q36_stratified_sample", "q37_python_datasource",
+    "q55_resample_ffill", "q56_zorder_layout", "q57_funnel",
+    "q58_range_frame", "q59_table_fingerprint", "q60_user_similarity",
+    "q61_event_transitions", "q62_cohort_retention",
 ]
 
 _PREFIX_RE = __import__("re").compile(r"^(y_|z\d+_)")
