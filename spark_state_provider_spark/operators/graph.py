@@ -138,6 +138,10 @@ def q74_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BFS_MAX = 4
 _BFS_SOURCES = ("C1", "C2")
+# frontier/visited sets at or below this row count broadcast into the
+# per-round joins (a few MB of node ids); larger frontiers fall back to
+# shuffle joins against the persisted src-partitioned edge list
+_BFS_BROADCAST_MAX = 2_000_000
 
 
 @register(
@@ -168,9 +172,17 @@ def q110_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per round, one equi-join of the FRONTIER (not the
     visited set, not the graph) against the edge list plus one anti-join
-    against visited — both partial-aggregable shuffles on node id; the
-    edge list is computed once and persisted. Fixed round count keeps
-    the driver loop bounded (the q74/q50 discipline) and makes the
+    against visited; the edge list is computed once, hash-partitioned on
+    src, and persisted. The frontier count — already in hand from the
+    round's emptiness probe — drives an explicit size-adaptive join
+    strategy: while frontier and visited stay under _BFS_BROADCAST_MAX
+    rows they BROADCAST, so the persisted edge partitions are probed
+    map-side and never re-shuffled (the profiled dominant cost: without
+    the hint Spark re-exchanged all edges every round, because a
+    checkpoint-backed frontier has no size statistics for AQE to act
+    on). Past the threshold the joins fall back to shuffles that reuse
+    the edges' persisted partitioning. Fixed round count keeps the
+    driver loop bounded (the q74/q50 discipline) and makes the
     traversal SQL-expressible for the oracle.
     """
     from pyspark.storagelevel import StorageLevel
@@ -192,27 +204,37 @@ def q110_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
         )
+        .repartition("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dist = spark.createDataFrame(
         [(s, 0) for s in _BFS_SOURCES], "id string, dist bigint"
     )
-    frontier = dist
+    frontier, n_frontier, n_dist = dist, len(_BFS_SOURCES), len(_BFS_SOURCES)
     for k in range(1, _BFS_MAX + 1):
+        fr = (
+            F.broadcast(frontier)
+            if n_frontier <= _BFS_BROADCAST_MAX
+            else frontier
+        )
+        seen = F.broadcast(dist) if n_dist <= _BFS_BROADCAST_MAX else dist
         nxt = (
-            frontier.join(edges, frontier.id == edges.src)
+            fr.join(edges, fr.id == edges.src)
             .select(F.col("dst").alias("id"))
             .distinct()
-            .join(dist, "id", "left_anti")
+            .join(seen, "id", "left_anti")
             .select("id", F.lit(k).cast("long").alias("dist"))
         )
         # ONE job per round: the lazy checkpoint materializes under the
-        # count() that also answers the emptiness probe. dist itself is a
-        # union of already-truncated frontiers (bounded rounds ⇒ bounded
-        # plan), so it needs no re-checkpoint of the growing visited set.
+        # count() that also answers the emptiness probe AND feeds the next
+        # round's broadcast decision. dist itself is a union of
+        # already-truncated frontiers (bounded rounds ⇒ bounded plan), so
+        # it needs no re-checkpoint of the growing visited set.
         nxt = truncate(nxt, eager=False)
-        if nxt.count() == 0:
+        n_frontier = nxt.count()
+        if n_frontier == 0:
             break
+        n_dist += n_frontier
         dist = dist.unionByName(nxt)
         frontier = nxt
     edges.unpersist()
