@@ -88,6 +88,10 @@ QUERIES = [
     # streaming twins: measures the per-batch probe/fold cost at 10x corpus
     "q92_stream_incremental_dedup",
     "q103_stream_corpus_pipeline",
+    # round-3: the iterative ops after the checkpoint/broadcast rework
+    # (BFS frontier-broadcast rounds, CC lazy-truncate fixpoint loop)
+    "q110_bfs_distances",
+    "q28e_dedup_clusters",
 ]
 
 

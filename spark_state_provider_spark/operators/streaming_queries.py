@@ -898,8 +898,23 @@ def _register_q97() -> None:
         # each chunk independently would let window state leak across the
         # chunk boundary out of (secs, event_id) order. Materialize the
         # whole group (bounded: one user's slice of one micro-batch) and
-        # sort ONCE before folding state.
-        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # sort ONCE before folding state. The common case is one chunk
+        # per group — skip the concat copy there.
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:  # NoTimeout ⇒ unreachable; kept for robustness
+            state.update((prev,))
+            yield pd.DataFrame(
+                {
+                    c: pd.Series([], dtype="int64")
+                    for c in ("event_id", "user_id", "cents", "n")
+                }
+            )
+            return
+        pdf = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
         pdf = pdf.sort_values(["secs", "event_id"])
         for eid, cents in zip(pdf["event_id"], pdf["cents"]):
             win = prev + [int(cents)]
