@@ -124,6 +124,10 @@ HEADLINE = [
     "q108_stream_leaderboard",
     "q109_null_skew_outer_join",
     "q110_bfs_distances",
+    # round-3 additions: span-level dedup, semantic dedup, governance
+    "q111_span_dedup",
+    "q112_semdedup",
+    "q113_source_overlap",
 ]
 
 

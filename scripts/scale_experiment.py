@@ -92,6 +92,8 @@ QUERIES = [
     # (BFS frontier-broadcast rounds, CC lazy-truncate fixpoint loop)
     "q110_bfs_distances",
     "q28e_dedup_clusters",
+    "q111_span_dedup",
+    "q112_semdedup",
 ]
 
 

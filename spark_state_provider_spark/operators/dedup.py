@@ -86,11 +86,11 @@ _DUCK_TRI = f"""
 _DUCK_SALTS = "SELECT unnest([" + ", ".join(f"'{s}'" for s in _SALTS) + "]) AS salt"
 
 
-@register(
-    "q28b_minhash_lsh",
-    oracle=f"""
-    WITH {_DUCK_TRI},
-    salts AS ({_DUCK_SALTS}),
+# The LSH candidate+verify chain (expects the tri and salts CTEs in
+# scope): minhash signatures → banded bucket keys → candidate pairs →
+# exact-Jaccard inputs. Shared by the q28b oracle and the q113
+# source-governance rollup.
+_DUCK_LSH_CHAIN = f"""
     mh AS (
         SELECT doc_id, salt, min(md5(salt || '|' || tri)) AS h
         FROM tri, salts
@@ -116,6 +116,15 @@ _DUCK_SALTS = "SELECT unnest([" + ", ".join(f"'{s}'" for s in _SALTS) + "]) AS s
         JOIN tri tb ON tb.doc_id = c.id_b AND tb.tri = ta.tri
         GROUP BY c.id_a, c.id_b
     )
+"""
+
+
+@register(
+    "q28b_minhash_lsh",
+    oracle=f"""
+    WITH {_DUCK_TRI},
+    salts AS ({_DUCK_SALTS}),
+    {_DUCK_LSH_CHAIN}
     SELECT i.id_a, i.id_b,
            CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
     FROM inter i
@@ -1162,3 +1171,178 @@ def q85_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q111 — duplicated-span detection (the window-level form of Lee et al.
+# 2022, "Deduplicating Training Data Makes Language Models Better"): a
+# document is not a dup of another, but a SPAN inside it is — boilerplate,
+# license headers, quoted tweets. Every W-token window is keyed; windows
+# whose key occurs more than once corpus-wide are duplicated spans, and
+# each doc reports its duplicated-window fraction (the memorization-risk
+# metric the paper's ExactSubstr dedup thresholds on).
+# ---------------------------------------------------------------------------
+
+SPAN_W = 8  # window width in tokens (paper uses 50 BPE tokens at web scale)
+
+
+def _register_q111() -> None:
+    concat8 = " || ' ' || ".join(f"l[i+{j}]" for j in range(SPAN_W))
+
+    @register(
+        "q111_span_dedup",
+        oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS l
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= {SPAN_W}
+        ),
+        win AS (
+            SELECT doc_id, t.w
+            FROM tok, unnest(list_transform(
+                generate_series(1, len(l) - {SPAN_W - 1}),
+                i -> {concat8}
+            )) AS t(w)
+        ),
+        c AS (
+            SELECT doc_id, count(*) OVER (PARTITION BY w) AS occ
+            FROM win
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dup_windows,
+               CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS dup_frac
+        FROM c
+        GROUP BY doc_id
+        """,
+    )
+    def q111_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-doc duplicated-span profile: of the doc's {SPAN_W}-token
+        sliding windows, how many occur more than once corpus-wide.
+
+        Scale shape: window generation is a narrow map (split + transform
+        + explode — ~1 window per token, map-local); the ONE fact-sized
+        shuffle keys windows by content for the occurrence count (window
+        count over the span key — map-side partial counting doesn't apply
+        to windows, but the equivalent groupBy+join form would combine;
+        the single-shuffle window form is chosen because the span key
+        carries straight through to the per-doc rollup, which shuffles
+        only doc-sized rows). At 100 TB you shuffle a 64-bit xxhash64 of
+        the window, not the window text (16 bytes vs ~50; collision rate
+        ~n²/2⁶⁴ is acceptable for a RATE metric — flagged spans feed a
+        verify pass exactly like q28b's LSH candidates); the string key
+        is kept here so the DuckDB oracle is literal. Docs shorter than
+        {SPAN_W} tokens have no windows and are excluded (they cannot
+        contain a duplicated span).
+        """
+        d = load_table(spark, sf_dir, "documents")
+        d = d.repartition(
+            max(spark.sparkContext.defaultParallelism, 8), "doc_id"
+        )
+        tok = d.select("doc_id", F.split("text", " ").alias("l")).where(
+            F.size("l") >= SPAN_W
+        )
+        win = tok.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(l) - {SPAN_W - 1}), "
+                    f"i -> concat_ws(' ', slice(l, i, {SPAN_W})))"
+                )
+            ).alias("w"),
+        )
+        from pyspark.sql.window import Window
+
+        c = win.withColumn(
+            "occ", F.count("*").over(Window.partitionBy("w"))
+        )
+        dup = F.sum((F.col("occ") > 1).cast("long"))
+        return c.groupBy("doc_id").agg(
+            F.count("*").alias("n_windows"),
+            dup.alias("dup_windows"),
+            (dup.cast("double") / F.count("*").cast("double")).alias(
+                "dup_frac"
+            ),
+        )
+
+
+_register_q111()
+
+
+# ---------------------------------------------------------------------------
+# q113 — cross-source near-dup overlap matrix: the corpus-governance
+# rollup of the q28b pair graph. Web corpora are assembled from feeds
+# that mirror each other (crawl snapshots, aggregators, re-hosted wikis);
+# before fixing mixture weights you need to know WHICH sources duplicate
+# WHICH — a source pair with heavy overlap is double-counting the same
+# underlying data, and its effective mixture weight is the sum.
+# ---------------------------------------------------------------------------
+
+
+def _register_q113() -> None:
+    @register(
+        "q113_source_overlap",
+        oracle=f"""
+        WITH {_DUCK_TRI},
+        salts AS ({_DUCK_SALTS}),
+        {_DUCK_LSH_CHAIN},
+        vp AS (
+            SELECT i.id_a, i.id_b
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)
+                  >= {JACCARD_THRESHOLD}
+        ),
+        src AS (SELECT doc_id, source FROM documents)
+        SELECT least(pa.source, pb.source) AS source_a,
+               greatest(pa.source, pb.source) AS source_b,
+               CAST(count(*) AS BIGINT) AS neardup_pairs
+        FROM vp
+        JOIN src pa ON pa.doc_id = vp.id_a
+        JOIN src pb ON pb.doc_id = vp.id_b
+        GROUP BY least(pa.source, pb.source), greatest(pa.source, pb.source)
+        """,
+    )
+    def q113_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Near-dup pair counts per (source, source) pair — which feeds
+        mirror each other (pair orientation normalized least/greatest, so
+        intra-source dup pressure shows on the diagonal).
+
+        Scale shape: the expensive part is q28b's banded LSH, already
+        linear; this rollup BROADCASTS the verified pair list (bounded by
+        dup density, not corpus size) into two passes over the
+        doc→source projection — the fact table is never shuffled — and
+        the final groupBy is sources² at most, driver-trivial. If dup
+        density ever made the pair list non-broadcastable, the identical
+        plan degrades to two shuffle joins on doc_id; the rollup itself
+        is unchanged.
+        """
+        pairs = q28b_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+        src = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source"
+        )
+        sa = src.select(
+            F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
+        )
+        sb = src.select(
+            F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
+        )
+        return (
+            sa.join(F.broadcast(pairs), "id_a")
+            .join(
+                F.broadcast(sb.join(F.broadcast(pairs), "id_b")
+                            .select("id_b", "src_b").distinct()),
+                "id_b",
+            )
+            .groupBy(
+                F.least("src_a", "src_b").alias("source_a"),
+                F.greatest("src_a", "src_b").alias("source_b"),
+            )
+            .agg(F.count("*").alias("neardup_pairs"))
+        )
+
+
+_register_q113()

@@ -512,11 +512,11 @@ _DUCK_CENT_SUMS = ", ".join(
 )
 _DUCK_CENT_LIST = "[" + ", ".join(f"m{i}" for i in range(_DIM)) + "]"
 
-
-@register(
-    "q50_kmeans",
-    oracle=f"""
-    WITH e AS (
+# Shared CTE chain: embeddings → int8 quantization → seeded centroids →
+# iteration-1 Lloyd assignment. q50 extends it with the centroid update +
+# iteration 2; q112 (SemDeDup) uses the iteration-1 clusters directly.
+_DUCK_KMEANS_A1 = f"""
+    e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     qz AS (SELECT vec_id, {_DUCK_QUANT} AS q FROM e),
@@ -531,7 +531,51 @@ _DUCK_CENT_LIST = "[" + ", ".join(f"m{i}" for i in range(_DIM)) + "]"
                 PARTITION BY vec_id ORDER BY d2, cid
             ) AS rn FROM d1
         ) WHERE rn = 1
-    ),
+    )
+"""
+
+
+def _kmeans_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iteration-1 Lloyd assignment (vec_id, q, c1), persisted per
+    (session, sf) — shared by q50 (which adds the centroid update and
+    iteration 2) and q112 SemDeDup (which dedups within the clusters).
+    Plan: broadcast of K seeded centroids + one narrow codegen pass, no
+    shuffle; the persist is what lets downstream consumers reuse the
+    assignment instead of re-running it."""
+    from spark_state_provider_spark.functions.vector import idot, quantize_int8
+
+    key = (id(spark), sf_dir)
+    if key not in _KMEANS_A1_CACHE:
+        emb = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", as_double_vec("embedding").alias("v"))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select("vec_id", quantize_int8(F.col("v")).alias("q"))
+        )
+        c0 = emb.where(F.col("vec_id") < K_CLUSTERS).select(
+            F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+        )
+        qq, cc = F.col("q"), F.col("cq")
+        d1 = emb.crossJoin(F.broadcast(c0)).select(
+            "vec_id",
+            "q",
+            "cid",
+            (idot(qq, cc) * F.lit(-2) + idot(qq, qq) + idot(cc, cc)).alias("d2"),
+        )
+        w1 = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        _KMEANS_A1_CACHE[key] = (
+            d1.withColumn("rn", F.row_number().over(w1))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "q", F.col("cid").alias("c1"))
+            .persist()
+        )
+    return _KMEANS_A1_CACHE[key]
+
+
+@register(
+    "q50_kmeans",
+    oracle=f"""
+    WITH {_DUCK_KMEANS_A1},
     m AS (
         SELECT c1 AS cid2, {_DUCK_CENT_LIST} AS mv FROM (
             SELECT c1, {_DUCK_CENT_SUMS} FROM a1 GROUP BY c1
@@ -566,40 +610,15 @@ def q50_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle) and never a driver collect of members. Iterations chain
     shuffle-free except the k-row centroid agg.
     """
-    from spark_state_provider_spark.functions.vector import dot, idot, quantize_int8
+    from spark_state_provider_spark.functions.vector import dot
 
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", as_double_vec("embedding").alias("v"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("vec_id", quantize_int8(F.col("v")).alias("q"))
-    )
-    c0 = emb.where(F.col("vec_id") < K_CLUSTERS).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
-    )
-    qq, cc = F.col("q"), F.col("cq")
-    d1 = emb.crossJoin(F.broadcast(c0)).select(
-        "vec_id",
-        "q",
-        "cid",
-        (idot(qq, cc) * F.lit(-2) + idot(qq, qq) + idot(cc, cc)).alias("d2"),
-    )
-    w1 = Window.partitionBy("vec_id").orderBy("d2", "cid")
     # iteration-1 assignments feed BOTH the centroid update and the
     # iteration-2 assignment pass — persisted via a session-keyed cache
     # (same lifecycle pattern as dedup._TRI_CACHE) so repeat invocations
     # reuse ONE cache entry instead of stacking orphans in the block
     # manager. At cluster scale: materialize assignments between Lloyd
     # iterations rather than recompute lineage.
-    a1_key = (id(spark), sf_dir)
-    if a1_key not in _KMEANS_A1_CACHE:
-        _KMEANS_A1_CACHE[a1_key] = (
-            d1.withColumn("rn", F.row_number().over(w1))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "q", F.col("cid").alias("c1"))
-            .persist()
-        )
-    a1 = _KMEANS_A1_CACHE[a1_key]
+    a1 = _kmeans_a1(spark, sf_dir)
     cent = a1.groupBy("c1").agg(
         F.count("*").alias("cnt"),
         *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(_DIM)],
@@ -1079,3 +1098,95 @@ def q99_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drift2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q112 — SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+# at web-scale through semantic deduplication"): cluster the embedding
+# space, then deduplicate ONLY within clusters — the trick that turns the
+# O(n²) semantic-pair problem into k independent O((n/k)²) local problems,
+# which is how semantic dedup actually ships at 100 TB. Clusters come
+# from q50's iteration-1 k-means assignment (shared, persisted); within a
+# cluster, a vector is DROPPED when any lower-id member is closer than
+# the cosine threshold (keep-lowest-id = deterministic, order-free).
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.35  # same cosine threshold family as q29c
+
+
+def _register_q112() -> None:
+    cos_sql = (
+        "list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+
+    @register(
+        "q112_semdedup",
+        oracle=f"""
+        WITH {_DUCK_KMEANS_A1},
+        sel AS (
+            SELECT a1.vec_id, a1.c1, e.v
+            FROM a1 JOIN e ON a1.vec_id = e.vec_id
+        ),
+        drops AS (
+            SELECT DISTINCT b.vec_id
+            FROM sel a JOIN sel b
+              ON a.c1 = b.c1 AND a.vec_id < b.vec_id
+            WHERE {cos_sql} >= {SEMDEDUP_TAU}
+        )
+        SELECT s.vec_id,
+               s.c1 AS cid,
+               (d.vec_id IS NOT NULL) AS dropped
+        FROM sel s LEFT JOIN drops d ON s.vec_id = d.vec_id
+        """,
+    )
+    def q112_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Semantic dedup verdict per vector: cluster id and whether a
+        lower-id same-cluster member sits within cosine {SEMDEDUP_TAU}.
+
+        Scale shape: the quadratic is CLUSTER-LOCAL by construction — the
+        pair join's equi-key is the cluster id, so each cluster's members
+        meet only each other (k independent blocks, never a corpus×corpus
+        product; same blocking idea as q28b's LSH bands but in embedding
+        space). The cluster assignment is the persisted q50 iteration-1
+        pass (broadcast centroids, no shuffle); the pair stage is one
+        shuffle on cid. At 100 TB, k scales with the corpus so the
+        per-cluster block stays bounded — exactly the SemDeDup recipe.
+        The keep-lowest-id rule makes the verdict set order-independent
+        (no reliance on which pair is examined first).
+        """
+        from spark_state_provider_spark.functions.vector import cosine
+
+        a1 = _kmeans_a1(spark, sf_dir).select("vec_id", "c1")
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_vec("embedding").alias("v")
+        )
+        sel = a1.join(e, "vec_id").select("vec_id", "c1", "v")
+        a = sel.select(
+            F.col("c1").alias("ca"),
+            F.col("vec_id").alias("id_a"),
+            F.col("v").alias("va"),
+        )
+        b = sel.select(
+            F.col("c1").alias("cb"),
+            F.col("vec_id").alias("id_b"),
+            F.col("v").alias("vb"),
+        )
+        drops = (
+            a.join(
+                b,
+                (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")),
+            )
+            .where(cosine(F.col("va"), F.col("vb")) >= SEMDEDUP_TAU)
+            .select(F.col("id_b").alias("vec_id"))
+            .distinct()
+            .withColumn("hit", F.lit(True))
+        )
+        return sel.join(drops, "vec_id", "left_outer").select(
+            "vec_id",
+            F.col("c1").alias("cid"),
+            F.coalesce(F.col("hit"), F.lit(False)).alias("dropped"),
+        )
+
+
+_register_q112()
