@@ -128,6 +128,7 @@ HEADLINE = [
     "q111_span_dedup",
     "q112_semdedup",
     "q113_source_overlap",
+    "q114_stream_span_dedup",
 ]
 
 

@@ -1186,6 +1186,24 @@ def q85_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_W = 8  # window width in tokens (paper uses 50 BPE tokens at web scale)
 
 
+def _spans_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, w): every SPAN_W-token sliding window of every doc with at
+    least SPAN_W tokens — one row per window POSITION (repeats kept).
+    Narrow map (split + transform + explode), no shuffle."""
+    tok = docs.select("doc_id", F.split("text", " ").alias("l")).where(
+        F.size("l") >= SPAN_W
+    )
+    return tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(l) - {SPAN_W - 1}), "
+                f"i -> concat_ws(' ', slice(l, i, {SPAN_W})))"
+            )
+        ).alias("w"),
+    )
+
+
 def _register_q111() -> None:
     concat8 = " || ' ' || ".join(f"l[i+{j}]" for j in range(SPAN_W))
 
@@ -1241,18 +1259,7 @@ def _register_q111() -> None:
         d = d.repartition(
             max(spark.sparkContext.defaultParallelism, 8), "doc_id"
         )
-        tok = d.select("doc_id", F.split("text", " ").alias("l")).where(
-            F.size("l") >= SPAN_W
-        )
-        win = tok.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(l) - {SPAN_W - 1}), "
-                    f"i -> concat_ws(' ', slice(l, i, {SPAN_W})))"
-                )
-            ).alias("w"),
-        )
+        win = _spans_of(d)
         from pyspark.sql.window import Window
 
         c = win.withColumn(

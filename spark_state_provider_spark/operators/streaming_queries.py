@@ -1258,3 +1258,148 @@ def _register_q108() -> None:
 
 
 _register_q108()
+
+
+# ---------------------------------------------------------------------------
+# q114 — STREAMING span dedup: q111's incremental form, the q92 design at
+# span granularity. An incoming crawl batch is probed against a PERSISTED
+# span index of the standing corpus (distinct windows, partitioned by
+# span key): each new doc reports what fraction of its windows the corpus
+# already contains — the live boilerplate/contamination gate a crawl
+# pipeline runs before admitting a document. The index is built once and
+# never re-derived per batch; per-batch cost is O(batch windows ⋈ index),
+# and the probe-only design (batches don't extend the index) makes the
+# union of per-batch outputs equal the batch computation ⇒ hard oracle.
+# ---------------------------------------------------------------------------
+
+# span index per (session, sf): distinct corpus windows, hash-partitioned
+_Q114_INDEX_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _register_q114() -> None:
+    from spark_state_provider_spark.operators.dedup import (
+        _INC_MOD,
+        SPAN_W,
+        _spans_of,
+    )
+
+    concat8 = " || ' ' || ".join(f"l[i+{j}]" for j in range(SPAN_W))
+
+    @register(
+        "q114_stream_span_dedup",
+        oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS l
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= {SPAN_W}
+        ),
+        win AS (
+            SELECT doc_id, t.w
+            FROM tok, unnest(list_transform(
+                generate_series(1, len(l) - {SPAN_W - 1}),
+                i -> {concat8}
+            )) AS t(w)
+        ),
+        corpus AS (
+            SELECT DISTINCT w FROM win WHERE doc_id % {_INC_MOD} <> 0
+        ),
+        inc AS (
+            SELECT doc_id, w FROM win WHERE doc_id % {_INC_MOD} = 0
+        )
+        SELECT i.doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN c.w IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hit_windows,
+               CAST(sum(CASE WHEN c.w IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS hit_frac
+        FROM inc i LEFT JOIN corpus c ON i.w = c.w
+        GROUP BY i.doc_id
+        """,
+    )
+    def q114_stream_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per incoming doc ({N_BATCHES} crawl micro-batches): the share
+        of its {SPAN_W}-token windows already present in the corpus span
+        index.
+
+        Scale shape: the index is DISTINCT corpus windows, built once,
+        hash-partitioned on the span key and persisted — at 100 TB it is
+        maintained at ingest and stored bucketed by span hash, so the
+        per-batch probe is a co-partitioned join where only the (small)
+        batch side shuffles. The per-doc rollup shuffles doc-sized rows.
+        Index growth is bounded by distinct-window count (dedup pressure
+        caps it), and the probe never rescans the corpus.
+        """
+        import shutil
+
+        from pyspark.storagelevel import StorageLevel
+
+        from spark_state_provider_spark.streaming.sources import stream_docs
+        from spark_state_provider_spark.tables import load_table
+
+        key = (id(spark), sf_dir)
+        if key not in _Q114_INDEX_CACHE:
+            corpus = load_table(spark, sf_dir, "documents").where(
+                F.col("doc_id") % _INC_MOD != 0
+            )
+            idx = (
+                _spans_of(corpus)
+                .select("w")
+                .distinct()
+                .repartition("w")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            idx.count()  # materialize
+            _Q114_INDEX_CACHE[key] = idx
+        idx = _Q114_INDEX_CACHE[key].withColumn("hit", F.lit(1))
+
+        out_dir, ckpt = _fresh_run_dirs("q114", sf_dir, "out", "ckpt")
+
+        def probe(batch_df: DataFrame, batch_id: int) -> None:
+            wins = _spans_of(batch_df.select("doc_id", "text"))
+            rolled = (
+                wins.join(idx, "w", "left_outer")
+                .groupBy("doc_id")
+                .agg(
+                    F.count("*").alias("n_windows"),
+                    F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                    .cast("long")
+                    .alias("hit_windows"),
+                )
+                .withColumn(
+                    "hit_frac",
+                    F.col("hit_windows").cast("double")
+                    / F.col("n_windows").cast("double"),
+                )
+            )
+            rolled.write.mode("overwrite").parquet(
+                _batch_subdir(out_dir, batch_id)
+            )
+
+        with _streaming_session(spark):
+            docs = stream_docs(
+                spark, sf_dir, N_BATCHES, tag="spandedup", mod=_INC_MOD
+            )
+            q = (
+                docs.writeStream.foreachBatch(probe)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                finished = q.awaitTermination(180)
+            finally:
+                q.stop()
+                shutil.rmtree(ckpt, ignore_errors=True)
+            if not finished:
+                raise TimeoutError("q114 stream did not drain within 180s")
+        return _pinned(
+            spark.read.schema(
+                "doc_id bigint, n_windows bigint, hit_windows bigint, "
+                "hit_frac double"
+            )
+            .option("recursiveFileLookup", "true")
+            .parquet(out_dir)
+        )
+
+
+_register_q114()

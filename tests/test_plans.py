@@ -364,3 +364,32 @@ def test_q101_generation_is_narrow_then_one_join(spark, sf_dir):
     # row-expanding map, not a join (formatted mode prints the Generate
     # node and its explode argument on separate lines)
     assert "Generate" in plan and "explode(" in plan
+
+
+def test_q111_span_dedup_single_fact_shuffle(spark, sf_dir):
+    """Window generation must stay narrow: exactly the content-keyed
+    exchange (for the occurrence window) plus the doc rollup — no join,
+    no cartesian."""
+    plan = plan_string(_df(spark, sf_dir, "q111_span_dedup"))
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_q112_semdedup_pairs_are_cluster_equijoin(spark, sf_dir):
+    """The SemDeDup pair stage must be an equi-join keyed on the cluster
+    id — a cartesian (or broadcast-nested-loop over the full corpus)
+    would be the O(n²) plan the operator exists to avoid."""
+    plan = plan_string(_df(spark, sf_dir, "q112_semdedup"))
+    assert "CartesianProduct" not in plan
+    # the only BroadcastNestedLoopJoins allowed are the K-centroid
+    # assignment cross-joins (constant-size build side), so any pair join
+    # on cluster id must appear as a hash/sort-merge equi-join
+    assert "c1" in plan and ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan)
+
+
+def test_q113_source_overlap_broadcasts_pairs(spark, sf_dir):
+    """The verified pair list (dup-density-sized) must broadcast into the
+    doc→source projection — the fact table is never shuffled."""
+    plan = plan_string(_df(spark, sf_dir, "q113_source_overlap"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
