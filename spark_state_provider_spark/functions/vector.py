@@ -1,10 +1,17 @@
 """Vector column expressions — JVM-side (no Python in the hot path).
 
-Dot products / norms / cosine over ``array<float>`` embeddings are built from
-``zip_with`` + ``aggregate`` (whole-stage-codegen'd, Arrow never involved).
-The fold accumulates left-to-right in DOUBLE, matching DuckDB's sequential
-``list_dot_product`` bit-for-bit — which is what lets similarity queries be
-oracle-checked exactly.
+Dot products / norms / cosine over ``array<float>`` embeddings accumulate
+left-to-right in DOUBLE, matching DuckDB's sequential ``list_dot_product``
+bit-for-bit — which is what lets similarity queries be oracle-checked
+exactly.
+
+Note on evaluation: Spark runs higher-order array functions through the
+interpreted expression path (no doGenCode), so the fold pays per-element
+closure dispatch. An unrolled 64-term ``a[0]*b[0] + …`` chain was tried
+as a "codegen-friendly" alternative and measured 2× SLOWER on the q112
+pair stage — the generated method exceeds the JIT inlining budget. The
+fold is the right form; the real lever is computing norms once per
+vector (``cosine_prenormed``) so pair stages evaluate ONE fold.
 
 At 100 TB the same expressions vectorize per-partition with no shuffle; only
 the top-k step shuffles (see operators/similarity.py).

@@ -493,7 +493,7 @@ K_CLUSTERS = 8
 _DIM = 64
 
 # iteration-1 assignments per (session, sf_dir) — see dedup._TRI_CACHE
-_KMEANS_A1_CACHE: dict[tuple[int, str], DataFrame] = {}
+_KMEANS_A1_CACHE: dict[tuple[int, str, int], DataFrame] = {}
 
 # squared L2 via three dots: ||x||² − 2·x·c + ||c||² (exact over ints;
 # doubles are exact to 2^53, far above 64·127² per dot)
@@ -535,16 +535,18 @@ _DUCK_KMEANS_A1 = f"""
 """
 
 
-def _kmeans_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kmeans_a1(
+    spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS
+) -> DataFrame:
     """Iteration-1 Lloyd assignment (vec_id, q, c1), persisted per
-    (session, sf) — shared by q50 (which adds the centroid update and
-    iteration 2) and q112 SemDeDup (which dedups within the clusters).
-    Plan: broadcast of K seeded centroids + one narrow codegen pass, no
+    (session, sf, k) — shared by q50 (fixed k, adds the centroid update
+    and iteration 2) and q112 SemDeDup (corpus-adaptive k). Plan:
+    broadcast of k seeded centroids + one narrow codegen pass, no
     shuffle; the persist is what lets downstream consumers reuse the
     assignment instead of re-running it."""
     from spark_state_provider_spark.functions.vector import idot, quantize_int8
 
-    key = (id(spark), sf_dir)
+    key = (id(spark), sf_dir, k)
     if key not in _KMEANS_A1_CACHE:
         emb = (
             load_table(spark, sf_dir, "embeddings")
@@ -552,7 +554,7 @@ def _kmeans_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition(spark.sparkContext.defaultParallelism)
             .select("vec_id", quantize_int8(F.col("v")).alias("q"))
         )
-        c0 = emb.where(F.col("vec_id") < K_CLUSTERS).select(
+        c0 = emb.where(F.col("vec_id") < k).select(
             F.col("vec_id").alias("cid"), F.col("q").alias("cq")
         )
         qq, cc = F.col("q"), F.col("cq")
@@ -1112,6 +1114,23 @@ def q99_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SEMDEDUP_TAU = 0.35  # same cosine threshold family as q29c
+# target members per cluster: k = max(K_CLUSTERS, ceil(n / _SEM_BLOCK)),
+# so the within-cluster pair work stays n·_SEM_BLOCK/2 — LINEAR in the
+# corpus (the SemDeDup recipe: cluster count grows with the data). At the
+# driver scale factors n ≤ 2000 keeps k = K_CLUSTERS, identical to q50.
+_SEM_BLOCK = 250
+
+# q112's own assignment CTE chain: same as _DUCK_KMEANS_A1 except the
+# centroid seed count adapts to the corpus via the same greatest/ceil rule
+# the Spark side computes.
+_DUCK_SEM_K = (
+    f"(SELECT greatest({K_CLUSTERS}, "
+    f"CAST(ceil(count(*) / {_SEM_BLOCK}.0) AS BIGINT)) FROM qz)"
+)
+_DUCK_SEM_A1 = _DUCK_KMEANS_A1.replace(
+    f"WHERE vec_id < {K_CLUSTERS})", f"WHERE vec_id < {_DUCK_SEM_K})"
+)
+assert _DUCK_SEM_A1 != _DUCK_KMEANS_A1
 
 
 def _register_q112() -> None:
@@ -1123,7 +1142,7 @@ def _register_q112() -> None:
     @register(
         "q112_semdedup",
         oracle=f"""
-        WITH {_DUCK_KMEANS_A1},
+        WITH {_DUCK_SEM_A1},
         sel AS (
             SELECT a1.vec_id, a1.c1, e.v
             FROM a1 JOIN e ON a1.vec_id = e.vec_id
@@ -1155,29 +1174,47 @@ def _register_q112() -> None:
         The keep-lowest-id rule makes the verdict set order-independent
         (no reliance on which pair is examined first).
         """
-        from spark_state_provider_spark.functions.vector import cosine
-
-        a1 = _kmeans_a1(spark, sf_dir).select("vec_id", "c1")
         e = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", as_double_vec("embedding").alias("v")
         )
-        sel = a1.join(e, "vec_id").select("vec_id", "c1", "v")
+        # plan-shaping scalar (cluster count), not data movement: k tracks
+        # the corpus so blocks stay ~_SEM_BLOCK members
+        n = e.count()
+        k = max(K_CLUSTERS, -(-n // _SEM_BLOCK))
+        a1 = _kmeans_a1(spark, sf_dir, k=k).select("vec_id", "c1")
+        # norms are precomputed ONCE per vector in the scan stage; the
+        # per-pair test is then a single dot fold (sqrt per pair would
+        # triple the dominant cost — the q29 lesson; a 64-term unrolled
+        # chain was measured 2x SLOWER than the fold here, the generated
+        # method blows past the JIT inlining budget). sqrt-then-multiply
+        # matches the oracle expression bit-for-bit.
+        sel = (
+            a1.join(e, "vec_id")
+            .select("vec_id", "c1", "v", norm(F.col("v")).alias("nrm"))
+        )
         a = sel.select(
             F.col("c1").alias("ca"),
             F.col("vec_id").alias("id_a"),
             F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
         )
         b = sel.select(
             F.col("c1").alias("cb"),
             F.col("vec_id").alias("id_b"),
             F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
         )
         drops = (
             a.join(
                 b,
                 (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")),
             )
-            .where(cosine(F.col("va"), F.col("vb")) >= SEMDEDUP_TAU)
+            .where(
+                cosine_prenormed(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                )
+                >= SEMDEDUP_TAU
+            )
             .select(F.col("id_b").alias("vec_id"))
             .distinct()
             .withColumn("hit", F.lit(True))
