@@ -1337,13 +1337,15 @@ def _register_q113() -> None:
         sb = src.select(
             F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
         )
+        # chain the two source attachments so the pair list appears ONCE
+        # in the plan (a second reference would re-run the whole LSH
+        # pipeline); each stage broadcasts the pair-sized side into one
+        # pass over the doc→source projection.
+        half = sa.join(F.broadcast(pairs), "id_a").select(
+            "id_a", "id_b", "src_a"
+        )
         return (
-            sa.join(F.broadcast(pairs), "id_a")
-            .join(
-                F.broadcast(sb.join(F.broadcast(pairs), "id_b")
-                            .select("id_b", "src_b").distinct()),
-                "id_b",
-            )
+            sb.join(F.broadcast(half), "id_b")
             .groupBy(
                 F.least("src_a", "src_b").alias("source_a"),
                 F.greatest("src_a", "src_b").alias("source_b"),
