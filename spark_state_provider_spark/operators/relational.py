@@ -1172,7 +1172,10 @@ def q19c_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey AS orderkey,
            l_linenumber AS linenumber,
-           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge
+           CAST((CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 * (100 + CAST(round(l_tax * 100) AS BIGINT))
+                 + 5000) // 10000 AS DOUBLE) / 100.0 AS charge
     FROM lineitem
     WHERE l_returnflag = 'R' AND l_linenumber = 1
     """,
@@ -1183,12 +1186,25 @@ def q27_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     The same expression is pure-SQL expressible — the point of this entry is
     exercising the vectorized Python path the engine uses when built-ins
     genuinely can't express an operator.
+
+    The charge is computed in EXACT integer cents inside the UDF (all
+    testdata numerics are 2dp): price·(1−disc)·(1+tax) as an int64
+    product in 10⁻⁶ dollars, HALF_UP to cents via (n+5000)//10000. A
+    double product + round(x, 2) raced on a half-cent boundary at sf0.1
+    (Spark's BigDecimal-of-shortest-repr rounding vs DuckDB's binary
+    rounding disagree when the true value sits on .xx5) — the integer
+    form is identical in both engines at any scale.
     """
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def charge(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
-        return price * (1.0 - discount) * (1.0 + tax)
+        pc = (price * 100).round().astype("int64")
+        dc = (discount * 100).round().astype("int64")
+        tc = (tax * 100).round().astype("int64")
+        micros = pc * (100 - dc) * (100 + tc)  # exact, 1e-6 dollars
+        cents = (micros + 5000) // 10000  # HALF_UP to cents
+        return cents / 100.0
 
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -1196,7 +1212,7 @@ def q27_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l_orderkey").alias("orderkey"),
             F.col("l_linenumber").alias("linenumber"),
-            F.round(charge("l_extendedprice", "l_discount", "l_tax"), 2).alias("charge"),
+            charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
         )
     )
 
