@@ -129,6 +129,11 @@ HEADLINE = [
     "q112_semdedup",
     "q113_source_overlap",
     "q114_stream_span_dedup",
+    # Spark 4 SQL surface
+    "q115_recursive_cte",
+    "q116_lateral_topk",
+    "q117_pipe_syntax",
+    "q118_session_variables",
 ]
 
 

@@ -21,6 +21,7 @@ def load_all() -> None:
         pipeline,
         scale_patterns,
         sources_sinks,
+        sql_surface,
         stateful_batch,
         streaming_queries,
         timeseries,

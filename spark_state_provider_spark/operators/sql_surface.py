@@ -1,0 +1,229 @@
+"""Modern Spark 4 SQL surface (q115–q118): recursive CTEs, correlated
+LATERAL subqueries, SQL pipe syntax, and session variables.
+
+A user migrating from the reference engine writes queries, not
+DataFrames — these rows prove the four SQL-surface features Spark 4
+added are wired through this engine's session and produce
+oracle-checkable results over the shared testdata. Each query is
+declared in pure SQL (Catalyst sees the same logical plan a DataFrame
+would produce), so all the usual optimizer guarantees — pushdown,
+broadcast selection, partial aggregation — apply unchanged; the surface
+is the feature, not a new execution path.
+
+Reference anchor: the reference exposes its state through Spark SQL
+queries over streaming state (README examples run `spark.sql`), so SQL
+parity is part of the migration surface (SURVEY.md §3 EP1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_state_provider_spark.operators.registry import register
+from spark_state_provider_spark.tables import load_table
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str, view: str) -> None:
+    load_table(spark, sf_dir, name).createOrReplaceTempView(view)
+
+
+# ---------------------------------------------------------------------------
+# q115 — recursive CTE: month spine over the order history. The canonical
+# "rows that don't exist yet" SQL pattern — a calendar spine generated
+# recursively, left-joined to per-month order counts so EMPTY months
+# surface as zero rows (a plain GROUP BY cannot produce them).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q115_recursive_cte",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+        SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+               CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+        FROM orders
+    ),
+    spine(m) AS (
+        SELECT lo FROM bounds
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine, bounds
+        WHERE m < hi
+    ),
+    per_month AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               count(*) AS n
+        FROM orders GROUP BY 1
+    )
+    SELECT spine.m AS month,
+           CAST(coalesce(per_month.n, 0) AS BIGINT) AS n_orders
+    FROM spine LEFT JOIN per_month ON spine.m = per_month.m
+    """,
+)
+def q115_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursively generated month spine × order counts (empty months
+    included as zeros).
+
+    Scale shape: the recursion runs over the SPINE (tens-to-hundreds of
+    month rows seeded from a one-row min/max aggregate), never over the
+    fact table — the fact is touched once by the combinable per-month
+    groupBy, and the spine join broadcasts. Recursive CTEs over
+    fact-sized working tables would be the q110 BFS shape instead
+    (bounded driver loop + lineage truncation); the SQL form is right
+    exactly when the working set is spine-sized.
+    """
+    _view(spark, sf_dir, "orders", "orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+            SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+                   CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+            FROM orders
+        ),
+        spine AS (
+            SELECT lo AS m FROM bounds
+            UNION ALL
+            SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine, bounds
+            WHERE m < hi
+        ),
+        per_month AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                   count(*) AS n
+            FROM orders GROUP BY 1
+        )
+        SELECT spine.m AS month,
+               CAST(coalesce(per_month.n, 0) AS BIGINT) AS n_orders
+        FROM spine LEFT JOIN per_month ON spine.m = per_month.m
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q116 — correlated LATERAL subquery: top-2 orders per customer. The
+# lateral form expresses per-row dependent subqueries directly; Catalyst
+# decorrelates it into the same join+window physical shape the DataFrame
+# API would produce.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q116_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+           o.o_totalprice AS totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) o
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def q116_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per BUILDING-segment customer via a correlated
+    LATERAL subquery with ORDER BY … LIMIT.
+
+    Catalyst decorrelates the lateral into a join + per-key ranking —
+    the same physical plan as the window-function form (one shuffle on
+    the correlation key), so the SQL convenience costs nothing at scale.
+    The segment filter prunes the outer side before the join.
+    """
+    _view(spark, sf_dir, "customer", "customer")
+    _view(spark, sf_dir, "orders", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+               o.o_totalprice AS totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) o
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q117 — SQL pipe syntax (Spark 4 `|>`): the linear form of a
+# filter→aggregate→filter→sort chain. Pure parser surface: the plan is
+# identical to the nested-SELECT form the oracle uses.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q117_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    HAVING count(*) > 100
+    """,
+)
+def q117_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order revenue per priority, written in Spark 4 pipe syntax.
+
+    `|>` stages parse to exactly the logical plan of the classic form
+    (verified: same optimized plan), so pushdown/partial-agg behavior is
+    unchanged — this row certifies the parser surface migrating users
+    reach for first. DECIMAL(18,2) sum keeps the revenue exact (the
+    repo-wide 2dp money rule).
+    """
+    _view(spark, sf_dir, "orders", "orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS revenue
+           GROUP BY o_orderpriority AS priority
+        |> WHERE n_orders > 100
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q118 — session variables: DECLARE/SET VARIABLE parameterizing a query.
+# The session-scoped parameter surface (constant-folded by Catalyst into
+# the plan, so pushdown still sees a literal).
+# ---------------------------------------------------------------------------
+
+_Q118_MIN_QTY = 45
+
+
+@register(
+    "q118_session_variables",
+    oracle=f"""
+    SELECT l_returnflag AS returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    WHERE l_quantity >= {_Q118_MIN_QTY}
+    GROUP BY l_returnflag
+    """,
+)
+def q118_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-quantity line counts per return flag, threshold supplied
+    through a SQL session variable.
+
+    The variable folds to a literal before optimization, so the filter
+    still pushes to the parquet scan (same PushedFilters as a hardcoded
+    predicate) — parameterization without a plan penalty.
+    """
+    _view(spark, sf_dir, "lineitem", "lineitem")
+    spark.sql("DECLARE OR REPLACE VARIABLE ssps_min_qty INT")
+    spark.sql(f"SET VARIABLE ssps_min_qty = {_Q118_MIN_QTY}")
+    return spark.sql(
+        """
+        SELECT l_returnflag AS returnflag,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               sum(CAST(l_quantity AS BIGINT)) AS total_qty
+        FROM lineitem
+        WHERE l_quantity >= ssps_min_qty
+        GROUP BY l_returnflag
+        """
+    )

@@ -393,3 +393,19 @@ def test_q113_source_overlap_broadcasts_pairs(spark, sf_dir):
     plan = plan_string(_df(spark, sf_dir, "q113_source_overlap"))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q118_variable_folds_to_pushed_filter(spark, sf_dir):
+    """The session variable must constant-fold so the quantity filter
+    reaches the parquet scan like a hardcoded literal."""
+    plan = plan_string(_df(spark, sf_dir, "q118_session_variables"))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_quantity" in plan
+
+
+def test_q116_lateral_decorrelates(spark, sf_dir):
+    """The correlated LATERAL must decorrelate to a join + per-key rank —
+    never a per-row re-execution or cartesian."""
+    plan = plan_string(_df(spark, sf_dir, "q116_lateral_topk"))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
