@@ -38,21 +38,19 @@ def _view(spark: SparkSession, sf_dir: str, name: str, view: str) -> None:
 @register(
     "q115_recursive_cte",
     oracle="""
-    WITH RECURSIVE bounds AS (
-        SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
-               CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
-        FROM orders
-    ),
-    spine(m) AS (
-        SELECT lo FROM bounds
+    WITH RECURSIVE spine(m) AS (
+        SELECT DATE '1995-01-01'
         UNION ALL
-        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine, bounds
-        WHERE m < hi
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine
+        WHERE m < DATE '1995-12-01'
     ),
     per_month AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
                count(*) AS n
-        FROM orders GROUP BY 1
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate < DATE '1996-01-01'
+        GROUP BY 1
     )
     SELECT spine.m AS month,
            CAST(coalesce(per_month.n, 0) AS BIGINT) AS n_orders
@@ -60,35 +58,38 @@ def _view(spark: SparkSession, sf_dir: str, name: str, view: str) -> None:
     """,
 )
 def q115_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recursively generated month spine × order counts (empty months
-    included as zeros).
+    """Recursively generated month spine × order counts over one
+    calendar year (empty months included as zeros).
 
-    Scale shape: the recursion runs over the SPINE (tens-to-hundreds of
-    month rows seeded from a one-row min/max aggregate), never over the
-    fact table — the fact is touched once by the combinable per-month
-    groupBy, and the spine join broadcasts. Recursive CTEs over
-    fact-sized working tables would be the q110 BFS shape instead
-    (bounded driver loop + lineage truncation); the SQL form is right
-    exactly when the working set is spine-sized.
+    Scale shape: the recursion runs over the SPINE, never over the fact
+    table — the fact is touched once by the combinable per-month
+    groupBy, and the spine join broadcasts. Two caveats MEASURED here:
+    (1) Spark runs one job per recursion step, so spine depth is
+    job-launch latency — an 80-month spine cost 17s of scheduling at
+    sf0.1; keep SQL recursion shallow (12 steps here), deep traversals
+    belong in the q110 driver-loop form. (2) Anything referenced from
+    the recursive leg is INLINED and re-evaluated every iteration — the
+    first version joined a min/max-bounds CTE in the step and re-ran a
+    fact aggregate per iteration; the recursive leg must touch only the
+    spine. Calendar spines with no per-step dependency are better
+    generated with `sequence()`.
     """
     _view(spark, sf_dir, "orders", "orders")
     return spark.sql(
         """
-        WITH RECURSIVE bounds AS (
-            SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
-                   CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
-            FROM orders
-        ),
-        spine AS (
-            SELECT lo AS m FROM bounds
+        WITH RECURSIVE spine AS (
+            SELECT DATE '1995-01-01' AS m
             UNION ALL
-            SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine, bounds
-            WHERE m < hi
+            SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine
+            WHERE m < DATE '1995-12-01'
         ),
         per_month AS (
             SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
                    count(*) AS n
-            FROM orders GROUP BY 1
+            FROM orders
+            WHERE o_orderdate >= DATE '1995-01-01'
+              AND o_orderdate < DATE '1996-01-01'
+            GROUP BY 1
         )
         SELECT spine.m AS month,
                CAST(coalesce(per_month.n, 0) AS BIGINT) AS n_orders
