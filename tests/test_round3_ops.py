@@ -103,3 +103,43 @@ def test_source_overlap_matches_pair_graph(spark, sf_dir):
         for r in registry.get("q113_source_overlap").fn(spark, sf_dir).collect()
     }
     assert got == want and sum(got.values()) == len(pairs)
+
+
+def test_q97_invariant_under_tiny_arrow_chunks(spark, sf_dir):
+    """The ADVICE-r2 chunk-ordering fix, exercised for real: shrink
+    Arrow batches so applyInPandasWithState actually splits groups into
+    many chunks — the flagged anomaly set must not change."""
+    fn = registry.get("q97_stream_rolling_anomaly").fn
+    key = lambda r: (r["event_id"], r["user_id"], r["cents"], r["n"])  # noqa: E731
+    base = sorted(key(r) for r in fn(spark, sf_dir).collect())
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(conf, "7")  # force multi-chunk groups
+    try:
+        tiny = sorted(key(r) for r in fn(spark, sf_dir).collect())
+    finally:
+        if prev is not None:
+            spark.conf.set(conf, prev)
+        else:
+            spark.conf.unset(conf)
+    assert base and tiny == base
+
+
+def test_ttl_fold_invariant_under_tiny_arrow_chunks(spark, sf_dir):
+    """Same exercise for the TTL fold: the expiry decision must be
+    batch-granular, independent of the Arrow chunk split."""
+    fn = registry.get("q25s_stream_ttl").fn
+    key = lambda r: (r["user_id"], r["total_visits"], r["first_event_id"],  # noqa: E731
+                     r["last_event_id"])
+    base = sorted(key(r) for r in fn(spark, sf_dir).collect())
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(conf, "5")
+    try:
+        tiny = sorted(key(r) for r in fn(spark, sf_dir).collect())
+    finally:
+        if prev is not None:
+            spark.conf.set(conf, prev)
+        else:
+            spark.conf.unset(conf)
+    assert base and tiny == base
