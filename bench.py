@@ -134,6 +134,8 @@ HEADLINE = [
     "q116_lateral_topk",
     "q117_pipe_syntax",
     "q118_session_variables",
+    "q119_bpe_merge_candidates",
+    "q120_quality_funnel",
 ]
 
 

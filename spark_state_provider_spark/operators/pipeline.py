@@ -1491,3 +1491,109 @@ def q105_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("nc2"), F.lit(0)).alias("chars_v2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q120 — quality-gate funnel attribution: which gate drops how many docs.
+# Every pretraining pipeline runs a battery of filters; the number that
+# matters operationally is PER-GATE attrition in application order (a
+# gate that drops 40% gets re-tuned, a gate that drops 0.1% gets
+# deleted). Gates here: length band → minimum token count → repetition
+# cap (integer-exact, q41's rule) → language.
+# ---------------------------------------------------------------------------
+
+
+def _register_q120() -> None:
+    # cumulative gate predicates, SQL + Spark twins (integer-exact)
+    g = [
+        ("g1_length_band", "n_chars BETWEEN 150 AND 450"),
+        ("g2_min_tokens", "n_tokens >= 20"),
+        ("g3_repetition_cap", "top_cnt * 4 <= n_tokens"),
+        ("g4_lang_en", "lang = 'en'"),
+    ]
+    cum = [
+        " AND ".join(cond for _, cond in g[: i + 1]) for i in range(len(g))
+    ]
+    funnel_rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS gate, s{i} AS n_in, s{i + 1} AS n_out, "
+        f"s{i} - s{i + 1} AS n_dropped FROM s"
+        for i, (name, _) in enumerate(g)
+    )
+
+    @register(
+        "q120_quality_funnel",
+        oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, t, count(*) AS cnt
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents
+            )
+            WHERE t <> ''
+            GROUP BY doc_id, t
+        ),
+        feat AS (
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                   CAST(max(cnt) AS BIGINT) AS top_cnt
+            FROM tf GROUP BY doc_id
+        ),
+        d AS (
+            SELECT documents.doc_id, n_chars, lang, n_tokens, top_cnt
+            FROM documents JOIN feat ON documents.doc_id = feat.doc_id
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS s0,
+                   {", ".join(
+                       f"CAST(sum(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT)"
+                       f" AS s{i + 1}"
+                       for i, c in enumerate(cum)
+                   )}
+            FROM d
+        )
+        {funnel_rows}
+        """,
+    )
+    def q120_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-gate attrition of the 4-gate quality battery, in
+        application order (n_in → n_out → n_dropped per gate).
+
+        Scale shape: token features come from two co-partitioned
+        groupBys on doc_id (one explode, one shuffle — the q41 plan);
+        the funnel itself is ONE conditional aggregate producing a
+        single row of cumulative-survivor counts (map-side combinable),
+        unpivoted driver-side into 4 gate rows. Nothing about the
+        funnel adds a pass over the corpus beyond the feature build.
+        """
+        d = load_table(spark, sf_dir, "documents")
+        d = d.repartition(
+            max(spark.sparkContext.defaultParallelism, 8), "doc_id"
+        )
+        tok = d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("t")
+        ).where(F.col("t") != "")
+        tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("cnt"))
+        feat = tf.groupBy("doc_id").agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.max("cnt").alias("top_cnt"),
+        )
+        full = d.select("doc_id", "n_chars", "lang").join(feat, "doc_id")
+        s = full.agg(
+            F.count("*").alias("s0"),
+            *[
+                F.sum(F.expr(c).cast("long")).alias(f"s{i + 1}")
+                for i, c in enumerate(cum)
+            ],
+        )
+        stack = ", ".join(
+            f"'{name}', s{i}, s{i + 1}, s{i} - s{i + 1}"
+            for i, (name, _) in enumerate(g)
+        )
+        return s.select(
+            F.expr(
+                f"stack({len(g)}, {stack})"
+            ).alias("gate", "n_in", "n_out", "n_dropped")
+        )
+
+
+_register_q120()

@@ -572,3 +572,86 @@ def q87_rare_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("rare_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q119 — BPE merge candidates: the first iteration of byte-pair-encoding
+# tokenizer training, the corpus-scale step that actually needs a cluster
+# (every later iteration works on the shrinking merged vocabulary). Score
+# of a character pair = Σ over distinct words count(word) × occurrences
+# of the pair in the word; the top-scoring pair is the merge a BPE
+# trainer would apply first.
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 10
+
+
+def _register_q119() -> None:
+    @register(
+        "q119_bpe_merge_candidates",
+        oracle=f"""
+        WITH tok AS (
+            SELECT t.t AS w
+            FROM documents, unnest(string_split(text, ' ')) AS t(t)
+            WHERE length(t.t) >= 2
+        ),
+        wc AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        pairs AS (
+            SELECT p.p AS pair, wc.c
+            FROM wc, unnest(list_transform(
+                generate_series(1, length(w) - 1), i -> substr(w, i, 2)
+            )) AS p(p)
+        ),
+        scored AS (
+            SELECT pair, CAST(sum(c) AS BIGINT) AS score
+            FROM pairs GROUP BY pair
+        )
+        SELECT pair, score, rn FROM (
+            SELECT *, row_number() OVER (ORDER BY score DESC, pair) AS rn
+            FROM scored
+        ) WHERE rn <= {_BPE_TOP}
+        """,
+    )
+    def q119_bpe_merge_candidates(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Top-{_BPE_TOP} character-pair merge candidates (first BPE
+        training iteration) over the whole corpus.
+
+        Scale shape: word counting is one combinable groupBy on the
+        tokenized corpus; pair explosion then runs over the DISTINCT
+        VOCABULARY (≪ corpus — this is why BPE training is feasible at
+        100 TB: the corpus collapses to weighted words first), and the
+        pair score is a second combinable groupBy over ~|vocab|·|word|
+        rows. Top-k is TakeOrdered — no global sort. Words shorter than
+        2 chars carry no pairs and are filtered at the scan (also dodges
+        Spark's descending sequence(1,0) vs DuckDB's empty
+        generate_series(1,0) disagreement).
+        """
+        d = load_table(spark, sf_dir, "documents")
+        d = d.repartition(
+            max(spark.sparkContext.defaultParallelism, 8), "doc_id"
+        )
+        tok = d.select(
+            F.explode(F.split("text", " ")).alias("w")
+        ).where(F.length("w") >= 2)
+        wc = tok.groupBy("w").agg(F.count("*").alias("c"))
+        pairs = wc.select(
+            "c",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substr(w, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        scored = pairs.groupBy("pair").agg(F.sum("c").alias("score"))
+        w_rank = Window.orderBy(F.col("score").desc(), "pair")
+        return (
+            scored.orderBy(F.col("score").desc(), "pair")
+            .limit(_BPE_TOP)
+            .withColumn("rn", F.row_number().over(w_rank))
+        )
+
+
+_register_q119()

@@ -143,3 +143,26 @@ def test_ttl_fold_invariant_under_tiny_arrow_chunks(spark, sf_dir):
         else:
             spark.conf.unset(conf)
     assert base and tiny == base
+
+
+def test_bpe_merges_are_plausible_and_ranked(spark, sf_dir):
+    rows = registry.get("q119_bpe_merge_candidates").fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True) and scores[0] > 0
+    assert all(len(r["pair"]) == 2 for r in rows)
+
+
+def test_quality_funnel_is_monotone_and_conserves(spark, sf_dir):
+    rows = {r["gate"]: r for r in
+            registry.get("q120_quality_funnel").fn(spark, sf_dir).collect()}
+    order = ["g1_length_band", "g2_min_tokens", "g3_repetition_cap",
+             "g4_lang_en"]
+    assert set(rows) == set(order)
+    prev_out = None
+    for gate in order:
+        r = rows[gate]
+        assert r["n_dropped"] == r["n_in"] - r["n_out"] >= 0
+        if prev_out is not None:
+            assert r["n_in"] == prev_out  # funnel chains exactly
+        prev_out = r["n_out"]
