@@ -1242,12 +1242,13 @@ def _register_q111() -> None:
 
         Scale shape: window generation is a narrow map (split + transform
         + explode — ~1 window per token, map-local); the ONE fact-sized
-        shuffle keys windows by content for the occurrence count (window
-        count over the span key — map-side partial counting doesn't apply
-        to windows, but the equivalent groupBy+join form would combine;
-        the single-shuffle window form is chosen because the span key
-        carries straight through to the per-doc rollup, which shuffles
-        only doc-sized rows). At 100 TB you shuffle a 64-bit xxhash64 of
+        shuffle keys windows by content for the occurrence count. The
+        window-function form is chosen for its two-shuffle plan; its
+        known hazard is a HOT span (corpus-wide boilerplate) landing one
+        giant sort partition — AQE cannot split window partitions. If a
+        profile shows that, switch the count to the groupBy(doc,span) →
+        groupBy(span) → join-back form: one more (combined, smaller)
+        shuffle, but the join is AQE-skew-splittable. At 100 TB you shuffle a 64-bit xxhash64 of
         the window, not the window text (16 bytes vs ~50; collision rate
         ~n²/2⁶⁴ is acceptable for a RATE metric — flagged spans feed a
         verify pass exactly like q28b's LSH candidates); the string key
