@@ -197,14 +197,18 @@ def q110_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("C"), F.col("o_custkey")).alias("c"),
             F.concat(F.lit("S"), F.col("l_suppkey")).alias("s"),
         )
-        .distinct()
     )
+    # dedupe AFTER the src repartition: hashpartitioning(src) satisfies
+    # the (src, dst) clustering requirement, so dropDuplicates adds no
+    # exchange — one shuffle of the raw edge stream instead of a distinct
+    # shuffle followed by a repartition shuffle
     edges = (
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
         .unionByName(
             pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
         )
         .repartition("src")
+        .dropDuplicates(["src", "dst"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dist = spark.createDataFrame(
