@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1204,15 +1205,37 @@ def _register_q112() -> None:
             F.col("v").alias("vb"),
             F.col("nrm").alias("nb"),
         )
+        # The pair-stage cosine is evaluated in an Arrow-batched pandas
+        # UDF: Spark's higher-order fold is INTERPRETED per element
+        # (measured 4.9s for ~420k pairs at sf0.1); the UDF accumulates
+        # dimension-by-dimension — vectorized ACROSS rows, sequential
+        # ACROSS dims — so every pair sees the exact same IEEE add
+        # sequence as the fold and the DuckDB oracle (bit-identical),
+        # at numpy speed. Same plan otherwise; the Arrow exchange ships
+        # only candidate pairs, never the corpus.
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _pair_cos(
+            va: pd.Series, vb: pd.Series, na: pd.Series, nb: pd.Series
+        ) -> pd.Series:
+            if not len(va):
+                return pd.Series([], dtype="float64")
+            ma = np.stack(va.to_numpy())
+            mb = np.stack(vb.to_numpy())
+            acc = np.zeros(len(va), dtype="float64")
+            for i in range(ma.shape[1]):  # sequential fold over dims
+                acc = acc + ma[:, i] * mb[:, i]
+            return pd.Series(acc / (na.to_numpy() * nb.to_numpy()))
+
         drops = (
             a.join(
                 b,
                 (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")),
             )
             .where(
-                cosine_prenormed(
-                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
-                )
+                _pair_cos(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
                 >= SEMDEDUP_TAU
             )
             .select(F.col("id_b").alias("vec_id"))
