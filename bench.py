@@ -136,6 +136,7 @@ HEADLINE = [
     "q118_session_variables",
     "q119_bpe_merge_candidates",
     "q120_quality_funnel",
+    "q121_dataset_card",
 ]
 
 

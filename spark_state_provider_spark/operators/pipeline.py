@@ -1597,3 +1597,57 @@ def _register_q120() -> None:
 
 
 _register_q120()
+
+
+# ---------------------------------------------------------------------------
+# q121 — dataset card: the per-source datasheet a corpus release ships
+# with (Datasheets for Datasets, Gebru et al.): volume, token mass,
+# exact-dup pressure, language mix, and length distribution — one row
+# per source, one pass over the corpus.
+# ---------------------------------------------------------------------------
+
+
+def _register_q121() -> None:
+    @register(
+        "q121_dataset_card",
+        oracle="""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens,
+               CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS pct_en,
+               quantile_cont(n_chars, 0.5) AS p50_chars,
+               quantile_cont(n_chars, 0.95) AS p95_chars
+        FROM documents
+        GROUP BY source
+        """,
+    )
+    def q121_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """One datasheet row per source: doc/token volume, exact-dup
+        pressure (distinct-text count), language share, length quantiles.
+
+        Scale shape: ONE combinable groupBy on source for everything
+        except the two order statistics — token counts come from
+        `size(split(...))` (narrow, no explode), the dup signal is a
+        count-distinct over md5-sized keys at scale (exact here so the
+        oracle is literal), and the interpolated percentiles use the
+        proven Spark `percentile` == DuckDB `quantile_cont` equivalence
+        (q10c). Sources are few, so the final state is dashboard-sized.
+        """
+        d = load_table(spark, sf_dir, "documents")
+        return d.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+            F.countDistinct("text").alias("n_distinct_texts"),
+            (
+                F.sum((F.col("lang") == "en").cast("long")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("pct_en"),
+            F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+            F.expr("percentile(n_chars, 0.95)").alias("p95_chars"),
+        )
+
+
+_register_q121()
