@@ -2562,14 +2562,18 @@ def q69_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_custs,
-           (list(c_custkey ORDER BY c_acctbal DESC, c_custkey))[1:5]
+           array_to_string(
+               (list(c_custkey ORDER BY c_acctbal DESC, c_custkey))[1:5], ',')
                AS top5_by_balance
     FROM customer
     GROUP BY c_mktsegment
     """,
 )
 def q70_grouped_topk_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-segment top-5 customers by balance, materialized as an array.
+    """Per-segment top-5 customers by balance, materialized as a
+    comma-joined id string (the driver's value-hash canonicalizer cannot
+    sort pandas list cells, so the array is flattened to a flat string —
+    same payload, hash-stable; q51 uses the same representation).
 
     Scale note: the slice happens in the aggregate's projection so only 5
     ids per group survive; at 100 TB you'd pre-reduce with a
@@ -2580,20 +2584,23 @@ def q70_grouped_topk_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_custs"),
-        F.slice(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("c_acctbal")).alias("neg_bal"),
-                            F.col("c_custkey").alias("k"),
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("c_acctbal")).alias("neg_bal"),
+                                F.col("c_custkey").alias("k"),
+                            )
                         )
-                    )
+                    ),
+                    lambda s: s["k"].cast("string"),
                 ),
-                lambda s: s["k"],
+                1,
+                5,
             ),
-            1,
-            5,
+            ",",
         ).alias("top5_by_balance"),
     )
 

@@ -394,7 +394,8 @@ def q49_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     pst AS (
         SELECT token,
                CAST(count(*) AS BIGINT) AS df,
-               list(doc_id ORDER BY doc_id) AS postings
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS postings
         FROM (SELECT DISTINCT token, doc_id FROM tok)
         GROUP BY token
     )
@@ -405,6 +406,11 @@ def q49_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q51_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting lists per token (sorted doc_ids), document frequency, and
     total term frequency — one explode + one shuffle on token.
+
+    The posting list is emitted as a comma-joined string of sorted doc_ids
+    (not an array column): the driver's value-hash canonicalizer sorts
+    pandas frames, and list cells are unhashable there — a flat string is
+    the portable, hash-stable representation (same payload bytes).
 
     Scale notes: total_tf gets a map-side partial aggregate; the posting
     list is the irreducible payload and is bounded per token by df — at
@@ -418,7 +424,13 @@ def q51_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy("token").agg(
         F.count("*").alias("total_tf"),
         F.size(F.collect_set("doc_id")).cast("long").alias("df"),
-        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
     )
 
 

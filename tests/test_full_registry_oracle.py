@@ -72,3 +72,37 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
         if not all(eq(a, b) for a, b in zip(s, d))
     ]
     assert not bad, f"{name}: {len(bad)} value mismatches, first: {bad[0]}"
+
+
+@pytest.mark.parametrize("name", _ALL)
+def test_query_output_is_driver_hashable(name, spark, sf_dir, duck):
+    """The driver's value-hash canonicalizer collects both sides to pandas
+    and lexsorts every column; list/map/struct cells are unhashable there
+    (round-3 red row q51: pandas ``factorize`` raised
+    ``TypeError: unhashable type: 'list'``). Guard: no registered query —
+    Spark side or oracle side — may emit a nested top-level column. Flatten
+    to a joined string (q51/q70) or explode to long form (q86) instead.
+    """
+    from pyspark.sql import types as T
+
+    spec = registry.get(name)
+    df = spec.fn(spark, sf_dir)
+    nested = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not nested, (
+        f"{name}: nested Spark output columns break the driver hash: {nested}"
+    )
+    if spec.oracle:
+        cur = duck.execute(f"SELECT * FROM ({spec.oracle}) LIMIT 0")
+        bad = [
+            f"{d[0]}:{d[1]}"
+            for d in cur.description
+            if any(tok in str(d[1]).lower() for tok in ("list", "struct", "map"))
+            or str(d[1]) == "OBJECT"
+        ]
+        assert not bad, (
+            f"{name}: nested oracle output columns break the driver hash: {bad}"
+        )
