@@ -14,6 +14,7 @@ Usage: python scripts/dtype_audit.py [--sf DIR] [name ...]
 
 from __future__ import annotations
 
+import datetime
 import sys
 import time
 
@@ -72,8 +73,11 @@ def main() -> int:
                 # DuckDB DATE -> datetime64[us].  Driver-tolerated: q17c
                 # shipped exactly this shape and earned a green hash row in
                 # round 1, so the driver normalizes dates before hashing.
+                # Exact datetime.date only — datetime.datetime also has
+                # toordinal, and an object-of-timestamp column is a REAL
+                # representation drift the driver does not tolerate.
                 if {sk, dk} == {"O", "M"} and spdf[c].map(
-                    lambda v: v is None or hasattr(v, "toordinal")
+                    lambda v: v is None or type(v) is datetime.date
                 ).all():
                     continue
                 mism.append(f"{c}: spark={spdf[c].dtype} duckdb={dpdf[c].dtype}")

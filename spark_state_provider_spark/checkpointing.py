@@ -23,13 +23,19 @@ re-checkpoint was three jobs per round of pure launch latency).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame
 
 _CONF = "spark.ssps.reliableCheckpoint"
 _ENV = "SSPS_RELIABLE_CHECKPOINT"
+
+
+def _cleanup_fallback_dir(path: str) -> None:
+    shutil.rmtree(path, ignore_errors=True)
 
 
 def reliable_enabled(spark) -> bool:
@@ -45,12 +51,19 @@ def truncate(df: DataFrame, eager: bool = True) -> DataFrame:
     """Cut ``df``'s lineage via the configured checkpoint strategy."""
     spark = df.sparkSession
     if reliable_enabled(spark):
+        # Reliable checkpoint RDD files are not auto-deleted unless
+        # spark.cleaner.referenceTracking.cleanCheckpoints=true is set at
+        # SESSION BUILD time (ContextCleaner reads SparkConf, which cannot
+        # be modified at runtime) — session.get_spark sets it; sessions
+        # built elsewhere get the atexit fallback-dir sweep below.
         sc = spark.sparkContext
         if sc.getCheckpointDir() is None:
-            sc.setCheckpointDir(
-                os.path.join(
-                    tempfile.gettempdir(), f"ssps_ckpt_{os.getpid()}"
-                )
+            ckpt = os.path.join(
+                tempfile.gettempdir(), f"ssps_ckpt_{os.getpid()}"
             )
+            sc.setCheckpointDir(ckpt)
+            # The process-scoped fallback dir would otherwise outlive the
+            # run (ADVICE r3): remove it when the driver process exits.
+            atexit.register(_cleanup_fallback_dir, ckpt)
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)

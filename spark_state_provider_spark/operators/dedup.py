@@ -254,19 +254,22 @@ def q28b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # one persisted shingle set per (session, sf_dir) — repeat invocations reuse
-# it instead of stacking orphaned caches in the block manager
-_TRI_CACHE: dict[tuple[int, str], DataFrame] = {}
+# it instead of stacking orphaned caches in the block manager; lifecycle
+# (applicationId keying + stale-session eviction) lives in dfcache
+_TRI_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _trigrams_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
-    key = (id(spark), sf_dir)
-    if key not in _TRI_CACHE:
-        _TRI_CACHE[key] = _trigrams(spark, sf_dir).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-    return _TRI_CACHE[key]
+    from spark_state_provider_spark.dfcache import get_or_build
+
+    return get_or_build(
+        _TRI_CACHE,
+        spark,
+        (sf_dir,),
+        lambda: _trigrams(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK),
+    )
 
 
 def _trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,25 +692,25 @@ def q28e_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and every downstream consumer (representative selection q80, leakage
 # split q85, cluster-aware sampling) reads the materialization instead of
 # re-running LSH + connected components.
-_CLUSTER_CACHE: dict[tuple[int, str], DataFrame] = {}
+_CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _clusters_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
-    key = (id(spark), sf_dir)
-    if key not in _CLUSTER_CACHE:
+    from spark_state_provider_spark.dfcache import get_or_build
+
+    def build() -> DataFrame:
         pairs = q28b_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
         edges = pairs.select(
             F.col("id_a").alias("u"), F.col("id_b").alias("v")
         )
         labels, _ = alternating_connected_components(edges)
-        _CLUSTER_CACHE[key] = (
-            labels.select(
-                F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-        )
-    return _CLUSTER_CACHE[key]
+        return labels.select(
+            F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    return get_or_build(_CLUSTER_CACHE, spark, (sf_dir,), build)
 
 
 # ---------------------------------------------------------------------------

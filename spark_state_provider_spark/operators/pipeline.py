@@ -465,17 +465,18 @@ def q47_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # one persisted token stream per (session, sf_dir) — tok feeds three
 # consumers (corpus size, df, tf); same lifecycle pattern as dedup._TRI_CACHE
-_TOK_CACHE: dict[tuple[int, str], DataFrame] = {}
+_TOK_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _tokens_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
-    key = (id(spark), sf_dir)
-    if key not in _TOK_CACHE:
+    from spark_state_provider_spark.dfcache import get_or_build
+
+    def build() -> DataFrame:
         d = load_table(spark, sf_dir, "documents")
         n_parts = max(spark.sparkContext.defaultParallelism, 8)
-        _TOK_CACHE[key] = (
+        return (
             d.repartition(n_parts, "doc_id")
             .select(
                 "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
@@ -483,7 +484,8 @@ def _tokens_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("term") != "")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-    return _TOK_CACHE[key]
+
+    return get_or_build(_TOK_CACHE, spark, (sf_dir,), build)
 
 
 # ---------------------------------------------------------------------------

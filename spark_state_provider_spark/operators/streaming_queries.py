@@ -686,8 +686,9 @@ def _register_q92() -> None:
         # per (session, corpus) and kept persisted across invocations (in
         # production it's maintained at ingest and stored partitioned by
         # band key; here the session cache mirrors _TRI_CACHE one level up)
-        key = (id(spark), sf_dir)
-        if key not in _Q92_INDEX_CACHE:
+        from spark_state_provider_spark.dfcache import get_or_build
+
+        def build_index() -> tuple:
             tri = _trigrams_persisted(spark, sf_dir)
             corpus_tri = tri.where(F.col("doc_id") % _INC_MOD != 0)
             corp_bands = (
@@ -707,8 +708,11 @@ def _register_q92() -> None:
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
             corp_bands.count(), corp_sets.count()  # materialize
-            _Q92_INDEX_CACHE[key] = (corp_bands, corp_sets)
-        corp_bands, corp_sets = _Q92_INDEX_CACHE[key]
+            return (corp_bands, corp_sets)
+
+        corp_bands, corp_sets = get_or_build(
+            _Q92_INDEX_CACHE, spark, (sf_dir,), build_index
+        )
 
         out_dir, ckpt = _fresh_run_dirs("q92", sf_dir, "out", "ckpt")
 
@@ -785,7 +789,7 @@ def _register_q92() -> None:
 
 
 # corpus index per (session, sf): persisted band keys + shingle sets
-_Q92_INDEX_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+_Q92_INDEX_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 _register_q92()
 
@@ -1273,7 +1277,7 @@ _register_q108()
 # ---------------------------------------------------------------------------
 
 # span index per (session, sf): distinct corpus windows, hash-partitioned
-_Q114_INDEX_CACHE: dict[tuple[int, str], DataFrame] = {}
+_Q114_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _register_q114() -> None:
@@ -1336,8 +1340,9 @@ def _register_q114() -> None:
         from spark_state_provider_spark.streaming.sources import stream_docs
         from spark_state_provider_spark.tables import load_table
 
-        key = (id(spark), sf_dir)
-        if key not in _Q114_INDEX_CACHE:
+        from spark_state_provider_spark.dfcache import get_or_build
+
+        def build_index() -> DataFrame:
             corpus = load_table(spark, sf_dir, "documents").where(
                 F.col("doc_id") % _INC_MOD != 0
             )
@@ -1349,8 +1354,11 @@ def _register_q114() -> None:
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
             idx.count()  # materialize
-            _Q114_INDEX_CACHE[key] = idx
-        idx = _Q114_INDEX_CACHE[key].withColumn("hit", F.lit(1))
+            return idx
+
+        idx = get_or_build(
+            _Q114_INDEX_CACHE, spark, (sf_dir,), build_index
+        ).withColumn("hit", F.lit(1))
 
         out_dir, ckpt = _fresh_run_dirs("q114", sf_dir, "out", "ckpt")
 

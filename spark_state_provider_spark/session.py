@@ -146,6 +146,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Reliable checkpoint() files (SSPS_RELIABLE_CHECKPOINT path in
+        # checkpointing.truncate) are never deleted unless the cleaner is
+        # told to; must be set at session build (ContextCleaner reads it).
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config(
