@@ -82,36 +82,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _WINDOW_CAP = 50
 
-# Hand-picked front of this round's window (the round-2 verdict asked to
-# front-load the HUGEINT-fixed oracles — q38/q39/q41/q42/q45c/q90/q103 —
-# plus the LLM-pipeline family q39–q54, the 12 remaining TPC-H shapes
-# (q45*, q73*), and the graph pair q74/q110; q28c joins with its fresh
-# portable 64-bit oracle).
+# Hand-picked front of this round's window. Round 4: the 50 names that
+# were pending when the round opened (everything not yet green in
+# CORRECTNESS_r1–r3 except q97/q98/q99) — pinned EXPLICITLY so the seven
+# round-4 registry additions (q122–q134), which sort ahead of q5x–q9x,
+# cannot displace queries that have already waited two rounds. The
+# additions plus q97/q98/q99 are round 5's window (10 names, well under
+# the cap, so round 5 can also re-serve anything round 4 leaves red).
 _PRIORITY_HINT = [
-    # HUGEINT-fixed seven (the round-2 red row + its six queued twins)
-    "q38_sequence_packing", "q39_hash_split", "q41_repetition_stats",
-    "q42_domain_mix", "q45c_tpch_q12", "q90_corpus_pipeline",
-    "q103_stream_corpus_pipeline",
-    # rest of the LLM training-data pipeline family
-    "q40_pii_scrub", "q43_scd2_intervals", "q44_merge_upsert",
-    "q44b_state_as_of", "q46_contamination", "q47_tfidf_terms",
-    "q48_range_layout", "q49_bm25", "q50_kmeans", "q51_inverted_index",
-    "q52_unigram_lm", "q53_histogram", "q54_fuzzy_join",
-    # remaining TPC-H shapes
-    "q45_tpch_q4", "q45b_tpch_q7", "q45d_tpch_q13", "q45e_tpch_q15",
-    "q45f_tpch_q22", "q73_tpch_q2", "q73b_tpch_q11", "q73c_tpch_q16",
-    "q73d_tpch_q20", "q73e_tpch_q22",
-    # graph pair
-    "q74_pagerank", "q110_bfs_distances",
-    # newly-oracled fingerprint + streaming twins awaiting their slot
-    "q28c_simhash", "q22s_stream_session_window", "q25s_stream_ttl",
-    "q26b_stream_stream_left_join",
-    # longest-waiting rest
-    "q10f_approx_top_k", "q29f_pq_ann", "q31e_image_header_decode",
-    "q31f_audio_meta", "q36_stratified_sample", "q37_python_datasource",
-    "q55_resample_ffill", "q56_zorder_layout", "q57_funnel",
-    "q58_range_frame", "q59_table_fingerprint", "q60_user_similarity",
-    "q61_event_transitions", "q62_cohort_retention",
+    "q100_equidepth_histogram", "q101_negative_sampling",
+    "q102_aqe_skew_join", "q104_cascade_delete", "q105_corpus_diff",
+    "q106_media_similarity", "q107_trend_slope", "q108_stream_leaderboard",
+    "q109_null_skew_outer_join", "q111_span_dedup", "q112_semdedup",
+    "q113_source_overlap", "q114_stream_span_dedup", "q115_recursive_cte",
+    "q116_lateral_topk", "q117_pipe_syntax", "q118_session_variables",
+    "q119_bpe_merge_candidates", "q120_quality_funnel", "q121_dataset_card",
+    "q51_inverted_index", "q64_table_profile", "q65_schema_evolution",
+    "q66_python_stream_source", "q67_incremental_agg", "q68_bucketed_join",
+    "q69_correlation", "q70_grouped_topk_array", "q71_null_safe_join",
+    "q75_heavy_hitters", "q76_dynamic_partition_pruning",
+    "q77_doc_chunking", "q78_incremental_dedup", "q79_salted_join",
+    "q80_cluster_representative", "q81_boilerplate_strip",
+    "q82_binaryfile_source", "q83_global_shuffle", "q84_vocab_coverage",
+    "q85_leakage_safe_split", "q86_feature_hash_embed",
+    "q87_rare_ngram_ratio", "q88_rollup_hierarchy",
+    "q89_small_file_compaction", "q91_multiprobe_lsh",
+    "q92_stream_incremental_dedup", "q93_runtime_bloom_join",
+    "q94_rolling_anomaly", "q95_data_quality_audit",
+    "q96_stream_heavy_hitters",
 ]
 
 _PREFIX_RE = __import__("re").compile(r"^(y_|z\d+_)")

@@ -243,3 +243,71 @@ def q110_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = nxt
     edges.unpersist()
     return dist
+
+
+# ---------------------------------------------------------------------------
+# q133 — triangle enumeration over the near-duplicate graph (q28b's verified
+# LSH pairs as edges). Triangles in a dedup graph are the strongest signal
+# of a true duplicate CLUSTER (A~B, B~C, and A~C independently verified) vs
+# a chain of borderline pairs — cluster-quality audits count them before
+# trusting transitive-closure clustering (q28e).
+# ---------------------------------------------------------------------------
+
+
+def _triangle_oracle() -> str:
+    from spark_state_provider_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _DUCK_LSH_CHAIN,
+        _DUCK_SALTS,
+        _DUCK_TRI,
+    )
+
+    return f"""
+    WITH {_DUCK_TRI},
+    salts AS ({_DUCK_SALTS}),
+    {_DUCK_LSH_CHAIN},
+    pr AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)
+              >= {JACCARD_THRESHOLD}
+    )
+    SELECT e1.id_a AS id_a, e1.id_b AS id_b, e2.id_b AS id_c
+    FROM pr e1
+    JOIN pr e2 ON e2.id_a = e1.id_b
+    JOIN pr e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    """
+
+
+@register("q133_dup_graph_triangles", oracle=_triangle_oracle())
+def q133_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enumerate triangles (id_a < id_b < id_c) in the verified near-dup
+    pair graph.
+
+    The edge list (id_a < id_b, so every triangle is generated exactly
+    once in canonical orientation) comes from the full q28b pipeline; the
+    enumeration is the standard two-join wedge-close: edges ⋈ edges on
+    the shared middle vertex, then a semi-join-shaped probe for the
+    closing edge. At 100 TB dedup-graph scale the classical refinement
+    applies unchanged: orient edges from low-degree to high-degree
+    endpoint first (degree ordering bounds wedge counts by arboricity),
+    then the same two equijoins — both are plain shuffles on vertex keys,
+    no state, no iteration.
+    """
+    from spark_state_provider_spark.operators.dedup import q28b_minhash_lsh
+
+    pr = q28b_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    e1 = pr.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = pr.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = pr.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .select(
+            F.col("a").alias("id_a"),
+            F.col("b").alias("id_b"),
+            F.col("c").alias("id_c"),
+        )
+    )

@@ -1653,3 +1653,276 @@ def _register_q121() -> None:
 
 
 _register_q121()
+
+
+# ---------------------------------------------------------------------------
+# q122 — bigram-rarity document scoring: the bigram upgrade of q52's
+# unigram-LM filter. A document whose word BIGRAMS are rare in the corpus
+# is either novel or garbage — pretraining pipelines score it and route it
+# to human/classifier review. Rarity = mean corpus frequency of the doc's
+# bigrams (low mean = rare). Rational arithmetic only (integer counts, one
+# final division), so the oracle matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_BOTTOM = 40
+
+
+@register(
+    "q122_bigram_rarity",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+        SELECT doc_id, t.bg
+        FROM tok, unnest(list_transform(
+            generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i+1]
+        )) AS t(bg)
+    ),
+    freq AS (
+        SELECT bg, CAST(count(*) AS BIGINT) AS corpus_tf FROM bg GROUP BY bg
+    ),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(f.corpus_tf) AS BIGINT) AS sum_tf
+        FROM bg b JOIN freq f ON f.bg = b.bg
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_bigrams, sum_tf,
+           CAST(sum_tf AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS mean_tf
+    FROM scored
+    ORDER BY mean_tf, doc_id
+    LIMIT {_BIGRAM_BOTTOM}
+    """,
+)
+def q122_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {_BIGRAM_BOTTOM} rarest documents by mean corpus-bigram
+    frequency.
+
+    Plan: one narrow pass builds (doc_id, bigram) via posexplode + lead
+    (linear — no per-element re-split, the q28 shingle lesson), one
+    shuffle aggregates corpus bigram frequencies (map-side combined), one
+    shuffle joins them back and folds per doc, and the bottom-k is a
+    TakeOrderedAndProject (per-partition partial top-k, driver merges k
+    rows per partition — never a global sort). At 100 TB the bigram
+    frequency table is the big intermediate; it is itself aggregated
+    (bounded by distinct-bigram count) and the join is key-partitioned on
+    the bigram — the same shuffle the frequency count already created, so
+    AQE can reuse the exchange. sum_tf stays integer until one final
+    division (exact on both engines).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    nxt = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("w2", F.lead("w").over(nxt))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w2").alias("bg"))
+    )
+    freq = bg.groupBy("bg").agg(F.count("*").alias("corpus_tf"))
+    scored = (
+        bg.join(freq, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("corpus_tf").alias("sum_tf"),
+        )
+        .withColumn(
+            "mean_tf",
+            F.col("sum_tf").cast("double") / F.col("n_bigrams").cast("double"),
+        )
+    )
+    return scored.orderBy("mean_tf", "doc_id").limit(_BIGRAM_BOTTOM)
+
+
+# ---------------------------------------------------------------------------
+# q124 — curriculum ordering: bucket the corpus into training phases by a
+# difficulty score (easy → hard curriculum). Difficulty here = mean word
+# length (chars per token), a cheap stand-in for the classifier scores real
+# pipelines use; the operator's value is the deterministic phase assignment
+# (ntile over a total order), not the score itself.
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_PHASES = 4
+
+
+@register(
+    "q124_curriculum_order",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   AS difficulty
+        FROM documents
+    ),
+    phased AS (
+        SELECT doc_id, source, difficulty,
+               ntile({_CURRICULUM_PHASES})
+                   OVER (ORDER BY difficulty, doc_id) AS phase
+        FROM scored
+    )
+    SELECT phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(difficulty) AS min_difficulty,
+           max(difficulty) AS max_difficulty,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM phased
+    GROUP BY phase
+    """,
+)
+def q124_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_CURRICULUM_PHASES}-phase curriculum split by mean-word-length
+    difficulty, with per-phase composition stats.
+
+    The ntile runs over an unpartitioned window — fine here because the
+    windowed payload is (doc_id, source, difficulty), not the text, and
+    because the tie-broken total order (difficulty, doc_id) is exactly
+    what makes the phase assignment reproducible. At 100 TB you'd replace
+    the exact ntile with quantile boundaries from approx_percentile over a
+    sample (or Spark's own range-partitioning sampler) and assign phases
+    by comparison against the broadcast boundaries — same downstream
+    contract, no single-task sort; the exact form is the contract this
+    query pins. Difficulty is rational: (chars − spaces) / tokens, one
+    division, bit-identical on both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    scored = d.select(
+        "doc_id",
+        "source",
+        (
+            (F.col("n_chars") - (ntok - F.lit(1))).cast("double")
+            / ntok.cast("double")
+        ).alias("difficulty"),
+    )
+    w = Window.orderBy("difficulty", "doc_id")
+    phased = scored.withColumn(
+        "phase", F.ntile(_CURRICULUM_PHASES).over(w).cast("long")
+    )
+    return phased.groupBy("phase").agg(
+        F.count("*").alias("n_docs"),
+        F.min("difficulty").alias("min_difficulty"),
+        F.max("difficulty").alias("max_difficulty"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q125 — temperature-flattened domain sampling: the multinomial-with-
+# temperature reweighting (T=2 → square-root scaling) every multilingual /
+# multi-domain pretraining mix uses to keep head domains from drowning
+# tail domains. All derived quantities are single-op chains on exact
+# integer counts (sqrt is correctly rounded in IEEE 754, so Spark and
+# DuckDB agree bit-for-bit; no transcendental pow()).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q125_temperature_mix",
+    oracle="""
+    WITH per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM per_source)
+    SELECT s.source, s.n_docs, s.n_chars,
+           CAST(s.n_docs AS DOUBLE) / CAST(t.n AS DOUBLE) AS share,
+           sqrt(CAST(s.n_docs AS DOUBLE)) / sqrt(CAST(t.n AS DOUBLE))
+               AS temp_share,
+           sqrt(CAST(t.n AS DOUBLE) / CAST(s.n_docs AS DOUBLE)) AS boost
+    FROM per_source s CROSS JOIN tot t
+    """,
+)
+def q125_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source T=2 sampling shares: raw share n_i/N, temperature share
+    sqrt(n_i)/sqrt(N), and the resulting sampling boost sqrt(N/n_i).
+
+    One shuffle (the per-source count), then a broadcast of the one-row
+    total — the corpus is never rescanned. The normalization DENOMINATOR
+    of the final mixture (Σ_i sqrt(n_i)) is deliberately not folded in:
+    a float sum over sources is order-sensitive across engines, while
+    every emitted column is a fixed chain of exact/correctly-rounded ops —
+    the consumer normalizes the (tiny, driver-sized) weight vector.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    tot = per_source.agg(F.sum("n_docs").alias("n"))
+    nd, n = F.col("n_docs").cast("double"), F.col("n").cast("double")
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            (nd / n).alias("share"),
+            (F.sqrt(nd) / F.sqrt(n)).alias("temp_share"),
+            F.sqrt(n / nd).alias("boost"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q134 — per-source language-purity audit via Gini impurity. Dataset cards
+# report "how mixed is each source?"; Gini (1 − Σ p_l²) is the standard
+# impurity and — unlike entropy — needs no transcendental log, so it stays
+# bit-checkable: impurity = (n² − Σ n_l²) / n² on exact integers with one
+# final division.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q134_source_gini",
+    oracle="""
+    WITH by_lang AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_l
+        FROM documents GROUP BY source, lang
+    ),
+    rolled AS (
+        SELECT source,
+               CAST(sum(n_l) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_langs,
+               CAST(sum(n_l * n_l) AS BIGINT) AS sum_sq
+        FROM by_lang GROUP BY source
+    )
+    SELECT source, n_docs, n_langs,
+           CAST(n_docs * n_docs - sum_sq AS DOUBLE)
+               / CAST(n_docs * n_docs AS DOUBLE) AS gini
+    FROM rolled
+    """,
+)
+def q134_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix Gini impurity per source (0 = monolingual source).
+
+    Two map-side-combinable aggregations — (source, lang) counts, then a
+    per-source rollup of Σn_l and Σn_l² — so the shuffled payload is one
+    row per (source, lang), never per document. The impurity itself is
+    computed as (n² − Σn_l²)/n² on int64 (counts at sf well below the
+    2³¹ bound where n² would overflow int64 per source-lang cell; at true
+    100 TB corpus scale promote the squares to DECIMAL(38,0), same plan).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    by_lang = d.groupBy("source", "lang").agg(F.count("*").alias("n_l"))
+    rolled = by_lang.groupBy("source").agg(
+        F.sum("n_l").alias("n_docs"),
+        F.count("*").alias("n_langs"),
+        F.sum(F.col("n_l") * F.col("n_l")).alias("sum_sq"),
+    )
+    nn = F.col("n_docs") * F.col("n_docs")
+    return rolled.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        ((nn - F.col("sum_sq")).cast("double") / nn.cast("double")).alias(
+            "gini"
+        ),
+    )

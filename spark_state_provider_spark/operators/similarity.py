@@ -1273,3 +1273,116 @@ def _register_q112() -> None:
 
 
 _register_q112()
+
+
+# ---------------------------------------------------------------------------
+# q126 — multi-vector late-interaction retrieval (MaxSim, the ColBERT
+# scoring rule): each 64-dim embedding is treated as 8 token-level
+# sub-vectors of 8 dims; score(q, d) = Σ_i max_j <q_i, d_j>. This is the
+# retrieval operator modern RAG / reranking corpora are scored with, and
+# it is NOT expressible as a single vector dot — the max-pool inside the
+# sum is the whole point.
+# ---------------------------------------------------------------------------
+
+_MS_SUBS = 8  # sub-vectors per embedding
+_MS_DIM = 8  # dims per sub-vector
+_MS_QUERIES = 4  # vec_id < 4 are the multi-vector queries
+_MS_TOP = 10
+
+
+def _maxsim_oracle() -> str:
+    def dot(i: int, j: int) -> str:
+        qlo, qhi = i * _MS_DIM + 1, (i + 1) * _MS_DIM
+        dlo, dhi = j * _MS_DIM + 1, (j + 1) * _MS_DIM
+        return f"list_dot_product(q.qv[{qlo}:{qhi}], e.v[{dlo}:{dhi}])"
+
+    # Σ_i greatest_j — left-associative + chain matches the Spark-side
+    # running accumulation bit-for-bit (greatest() is an exact max).
+    score = " + ".join(
+        "greatest(" + ", ".join(dot(i, j) for j in range(_MS_SUBS)) + ")"
+        for i in range(_MS_SUBS)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_MS_QUERIES}
+    ),
+    s AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, {score} AS score
+        FROM q, e
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, score, rn
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id
+        ) AS rn FROM s
+    )
+    WHERE rn <= {_MS_TOP}
+    """
+
+
+@register("q126_maxsim_late_interaction", oracle=_maxsim_oracle())
+def q126_maxsim_late_interaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MaxSim top-{_MS_TOP} per multi-vector query: embeddings reshaped to
+    {_MS_SUBS}×{_MS_DIM} sub-vectors, score = Σ_i max_j <q_i, d_j>.
+
+    Plan: the {_MS_QUERIES}-query set is broadcast, the corpus is scanned
+    once (narrow), and the score is computed in ONE Arrow-batched pandas
+    UDF over the broadcast-joined pairs — vectorized ACROSS pairs,
+    sequential across (sub-vector, dim) exactly like the oracle's
+    list_dot_product folds and greatest/+ chains, so the doubles match
+    bit-for-bit (the q112 technique). Top-k is a per-query window over
+    {_MS_QUERIES}·k rows. At 100 TB: identical shape — broadcast queries,
+    per-partition partial top-k; for large query sets, pre-filter
+    candidates with q29b's LSH buckets on the POOLED vector, then apply
+    this exact MaxSim only to candidates (the standard two-stage
+    retrieve-then-rerank split).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    q = emb.where(F.col("vec_id") < _MS_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    @pandas_udf("double")
+    def _maxsim(qv: pd.Series, dv: pd.Series) -> pd.Series:
+        if not len(qv):
+            return pd.Series([], dtype="float64")
+        qm = np.stack(qv.to_numpy())
+        dm = np.stack(dv.to_numpy())
+        score = np.zeros(len(qv), dtype="float64")
+        for i in range(_MS_SUBS):
+            best = np.full(len(qv), -np.inf)
+            for j in range(_MS_SUBS):
+                acc = np.zeros(len(qv), dtype="float64")
+                for k in range(_MS_DIM):  # sequential fold over dims
+                    acc = acc + qm[:, i * _MS_DIM + k] * dm[:, j * _MS_DIM + k]
+                best = np.maximum(best, acc)
+            score = score + best
+        return pd.Series(score)
+
+    pairs = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _maxsim(F.col("qv"), F.col("v")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return pairs.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _MS_TOP
+    )

@@ -667,3 +667,57 @@ def _register_q119() -> None:
 
 
 _register_q119()
+
+
+# ---------------------------------------------------------------------------
+# q123 — text normalization pass: the cleanup map every corpus runs before
+# tokenization (lowercase, strip non-alphanumerics, collapse whitespace),
+# with before/after accounting per language. Pure JVM regexp_replace — a
+# narrow codegen'd map, no Python, no shuffle until the tiny rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q123_text_normalize",
+    oracle="""
+    WITH cleaned AS (
+        SELECT lang, n_chars,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS ctext
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS raw_chars,
+           CAST(sum(len(ctext)) AS BIGINT) AS clean_chars,
+           CAST(sum(len(string_split(ctext, ' '))) AS BIGINT) AS clean_tokens
+    FROM cleaned
+    GROUP BY lang
+    """,
+)
+def q123_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize text (lower → strip non-[a-z0-9 ] → collapse runs of
+    spaces → trim) and roll up char/token counts per language.
+
+    Both engines apply the same three regexes in the same order; the
+    patterns use only literal classes ('[^a-z0-9 ]', ' +') so Java and
+    RE2 semantics agree. The map is whole-stage-codegen'd (no UDF);
+    at 100 TB this is the canonical scan-bound pass — bytes in, bytes
+    out, zero shuffle until the per-lang rollup of a handful of rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ctext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    cleaned = d.select("lang", "n_chars", ctext.alias("ctext"))
+    return cleaned.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("raw_chars"),
+        F.sum(F.length("ctext")).alias("clean_chars"),
+        F.sum(F.size(F.split("ctext", " "))).alias("clean_tokens"),
+    )
