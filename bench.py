@@ -137,6 +137,16 @@ HEADLINE = [
     "q119_bpe_merge_candidates",
     "q120_quality_funnel",
     "q121_dataset_card",
+    # round-4 additions: bigram LM scoring, normalization pass,
+    # curriculum/mixture planning, late-interaction retrieval, dup-graph
+    # triangles, language-purity audit
+    "q122_bigram_rarity",
+    "q123_text_normalize",
+    "q124_curriculum_order",
+    "q125_temperature_mix",
+    "q126_maxsim_late_interaction",
+    "q133_dup_graph_triangles",
+    "q134_source_gini",
 ]
 
 

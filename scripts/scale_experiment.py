@@ -94,6 +94,11 @@ QUERIES = [
     "q28e_dedup_clusters",
     "q111_span_dedup",
     "q112_semdedup",
+    # round-4: bigram frequency join, broadcast MaxSim rerank, wedge-close
+    # triangles over the LSH pair graph
+    "q122_bigram_rarity",
+    "q126_maxsim_late_interaction",
+    "q133_dup_graph_triangles",
 ]
 
 

@@ -119,6 +119,29 @@ _DUCK_LSH_CHAIN = f"""
 """
 
 
+# verified near-dup pairs per (session, corpus) — the pair GRAPH is the
+# shared upstream of every dedup consumer (clusters q28e, representatives
+# q80, governance q113, triangles q133); in production it is materialized
+# once per corpus snapshot, so consumers memoize it here instead of
+# re-running the LSH pipeline per query (same lifecycle as _TRI_CACHE)
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _pairs_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    from spark_state_provider_spark.dfcache import get_or_build
+
+    return get_or_build(
+        _PAIRS_CACHE,
+        spark,
+        (sf_dir,),
+        lambda: q28b_minhash_lsh(spark, sf_dir)
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK),
+    )
+
+
 @register(
     "q28b_minhash_lsh",
     oracle=f"""
@@ -701,7 +724,7 @@ def _clusters_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_state_provider_spark.dfcache import get_or_build
 
     def build() -> DataFrame:
-        pairs = q28b_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+        pairs = _pairs_persisted(spark, sf_dir)
         edges = pairs.select(
             F.col("id_a").alias("u"), F.col("id_b").alias("v")
         )
@@ -1331,7 +1354,7 @@ def _register_q113() -> None:
         plan degrades to two shuffle joins on doc_id; the rollup itself
         is unchanged.
         """
-        pairs = q28b_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+        pairs = _pairs_persisted(spark, sf_dir)
         src = load_table(spark, sf_dir, "documents").select(
             "doc_id", "source"
         )

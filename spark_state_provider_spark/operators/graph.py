@@ -296,9 +296,9 @@ def q133_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the same two equijoins — both are plain shuffles on vertex keys,
     no state, no iteration.
     """
-    from spark_state_provider_spark.operators.dedup import q28b_minhash_lsh
+    from spark_state_provider_spark.operators.dedup import _pairs_persisted
 
-    pr = q28b_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    pr = _pairs_persisted(spark, sf_dir)
     e1 = pr.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     e2 = pr.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
     e3 = pr.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
