@@ -409,3 +409,43 @@ def test_q116_lateral_decorrelates(spark, sf_dir):
     plan = plan_string(_df(spark, sf_dir, "q116_lateral_topk"))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_q122_bigram_rarity_partial_agg_and_bottomk(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q122_bigram_rarity"))
+    # corpus bigram frequencies must map-side combine before the shuffle
+    assert "HashAggregate" in plan and ("partial_count" in plan or "Partial" in plan)
+    # bottom-k is a per-partition partial top-k, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q123_normalize_is_codegen_no_python(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q123_text_normalize"))
+    # the cleanup map must stay JVM-side (regexp_replace, no Arrow/Python)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # one scan, project, and map-side partial agg — no extra exchange
+    assert "partial_count" in plan or "Partial" in plan
+    assert plan.count("Exchange") <= 2  # tree + detail of the single shuffle
+
+
+def test_q125_temperature_mix_broadcasts_total(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q125_temperature_mix"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q126_maxsim_broadcasts_queries_no_cartesian(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q126_maxsim_late_interaction"))
+    # query side must broadcast; the pair stage is the Arrow-batched UDF
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_q133_triangles_no_cartesian_and_reuses_pairs(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q133_dup_graph_triangles"))
+    assert "CartesianProduct" not in plan
+    # the pair graph must come from the session memo, not three fresh
+    # LSH pipelines: the persisted scan appears as InMemoryTableScan
+    assert "InMemoryTableScan" in plan
