@@ -147,6 +147,10 @@ HEADLINE = [
     "q126_maxsim_late_interaction",
     "q133_dup_graph_triangles",
     "q134_source_gini",
+    "q135_k_anonymity",
+    "q136_containment_dedup",
+    "q137_cogroup_reconcile",
+    "q138_window_group_limit",
 ]
 
 

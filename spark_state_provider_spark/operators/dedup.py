@@ -165,6 +165,23 @@ def q28b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle computes the *identical* pipeline — including any LSH
     misses — making the output exactly checkable.
     """
+    pairs = _lsh_scored_candidates(spark, sf_dir)
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _lsh_scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared LSH candidate pipeline: (id_a, id_b, na, nb, n_inter)
+    for every banded candidate pair — q28b derives Jaccard from it, q136
+    derives containment. One implementation so the two similarity
+    measures can never drift."""
     # The shingle set feeds three branches (signature, verify-left,
     # verify-right); persist it so the tokenize/window pipeline runs once.
     # At cluster scale this is the same decision: MEMORY_AND_DISK spills
@@ -255,7 +272,7 @@ def q28b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("id_b2"),
         F.col("tset").alias("set_b"),
     )
-    pairs = ja.join(
+    return ja.join(
         jb,
         (F.col("id_a") == F.col("id_a2")) & (F.col("id_b") == F.col("id_b2")),
     ).select(
@@ -265,14 +282,63 @@ def q28b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nb",
         F.size(F.array_intersect("set_a", "set_b")).alias("n_inter"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q136 — containment dedup: near-SUPERSET detection. Jaccard misses the
+# "small doc embedded in a big one" class (quotes, boilerplate wrappers,
+# expanded re-posts) because the union in the denominator dilutes it;
+# containment n_inter / min(|A|,|B|) catches exactly that. Same banded
+# candidate generation as q28b — one pipeline, two measures.
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "q136_containment_dedup",
+    oracle=f"""
+    WITH {_DUCK_TRI},
+    salts AS ({_DUCK_SALTS}),
+    {_DUCK_LSH_CHAIN}
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_inter AS DOUBLE) / least(sa.n, sb.n) AS containment,
+           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.n_inter AS DOUBLE) / least(sa.n, sb.n)
+          >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def q136_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs whose smaller shingle set is ≥{CONTAINMENT_THRESHOLD}
+    contained in the larger (jaccard carried for comparison — pairs here
+    with low jaccard are the asymmetric near-supersets q28b cannot see).
+
+    Reuses q28b's banded LSH candidates verbatim
+    (`_lsh_scored_candidates`), so the cost at 100 TB is the one LSH
+    pipeline already paid for — the containment filter is a projection.
+    Recall caveat (documented, same both engines): a doc much smaller
+    than its container rarely shares a minhash band, so banded LSH
+    under-recalls extreme containment; the standard fix at scale is the
+    q111 span-index (exact substring windows), which this measure
+    complements, not replaces.
+    """
+    pairs = _lsh_scored_candidates(spark, sf_dir)
     return (
         pairs.withColumn(
+            "containment",
+            F.col("n_inter").cast("double")
+            / F.least(F.col("na"), F.col("nb")),
+        )
+        .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
             / (F.col("na") + F.col("nb") - F.col("n_inter")),
         )
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("id_a", "id_b", "jaccard")
+        .where(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("id_a", "id_b", "containment", "jaccard")
     )
 
 

@@ -1926,3 +1926,58 @@ def q134_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q135 — k-anonymity audit: before a corpus release, every combination of
+# quasi-identifiers must cover at least k individuals/documents, or the
+# combination is a re-identification risk. The governance gate next to
+# q104 (deletion) and q121 (datasheet).
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+_QI_BUCKET = 64  # length-bucket granularity of the quasi-identifier
+
+
+@register(
+    "q135_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+        SELECT lang, source,
+               CAST(n_chars // {_QI_BUCKET} AS BIGINT) AS len_bucket,
+               doc_id
+        FROM documents
+    ),
+    grp AS (
+        SELECT lang, source, len_bucket,
+               CAST(count(*) AS BIGINT) AS group_size
+        FROM qi GROUP BY lang, source, len_bucket
+    )
+    SELECT lang, source, len_bucket, group_size,
+           (group_size < {_K_ANON}) AS violates_k
+    FROM grp
+    """,
+)
+def q135_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity ({_K_ANON}) audit over the quasi-identifier tuple
+    (lang, source, {_QI_BUCKET}-char length bucket): every group with its
+    size and a violation flag.
+
+    One map-side-combinable groupBy; shuffle payload is one row per QI
+    combination (bounded by the QI domain product, not the corpus). At
+    100 TB the follow-up actions — suppress or generalize violating
+    groups — are an anti-join / CASE generalization against this exact
+    output, both broadcast-sized because violations are by definition
+    small groups.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grp = (
+        d.select(
+            "lang",
+            "source",
+            (F.col("n_chars") / _QI_BUCKET).cast("long").alias("len_bucket"),
+        )
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count("*").alias("group_size"))
+    )
+    return grp.withColumn("violates_k", F.col("group_size") < _K_ANON)

@@ -2781,3 +2781,134 @@ def q100_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("max_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q137 — cogrouped applyInPandas: the two-table per-key reconciliation
+# API (CoGroupedData). Each order's header total is checked against the
+# sum of its line items in one cogrouped pandas function — the API a
+# migrating user reaches for when per-key logic needs BOTH tables' rows
+# in hand at once (reconciliation, merge-audit, interleaving).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q137_cogroup_reconcile",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS line_sum_cents
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey,
+           coalesce(l.n_lines, 0) AS n_lines,
+           CAST(floor(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+           coalesce(l.line_sum_cents, 0) AS line_sum_cents,
+           CAST(floor(o.o_totalprice * 100) AS BIGINT)
+               - coalesce(l.line_sum_cents, 0) AS diff_cents
+    FROM orders o LEFT JOIN l ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q137_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order header-vs-lines reconciliation through
+    ``groupBy(...).cogroup(...).applyInPandas`` — order count, floor-cent
+    line sum, and the header/line delta.
+
+    Money is compared in floor-cents (``floor(x*100)`` — floor is exact
+    and identical in numpy and DuckDB; a round() here would split on
+    banker's-vs-half-away ties). Scale shape: cogroup shuffles BOTH
+    tables once on the join key and streams each key's two row groups
+    into one Arrow batch — the same single co-partitioned exchange a
+    SortMergeJoin would pay, with arbitrary per-key Python logic instead
+    of a fixed join condition. Keys are order-sized (≤7 lines each), so
+    per-group memory is trivial; a hot reconciliation key would be
+    salted exactly like q79.
+    """
+    import numpy as np
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+
+    def reconcile(orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
+        if orders_pdf.empty:
+            # lineitem rows whose order is absent (impossible in this
+            # data model, but cogroup surfaces either-side groups)
+            return pd.DataFrame(
+                columns=[
+                    "o_orderkey", "n_lines", "total_cents",
+                    "line_sum_cents", "diff_cents",
+                ]
+            )
+        total = np.floor(orders_pdf["o_totalprice"].to_numpy() * 100).astype(
+            "int64"
+        )[0]
+        line_sum = int(
+            np.floor(lines_pdf["l_extendedprice"].to_numpy() * 100)
+            .astype("int64")
+            .sum()
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": orders_pdf["o_orderkey"].iloc[:1],
+                "n_lines": [len(lines_pdf)],
+                "total_cents": [total],
+                "line_sum_cents": [line_sum],
+                "diff_cents": [total - line_sum],
+            }
+        )
+
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "o_orderkey long, n_lines long, total_cents long, "
+            "line_sum_cents long, diff_cents long",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q138 — WindowGroupLimit: Spark ≥3.5 rewrites a rank-filter window into a
+# per-partition group-limit that keeps only k rows per key BEFORE the
+# shuffle — the optimizer feature that turns "top-k per group" from a
+# full-sort-per-group into a partial top-k. The query pins the rewrite.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q138_window_group_limit",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def q138_window_group_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per priority — written as the plain
+    rank-filter idiom so Catalyst's WindowGroupLimit rewrite applies
+    (plan-gated in tests/test_plans.py).
+
+    At 100 TB the rewrite is the difference between shuffling the whole
+    fact into per-priority sorts vs shuffling ≤3 rows per priority per
+    map partition: the group-limit runs map-side before the exchange,
+    exactly like TakeOrderedAndProject does for global top-k (q14).
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )

@@ -449,3 +449,26 @@ def test_q133_triangles_no_cartesian_and_reuses_pairs(spark, sf_dir):
     # the pair graph must come from the session memo, not three fresh
     # LSH pipelines: the persisted scan appears as InMemoryTableScan
     assert "InMemoryTableScan" in plan
+
+
+def test_q136_containment_no_cartesian(spark, sf_dir):
+    assert_not_in_plan(
+        _df(spark, sf_dir, "q136_containment_dedup"), "CartesianProduct"
+    )
+
+
+def test_q137_cogroup_single_copartitioned_exchange(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q137_cogroup_reconcile"))
+    assert "FlatMapCoGroupsInPandas" in plan
+    # both inputs shuffle once on the key; no join node, no cartesian
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_q138_window_group_limit_rewrite_fires(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q138_window_group_limit"))
+    # the map-side group limit must run BEFORE the exchange (partial
+    # top-k per partition — the whole point of the rewrite)
+    assert "WindowGroupLimit" in plan
+    tree = plan.split("(1) Scan")[0]
+    assert tree.index("WindowGroupLimit") > tree.index("Exchange") or \
+        plan.count("WindowGroupLimit") >= 2
