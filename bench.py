@@ -151,6 +151,7 @@ HEADLINE = [
     "q136_containment_dedup",
     "q137_cogroup_reconcile",
     "q138_window_group_limit",
+    "q139_python_datasource_write",
 ]
 
 

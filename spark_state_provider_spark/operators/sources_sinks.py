@@ -465,3 +465,71 @@ def q89_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "content_fp",
     )
+
+
+# ---------------------------------------------------------------------------
+# q139 — Python DataSource WRITE path (the SPI's sink half; q37/q66 cover
+# the batch/stream read halves). A per-source rollup is written through the
+# custom ssps_linefile sink (per-partition files + WriterCommitMessage +
+# driver-side manifest commit = the exactly-once protocol), then the
+# verified row reads the MANIFESTED files back and re-aggregates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q139_python_datasource_write",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM documents GROUP BY source
+    """,
+)
+def q139_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the per-source rollup through the custom Python sink, then
+    read back ONLY what the manifest committed and return it.
+
+    The read-back is the verification: rows surviving the round-trip are
+    exactly the committed ones (an aborted/duplicate task attempt's file
+    is on disk but unmanifested, hence invisible — asserted directly in
+    tests/test_connectors.py). Scale note: per-partition file + driver
+    manifest is O(#partitions) driver work and zero shuffle; this is the
+    same commit topology as Spark's own FileFormatWriter, expressed
+    through the public Python SPI.
+    """
+    import json
+    import shutil
+
+    from spark_state_provider_spark.sources.python_source import (
+        register_linefile_sink,
+    )
+
+    register_linefile_sink(spark)
+    out = _out(sf_dir, "linefile_sink")
+    shutil.rmtree(out, ignore_errors=True)
+
+    rollup = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+    rollup.write.format("ssps_linefile").option("path", out).mode(
+        "append"
+    ).save()
+
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    committed = [os.path.join(out, name) for name in manifest["files"]]
+    back = (
+        spark.read.csv(committed, sep="\t", header=False)
+        .toDF("source", "n_docs", "n_chars")
+        .select(
+            "source",
+            F.col("n_docs").cast("long"),
+            F.col("n_chars").cast("long"),
+        )
+    )
+    return back

@@ -128,3 +128,82 @@ class SyntheticStreamReader(SimpleDataSourceStreamReader):
 
 def register_synthetic_stream_source(spark) -> None:
     spark.dataSource.register(SyntheticStreamDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Write path of the Python DataSource SPI: a custom sink with the
+# two-phase task-commit protocol (write per partition → WriterCommitMessage
+# → driver-side commit/abort). The files-then-manifest dance below is the
+# exactly-once recipe every distributed sink uses: task outputs land under
+# unique attempt names, and only the driver's commit() makes them visible
+# by writing the manifest — a straggler/retry's orphan file is simply never
+# manifested.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _LineCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class LineFileDataSource(DataSource):
+    """``format("ssps_linefile")``: writes each partition as one
+    ``part-<uuid>.txt`` of tab-joined lines, committed via manifest."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ssps_linefile"
+
+    def writer(self, schema, overwrite: bool) -> "LineFileWriter":
+        return LineFileWriter(self.options["path"])
+
+
+class LineFileWriter(DataSourceWriter):
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator) -> _LineCommit:
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        # unique attempt name: a retried task writes a DIFFERENT file and
+        # only the committed attempt's name reaches the manifest
+        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.txt")
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write("\t".join(str(v) for v in row) + "\n")
+                n += 1
+        return _LineCommit(fname, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(
+                os.path.basename(m.path) for m in messages if m is not None
+            ),
+            "rows": sum(m.rows for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+def register_linefile_sink(spark) -> None:
+    try:
+        spark.dataSource.register(LineFileDataSource)
+    except Exception as ex:  # already registered in this session
+        if "already" not in str(ex).lower():
+            raise

@@ -103,3 +103,49 @@ def test_binaryfile_source_glob_pruning(spark, sf_dir):
         .load(out)
     )
     assert pngs.count() == 12
+
+
+def test_linefile_sink_manifest_excludes_orphans(spark, sf_dir, tmp_path):
+    """Exactly-once property of the Python-SPI sink: only manifested files
+    are read back — an uncommitted attempt's orphan file is invisible."""
+    import json
+    import os
+
+    from spark_state_provider_spark import operators
+    from spark_state_provider_spark.operators import registry
+
+    operators.load_all()
+    fn = registry.get("q139_python_datasource_write").fn
+    df = fn(spark, sf_dir)
+    n = df.count()
+    # locate the sink dir from the manifest the query just wrote
+    from spark_state_provider_spark.operators.sources_sinks import _out
+
+    out = _out(sf_dir, "linefile_sink")
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert manifest["rows"] == n
+    # plant an orphan (a failed/straggler attempt that never committed)
+    orphan = os.path.join(out, "part-deadbeef.txt")
+    with open(orphan, "w") as f:
+        f.write("ghost\t1\t1\n")
+    df2 = fn(spark, sf_dir)  # re-runs the sink; fresh manifest
+    assert df2.count() == n  # ghost rows never surface
+    rows = {r.source for r in df2.collect()}
+    assert "ghost" not in rows
+
+
+def test_linefile_sink_abort_removes_attempt_files(tmp_path):
+    from spark_state_provider_spark.sources.python_source import (
+        LineFileWriter,
+        _LineCommit,
+    )
+
+    w = LineFileWriter(str(tmp_path))
+    msg = w.write(iter([("a", 1), ("b", 2)]))
+    assert msg.rows == 2
+    import os
+
+    assert os.path.exists(msg.path)
+    w.abort([msg])
+    assert not os.path.exists(msg.path)
