@@ -152,6 +152,7 @@ HEADLINE = [
     "q137_cogroup_reconcile",
     "q138_window_group_limit",
     "q139_python_datasource_write",
+    "q140_udtf_dynamic_schema",
 ]
 
 

@@ -2937,3 +2937,99 @@ def q138_window_group_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# q140 — dynamic-schema Python UDTF with a TABLE argument (Spark 4): the
+# polymorphic half of the UDTF surface q27b's static-schema function does
+# not reach. `analyze()` computes the OUTPUT SCHEMA from the literal
+# bucket-count argument at plan time; `eval()` accumulates per partition;
+# `terminate()` emits one partial-histogram row per partition, and a plain
+# SUM merges the partials — the classic combinable-aggregate topology,
+# expressed through the table-function SPI.
+# ---------------------------------------------------------------------------
+
+_UDTF_HIST_BUCKETS = 8
+_UDTF_HIST_LO = 0.0
+_UDTF_HIST_HI = 200.0
+
+
+def _q140_oracle() -> str:
+    n, lo, hi = _UDTF_HIST_BUCKETS, _UDTF_HIST_LO, _UDTF_HIST_HI
+    bucket = (
+        f"CAST(least(greatest(floor((value - {lo}) * {n} / {hi - lo}), 0),"
+        f" {n - 1}) AS INTEGER)"
+    )
+    cols = ", ".join(
+        f"CAST(sum(CASE WHEN {bucket} = {i} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS b{i}"
+        for i in range(n)
+    )
+    return f"SELECT {cols}, CAST(count(*) AS BIGINT) AS n_rows FROM events"
+
+
+@register("q140_udtf_dynamic_schema", oracle=_q140_oracle())
+def q140_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value histogram of `events.value` through a TABLE-argument UDTF
+    whose column set (b0..b{_UDTF_HIST_BUCKETS - 1}) is derived by
+    `analyze()` from the literal bucket count — change the literal and
+    the schema follows at plan time, no code edit.
+
+    Bucketing is `floor((v−lo)·n/span)` clamped — the identical op chain
+    in Python (math.floor, same multiply-then-divide order) and the
+    oracle, so counts match exactly. Scale shape: the UDTF holds one
+    n-slot array per partition and emits it once at terminate — the
+    shuffled payload is #partitions rows of n longs, merged by an
+    ordinary SUM; the events scan itself is never shuffled.
+    """
+    import math
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    n_b = _UDTF_HIST_BUCKETS
+
+    class PartialHist:
+        @staticmethod
+        def analyze(t, nb, lo, hi):
+            from pyspark.sql.udtf import AnalyzeResult
+
+            return AnalyzeResult(
+                schema=StructType(
+                    [
+                        StructField(f"b{i}", LongType())
+                        for i in range(nb.value)
+                    ]
+                    + [StructField("n_rows", LongType())]
+                )
+            )
+
+        def __init__(self):
+            self.counts = None
+            self.n = 0
+
+        def eval(self, row, nb, lo, hi):
+            if self.counts is None:
+                self.counts = [0] * nb
+            v = row["value"]
+            i = math.floor((v - lo) * nb / (hi - lo))
+            i = 0 if i < 0 else (nb - 1 if i >= nb else i)
+            self.counts[i] += 1
+            self.n += 1
+
+        def terminate(self):
+            if self.counts is not None:
+                yield (*self.counts, self.n)
+
+    spark.udtf.register("ssps_partial_hist", udtf(PartialHist))
+    _t(spark, sf_dir, "events").select("value").createOrReplaceTempView(
+        "ssps_events_hist_v"
+    )
+    partials = spark.sql(
+        f"SELECT * FROM ssps_partial_hist(TABLE(ssps_events_hist_v), "
+        f"{n_b}, {_UDTF_HIST_LO}D, {_UDTF_HIST_HI}D)"
+    )
+    return partials.agg(
+        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(n_b)],
+        F.sum("n_rows").alias("n_rows"),
+    )
