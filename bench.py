@@ -153,6 +153,7 @@ HEADLINE = [
     "q138_window_group_limit",
     "q139_python_datasource_write",
     "q140_udtf_dynamic_schema",
+    "q141_observation_metrics",
 ]
 
 

@@ -533,3 +533,68 @@ def q139_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return back
+
+
+# ---------------------------------------------------------------------------
+# q141 — Observation metrics: pipeline health counters that PIGGYBACK on an
+# action instead of paying a second scan. `df.observe(...)` attaches named
+# aggregates to the plan; they materialize as a side effect of the one
+# noop-sink pass. This is how a 100 TB ingest job reports row counts /
+# null rates / value ranges without doubling its I/O.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q141_observation_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN value IS NULL THEN 1 END) AS BIGINT)
+               AS n_null_value,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents,
+           CAST(min(user_id) AS BIGINT) AS min_user,
+           CAST(max(user_id) AS BIGINT) AS max_user
+    FROM events
+    """,
+)
+def q141_observation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-health metrics (row count, null count, floor-cent value sum,
+    user-id range) collected via ``DataFrame.observe`` during a single
+    noop-sink pass over events — the metrics row is the RESULT, and no
+    second scan ever runs (the events plan executes exactly once).
+
+    Scale note: observe-metrics must be combinable aggregates (Spark
+    rejects DISTINCT inside observe — verified; cardinality metrics go
+    through hll_sketch_agg, q10d's sketch, in the same observe call);
+    each is evaluated inside the already-running stages and the driver
+    cost is one row.
+    """
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events").select("value", "user_id")
+    obs = Observation("ssps_ingest_health")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null_value"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+            "sum_value_cents"
+        ),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_null_value"],
+                m["sum_value_cents"],
+                m["min_user"],
+                m["max_user"],
+            )
+        ],
+        "n_rows long, n_null_value long, sum_value_cents long, "
+        "min_user long, max_user long",
+    )
