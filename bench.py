@@ -154,6 +154,7 @@ HEADLINE = [
     "q139_python_datasource_write",
     "q140_udtf_dynamic_schema",
     "q141_observation_metrics",
+    "q142_policy_masking",
 ]
 
 

@@ -1981,3 +1981,95 @@ def q135_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("group_size"))
     )
     return grp.withColumn("violates_k", F.col("group_size") < _K_ANON)
+
+
+# ---------------------------------------------------------------------------
+# q142 — policy-driven column masking (row/column-level security): a
+# broadcast policy table decides, per source, how much of each document
+# leaves the corpus — cleartext, fingerprint-only, or fully redacted.
+# The release-gate companion to q40 (PII scrub) and q135 (k-anonymity):
+# q40 redacts patterns, q142 enforces per-SOURCE contractual policy.
+# ---------------------------------------------------------------------------
+
+_MASK_PREVIEW = 32
+
+
+@register(
+    "q142_policy_masking",
+    oracle=f"""
+    WITH policy AS (
+        SELECT source, CAST(substr(md5(source), 1, 1) AS VARCHAR) AS nib,
+               CASE
+                   WHEN ('0x' || substr(md5(source), 1, 1))::BIGINT % 3 = 0
+                       THEN 'clear'
+                   WHEN ('0x' || substr(md5(source), 1, 1))::BIGINT % 3 = 1
+                       THEN 'fingerprint'
+                   ELSE 'redact'
+               END AS policy
+        FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT d.doc_id, d.source, p.policy,
+           CASE p.policy
+               WHEN 'clear' THEN substr(d.text, 1, {_MASK_PREVIEW})
+               WHEN 'fingerprint' THEN md5(d.text)
+               ELSE '[REDACTED]'
+           END AS released_text,
+           CASE p.policy WHEN 'clear' THEN d.n_chars ELSE NULL END
+               AS released_chars
+    FROM documents d JOIN policy p ON p.source = d.source
+    """,
+)
+def q142_policy_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a per-source release policy (derived deterministically from
+    md5(source) so the oracle can replicate it; in production it is a
+    governance table): clear sources release a {_MASK_PREVIEW}-char
+    preview + length, fingerprint sources release only md5(text), redact
+    sources release a fixed marker and NULL metadata.
+
+    Scale shape: the policy table is distinct-source-sized and BROADCAST;
+    masking is a codegen'd CASE projection over the single corpus scan —
+    zero shuffles end to end (plan-gated). This is the shape row/column-
+    level security takes in every lakehouse engine: policy join + masked
+    projection, never a second pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    policy = (
+        d.select("source")
+        .distinct()
+        .withColumn(
+            "policy",
+            F.when(
+                F.conv(F.substring(F.md5("source"), 1, 1), 16, 10).cast(
+                    "long"
+                )
+                % 3
+                == 0,
+                "clear",
+            )
+            .when(
+                F.conv(F.substring(F.md5("source"), 1, 1), 16, 10).cast(
+                    "long"
+                )
+                % 3
+                == 1,
+                "fingerprint",
+            )
+            .otherwise("redact"),
+        )
+    )
+    joined = d.join(F.broadcast(policy), "source")
+    return joined.select(
+        "doc_id",
+        "source",
+        "policy",
+        F.when(
+            F.col("policy") == "clear",
+            F.substring("text", 1, _MASK_PREVIEW),
+        )
+        .when(F.col("policy") == "fingerprint", F.md5("text"))
+        .otherwise(F.lit("[REDACTED]"))
+        .alias("released_text"),
+        F.when(F.col("policy") == "clear", F.col("n_chars")).alias(
+            "released_chars"
+        ),
+    )

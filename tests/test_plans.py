@@ -472,3 +472,11 @@ def test_q138_window_group_limit_rewrite_fires(spark, sf_dir):
     tree = plan.split("(1) Scan")[0]
     assert tree.index("WindowGroupLimit") > tree.index("Exchange") or \
         plan.count("WindowGroupLimit") >= 2
+
+
+def test_q142_masking_broadcasts_policy_no_extra_shuffle(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q142_policy_masking"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # masking is a projection — no Python eval anywhere
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
