@@ -20,10 +20,12 @@ from spark_state_provider_spark.tables import load_table
 
 
 def _out(sf_dir: str, name: str) -> str:
-    # pid-scoped: concurrent processes must not race on overwrite-vs-read
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"ssps_{name}_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    # pid-scoped: concurrent processes must not race on overwrite-vs-read;
+    # exit-time cleanup + dead-pid sweep via the shared scratch module
+    from spark_state_provider_spark.scratch import scratch_dir
+
+    return scratch_dir(
+        f"{name}_{os.path.basename(os.path.normpath(sf_dir))}", wipe=False
     )
 
 
@@ -348,7 +350,9 @@ def q66_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # availableNow drains only ONE prefetched slice of a simple stream
     # reader, so drive with a continuous trigger and stop once the sink
     # holds the whole range (complete mode ⇒ final state == batch result).
-    ckpt = _tf.mkdtemp(prefix="ssps_ckpt_q66_")
+    from spark_state_provider_spark.scratch import scratch_dir
+
+    ckpt = _tf.mkdtemp(prefix="q66_", dir=scratch_dir("memck", wipe=False))
     q = (
         agg.writeStream.format("memory")
         .queryName("mem_q66")

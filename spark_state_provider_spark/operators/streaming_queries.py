@@ -630,21 +630,15 @@ def _fresh_run_dirs(tag: str, sf_dir: str, *names: str) -> list[str]:
     lazily (so the dir cannot be deleted on exit), but reusing one
     deterministic path per process bounds the /tmp footprint to a single
     copy per query instead of one mkdtemp per invocation (bench runs each
-    query three times; the q66 ADVICE lesson, applied here)."""
+    query three times; the q66 ADVICE lesson, applied here). Exit-time
+    cleanup of this process's dirs + a one-time sweep of dead-pid dirs
+    live in :mod:`spark_state_provider_spark.scratch`."""
     import os
-    import shutil
-    import tempfile
+
+    from spark_state_provider_spark.scratch import scratch_dir
 
     base = os.path.basename(os.path.normpath(sf_dir))
-    out = []
-    for n in names:
-        d = os.path.join(
-            tempfile.gettempdir(), f"ssps_{tag}_{n}_{base}_{os.getpid()}"
-        )
-        shutil.rmtree(d, ignore_errors=True)
-        os.makedirs(d, exist_ok=True)
-        out.append(d)
-    return out
+    return [scratch_dir(f"{tag}_{n}_{base}") for n in names]
 
 
 def _pinned(df: DataFrame) -> DataFrame:

@@ -1,0 +1,84 @@
+"""Pid-scoped /tmp scratch-dir lifecycle for sinks and streaming runs.
+
+Every scratch path in the repo follows ``ssps_<tag>_<pid>``. The pid scope
+prevents concurrent processes racing on overwrite-vs-read, and wiping at
+invocation start bounds the footprint to one copy per query per LIVE
+process — but directories whose owning process has EXITED used to
+accumulate forever (measured: thousands of stale entries across bench +
+pytest + replica runs). Two fixes, both here so every caller shares them:
+
+* :func:`register_own_cleanup` — an atexit hook removes every dir this
+  process created (safe: lazy DataFrames reading those dirs cannot outlive
+  the process).
+* :func:`sweep_stale` — opportunistically (once per process, at first
+  scratch-dir creation) removes any ``ssps_*_<pid>`` dir whose pid is no
+  longer alive. Checking ``/proc/<pid>`` (or kill-0) makes this safe to
+  run concurrently with live processes.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import re
+import shutil
+import tempfile
+
+_OWN_DIRS: set[str] = set()
+_REGISTERED = False
+_SWEPT = False
+
+_PID_RE = re.compile(r"^ssps_.*_(\d+)$")
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else — leave it alone
+    return True
+
+
+def sweep_stale() -> int:
+    """Remove ssps scratch dirs owned by dead pids. Returns count removed."""
+    tmp = tempfile.gettempdir()
+    removed = 0
+    try:
+        entries = os.listdir(tmp)
+    except OSError:
+        return 0
+    for name in entries:
+        m = _PID_RE.match(name)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        if pid == os.getpid() or _pid_alive(pid):
+            continue
+        shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+        removed += 1
+    return removed
+
+
+def _cleanup_own() -> None:
+    for d in _OWN_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def scratch_dir(tag: str, wipe: bool = True) -> str:
+    """Return (and create) the pid-scoped scratch dir for ``tag``,
+    registering exit-time cleanup and running the one-time stale sweep."""
+    global _REGISTERED, _SWEPT
+    if not _SWEPT:
+        _SWEPT = True
+        sweep_stale()
+    d = os.path.join(tempfile.gettempdir(), f"ssps_{tag}_{os.getpid()}")
+    if wipe:
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    _OWN_DIRS.add(d)
+    if not _REGISTERED:
+        _REGISTERED = True
+        atexit.register(_cleanup_own)
+    return d

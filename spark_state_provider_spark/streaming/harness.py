@@ -36,7 +36,14 @@ def run_to_memory(
         spark.catalog.dropTempView(name)
     except Exception:
         pass
-    ckpt = tempfile.mkdtemp(prefix=f"ssps_ckpt_{name}_")
+    # under the pid-scoped scratch parent: rmtree'd in the finally below
+    # on the normal path, and swept by the dead-pid rule if the process
+    # dies mid-stream (a killed run used to leak its checkpoint forever)
+    from spark_state_provider_spark.scratch import scratch_dir
+
+    ckpt = tempfile.mkdtemp(
+        prefix=f"ckpt_{name}_", dir=scratch_dir("memck", wipe=False)
+    )
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
@@ -76,8 +83,15 @@ def run_upsert_table(
     no per-batch ``collect()`` to the driver.
     """
     spark = sdf.sparkSession
-    root = tempfile.mkdtemp(prefix="ssps_upsert_")
-    ckpt = tempfile.mkdtemp(prefix="ssps_ckpt_upsert_")
+    # roots nest under the pid-scoped scratch dir: the version dirs are
+    # read lazily (cannot delete here), but the parent is removed at
+    # process exit and stale copies from dead pids are swept (the
+    # prefix-only mkdtemp used before this leaked one dir per run)
+    from spark_state_provider_spark.scratch import scratch_dir
+
+    parent = scratch_dir("upsert", wipe=False)
+    root = tempfile.mkdtemp(prefix="run_", dir=parent)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=parent)
     latest: dict[str, str | None] = {"path": None}
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import tempfile
 
+from spark_state_provider_spark.scratch import scratch_dir
+
 from pyspark.sql import functions as F
 
 from spark_state_provider_spark.streaming.sources import stream_events
@@ -39,7 +41,7 @@ def _run_dedup_query(spark, sf_dir, ckpt):
 
 
 def test_state_reader_sees_dedup_keys(spark, sf_dir):
-    ckpt = tempfile.mkdtemp(prefix="ssps_ckpt_sr_")
+    ckpt = tempfile.mkdtemp(prefix="sr_", dir=scratch_dir("testck", wipe=False))
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -83,7 +85,7 @@ def test_state_change_feed_versions(spark, sf_dir):
     """Change-feed parity with the reference's per-version keyspaces: the
     feed between batches 0 and 1 contains exactly the keys each version
     added, and replaying the changes reconstructs the final state."""
-    ckpt = tempfile.mkdtemp(prefix="ssps_ckpt_cf_")
+    ckpt = tempfile.mkdtemp(prefix="cf_", dir=scratch_dir("testck", wipe=False))
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -138,7 +140,7 @@ def test_state_reader_bad_version_raises(spark, sf_dir):
     for a version that was never committed fails loudly, not empty."""
     import pytest
 
-    ckpt = tempfile.mkdtemp(prefix="ssps_ckpt_bad_")
+    ckpt = tempfile.mkdtemp(prefix="bad_", dir=scratch_dir("testck", wipe=False))
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -151,7 +153,7 @@ def test_state_reader_bad_version_raises(spark, sf_dir):
 def test_state_metrics_monotone_across_versions(spark, sf_dir):
     """Reference parity (metrics monotonicity, suite :119-126): for an
     insert-only stateful op, numKeys never decreases across versions."""
-    ckpt = tempfile.mkdtemp(prefix="ssps_ckpt_mono_")
+    ckpt = tempfile.mkdtemp(prefix="mono_", dir=scratch_dir("testck", wipe=False))
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -168,7 +170,7 @@ def test_join_state_reader_sees_both_buffers(spark, sf_dir):
     (no watermark ⇒ nothing evicted)."""
     from spark_state_provider_spark.streaming.state_reader import read_join_state
 
-    ckpt = tempfile.mkdtemp(prefix="ssps_ckpt_jsr_")
+    ckpt = tempfile.mkdtemp(prefix="jsr_", dir=scratch_dir("testck", wipe=False))
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
