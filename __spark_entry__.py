@@ -84,10 +84,10 @@ _WINDOW_CAP = 50
 
 # Hand-picked front of this round's window. Round 4: the 50 names that
 # were pending when the round opened (everything not yet green in
-# CORRECTNESS_r1–r3 except q97/q98/q99) — pinned EXPLICITLY so the seven
-# round-4 registry additions (q122–q134), which sort ahead of q5x–q9x,
-# cannot displace queries that have already waited two rounds. The
-# additions plus q97/q98/q99 are round 5's window (10 names, well under
+# CORRECTNESS_r1–r3 except q97/q98/q99) — pinned EXPLICITLY so the
+# round-4 registry additions (q122–q142), which sort ahead of q5x–q9x,
+# cannot displace queries that have already waited two rounds. The 15
+# additions plus q97/q98/q99 are round 5's window (18 names, well under
 # the cap, so round 5 can also re-serve anything round 4 leaves red).
 _PRIORITY_HINT = [
     "q100_equidepth_histogram", "q101_negative_sampling",
