@@ -155,6 +155,7 @@ HEADLINE = [
     "q140_udtf_dynamic_schema",
     "q141_observation_metrics",
     "q142_policy_masking",
+    "q143_corrupt_record_handling",
 ]
 
 

@@ -602,3 +602,78 @@ def q141_observation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, n_null_value long, sum_value_cents long, "
         "min_user long, max_user long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q143 — corrupt-record handling on ingest: PERMISSIVE JSON parsing with
+# _corrupt_record capture. Real crawled/vendored feeds always contain
+# broken lines; the ingest contract is "keep the good rows, QUARANTINE the
+# bad ones with evidence" — never fail the job (FAILFAST) and never drop
+# silently (DROPMALFORMED).
+# ---------------------------------------------------------------------------
+
+_CORRUPT_LINES = [
+    "{not json at all",
+    '{"n_nationkey": "NaN-ish", "n_name": 17}',
+    "",  # blank line
+]
+
+
+@register(
+    "q143_corrupt_record_handling",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_good,
+           CAST({len([l for l in _CORRUPT_LINES if l.strip()])} AS BIGINT)
+               AS n_corrupt,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    """,
+)
+def q143_corrupt_record_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest a JSONL feed of the nation table with {len(_CORRUPT_LINES)}
+    planted broken lines (malformed JSON, type-mismatched fields, a blank
+    line) in PERMISSIVE mode: good rows parse, broken rows surface in
+    ``_corrupt_record``, and the result certifies the partition — good
+    count, quarantined count, and a checksum over the good rows.
+
+    Type-mismatch note (semantics pinned here): PERMISSIVE nulls the
+    BAD FIELD and keeps the raw line in _corrupt_record, so the
+    type-mismatched row counts as corrupt, not good. Blank lines are
+    skipped by the JSON reader entirely (neither good nor corrupt).
+    Scale shape: parsing is a narrow codegen'd scan; the certification
+    is one combinable aggregate. The quarantined raw lines would be
+    written to a badRecordsPath-style sink for replay — here they fold
+    into the count the verdict row checks.
+    """
+    import shutil
+
+    d = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = _out(sf_dir, "corrupt_json")
+    shutil.rmtree(out, ignore_errors=True)
+    d.write.mode("overwrite").json(out)
+    # plant the broken lines as an extra shard (deterministic content)
+    with open(os.path.join(out, "part-zz-corrupt.json"), "w") as f:
+        f.write("\n".join(_CORRUPT_LINES) + "\n")
+
+    parsed = (
+        spark.read.schema(
+            "n_nationkey int, n_name string, n_regionkey int, "
+            "_corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return parsed.agg(
+        F.count(
+            F.when(F.col("_corrupt_record").isNull(), 1)
+        ).alias("n_good"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.sum(
+            F.when(
+                F.col("_corrupt_record").isNull(), F.col("n_nationkey")
+            )
+        ).alias("key_sum"),
+    )
