@@ -156,6 +156,7 @@ HEADLINE = [
     "q141_observation_metrics",
     "q142_policy_masking",
     "q143_corrupt_record_handling",
+    "q144_sketch_rollup",
 ]
 
 

@@ -715,3 +715,55 @@ def q107_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (num > 0).alias("rising"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q144 — temporal sketch rollup: hourly HLL user sketches re-aggregated to
+# daily cardinality WITHOUT rescanning events. q10d proves sketch union
+# across a categorical dimension; this is the time-pyramid form (q88's
+# rollup hierarchy, but for distinct counts, where plain sums don't work
+# and sketches are the only rescan-free option at 100 TB).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q144_sketch_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q144_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users from UNIONED hourly sketches, certified
+    against the exact count per day (the q10d verdict pattern: sketch
+    binaries are engine-specific, so each row carries the exact count and
+    a boolean asserting the merged estimate lands within 5%).
+
+    The scale story: the hourly sketch table is the ONLY thing retained
+    (KBs per hour); day/week/month cardinalities are sketch unions — a
+    tiny aggregate over sketch rows — while exact distinct would rescan
+    the fact per grain. Both aggregations here are map-side combinable;
+    the exact branch exists only as the verification harness.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    daily_est = hourly.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    daily_exact = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return daily_exact.join(daily_est, "day").select(
+        "day",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_within_5pct"),
+    )
