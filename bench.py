@@ -157,6 +157,7 @@ HEADLINE = [
     "q142_policy_masking",
     "q143_corrupt_record_handling",
     "q144_sketch_rollup",
+    "q145_variant_type",
 ]
 
 

@@ -3033,3 +3033,53 @@ def q140_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.sum(f"b{i}").alias(f"b{i}") for i in range(n_b)],
         F.sum("n_rows").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q145 — VARIANT semi-structured type (Spark 4): parse_json into the
+# binary VARIANT encoding, typed-path extraction, and runtime schema
+# discovery. VARIANT is the lakehouse answer to schemaless ingest — store
+# once as variant, extract typed fields at query time with near-columnar
+# performance instead of per-query JSON string re-parsing (q19's shape).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q145_variant_type",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+           'OBJECT<k: BIGINT>' AS variant_schema
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q145_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type rollup of a field extracted from a VARIANT column:
+    ``parse_json(props)`` once, ``variant_get($.k, bigint)`` in the
+    aggregate, plus ``schema_of_variant`` proving runtime schema
+    discovery (constant across rows in this feed, surfaced via max).
+
+    Scale shape: the variant parse + typed extraction is a narrow
+    codegen'd projection; at 100 TB you'd MATERIALIZE the variant column
+    at ingest (parse once, store the binary encoding; Parquet shredding
+    when available) and every downstream query extracts fields without
+    re-tokenizing JSON text — the exact upgrade this query demonstrates
+    over q19's string-path ``get_json_object``.
+    """
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.variant_get("v", "$.k", "bigint").alias("k"),
+        F.schema_of_variant("v").alias("vs"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.max("vs").alias("variant_schema"),
+    )
