@@ -158,6 +158,8 @@ HEADLINE = [
     "q143_corrupt_record_handling",
     "q144_sketch_rollup",
     "q145_variant_type",
+    "q146_xml_ingest",
+    "q147_collation_ci_distinct",
 ]
 
 

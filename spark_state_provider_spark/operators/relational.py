@@ -3083,3 +3083,70 @@ def q145_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.max("vs").alias("variant_schema"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q147 — collation-aware analytics (Spark 4 COLLATE): case-insensitive
+# distinct/grouping through a declared collation instead of lower()
+# normalization. Collations push the comparison rule into the TYPE, so
+# every comparison, join, sort, and distinct on the column inherits it —
+# the contract matters at 100 TB because a declared collation keeps the
+# original bytes (no second normalized column) and lets the engine use
+# collation-aware hashing end to end.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q147_collation_ci_distinct",
+    oracle="""
+    WITH cased AS (
+        SELECT lang,
+               CASE
+                   WHEN doc_id % 3 = 0 THEN upper(source)
+                   WHEN doc_id % 3 = 1 THEN source
+                   ELSE concat(upper(substr(source, 1, 1)),
+                               substr(source, 2))
+               END AS src_mixed
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(DISTINCT src_mixed) AS BIGINT) AS n_raw_variants,
+           CAST(count(DISTINCT lower(src_mixed)) AS BIGINT) AS n_ci_distinct
+    FROM cased GROUP BY lang
+    """,
+)
+def q147_collation_ci_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct source labels per language, raw vs case-insensitive — the
+    CI side computed through ``COLLATE UTF8_LCASE``, not lower(): the
+    collation-typed column's own equality drives the distinct.
+
+    The mixed casing is derived deterministically from doc_id (upper /
+    as-is / initcap by doc_id mod 3) so the oracle reproduces the input;
+    the oracle's CI branch uses lower() — for the ASCII label domain the
+    two rules agree, which is exactly the equivalence this query
+    certifies. The distinct is an ordinary two-level hash aggregate;
+    collation-aware hashing keeps it map-side combinable.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cased = d.select(
+        "lang",
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source"))
+        .when(F.col("doc_id") % 3 == 1, F.col("source"))
+        .otherwise(
+            F.concat(
+                F.upper(F.substring("source", 1, 1)),
+                F.expr("substr(source, 2)"),
+            )
+        )
+        .alias("src_mixed"),
+    )
+    cased.createOrReplaceTempView("ssps_cased_v")
+    return spark.sql(
+        """
+        SELECT lang,
+               count(DISTINCT src_mixed) AS n_raw_variants,
+               count(DISTINCT src_mixed COLLATE UTF8_LCASE)
+                   AS n_ci_distinct
+        FROM ssps_cased_v GROUP BY lang
+        """
+    )

@@ -677,3 +677,55 @@ def q143_corrupt_record_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("key_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 — native XML parsing (Spark 4 built-in, no external package): the
+# third semi-structured ingest surface after JSON (q143/q19) and VARIANT
+# (q145). Feeds are round-tripped: rows serialized to XML strings, parsed
+# back with from_xml against an explicit schema, re-aggregated.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q146_xml_ingest",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS region,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q146_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize nation to XML records, parse with ``from_xml`` (explicit
+    schema — inference is never a production path), and roll up per
+    region.
+
+    Both directions are narrow codegen'd projections; to_xml/from_xml
+    are the Spark 4 NATIVE XML path (previously the external spark-xml
+    package). At 100 TB the same plan ingests vendor XML feeds with the
+    schema pinned in code and malformed records handled exactly like
+    q143's PERMISSIVE JSON path.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    xml = n.select(
+        F.concat(
+            F.lit("<nation><k>"), F.col("n_nationkey").cast("string"),
+            F.lit("</k><name>"), F.col("n_name"),
+            F.lit("</name><r>"), F.col("n_regionkey").cast("string"),
+            F.lit("</r></nation>"),
+        ).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml("x", "k BIGINT, name STRING, r BIGINT").alias("p")
+    ).select(
+        F.col("p.k").alias("k"),
+        F.col("p.name").alias("name"),
+        F.col("p.r").alias("region"),
+    )
+    return parsed.groupBy("region").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("key_sum"),
+        F.min("name").alias("first_name"),
+    )
