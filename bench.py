@@ -160,6 +160,7 @@ HEADLINE = [
     "q145_variant_type",
     "q146_xml_ingest",
     "q147_collation_ci_distinct",
+    "q148_sql_scripting",
 ]
 
 

@@ -18,6 +18,7 @@ parity is part of the migration surface (SURVEY.md §3 EP1).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spark_state_provider_spark.operators.registry import register
 from spark_state_provider_spark.tables import load_table
@@ -228,3 +229,82 @@ def q118_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q148 — SQL scripting (Spark 4 BEGIN…END control flow): an iterative
+# above-average pruning loop written entirely in SQL — DECLARE state,
+# WHILE, SET from scalar subqueries. The procedural-SQL surface that
+# migrating warehouse users (T-SQL/PLpgSQL stored procedures) reach for;
+# each loop round is still a declarative, Catalyst-optimized query.
+# ---------------------------------------------------------------------------
+
+_SCRIPT_ROUNDS = 3
+
+
+def _q148_oracle() -> str:
+    # unrolled loop: r_{i+1} = rows of r_i strictly above r_i's
+    # integer-cent mean (exact: floor-cents summed as BIGINT, DIV count)
+    ctes = ["r0 AS (SELECT CAST(floor(c_acctbal * 100) AS BIGINT) AS cents FROM customer)"]
+    for i in range(_SCRIPT_ROUNDS):
+        ctes.append(
+            f"t{i} AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS thr"
+            f" FROM r{i})"
+        )
+        ctes.append(
+            f"r{i + 1} AS (SELECT cents FROM r{i}"
+            f" WHERE cents > (SELECT thr FROM t{i}))"
+        )
+    counts = ", ".join(
+        f"(SELECT CAST(count(*) AS BIGINT) FROM r{i}) AS n{i}"
+        for i in range(_SCRIPT_ROUNDS + 1)
+    )
+    return (
+        "WITH " + ", ".join(ctes) + f" SELECT {counts}, "
+        f"(SELECT thr FROM t{_SCRIPT_ROUNDS - 1}) AS final_threshold_cents"
+    )
+
+
+@register("q148_sql_scripting", oracle=_q148_oracle())
+def q148_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_SCRIPT_ROUNDS}-round above-average pruning of customer balances
+    via a SQL-scripting WHILE loop: each round recomputes the surviving
+    population's mean (exact integer cents — floor-cents summed as
+    BIGINT, integer-divided by the count, so no float-summation order
+    sensitivity) and keeps rows strictly above it.
+
+    Each SET executes one Catalyst-planned aggregate over the current
+    temp view; the loop only shuttles SCALARS through script variables —
+    the data never visits the driver, so the pattern holds at 100 TB
+    exactly like the q110/q28e driver loops, with SQL scripting as the
+    orchestration instead of Python.
+    """
+    load_table(spark, sf_dir, "customer").select(
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents")
+    ).createOrReplaceTempView("ssps_script_r0")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    counts = ", ".join(f"n{i}" for i in range(_SCRIPT_ROUNDS + 1))
+    # script variables are not visible inside CREATE VIEW bodies, so each
+    # round splices the already-computed threshold SCALAR into the next
+    # view's text via EXECUTE IMMEDIATE (same scalar-only shuttle)
+    script_rounds = []
+    for i in range(_SCRIPT_ROUNDS):
+        script_rounds.append(
+            f"  SET n{i} = (SELECT count(*) FROM ssps_script_r{i});\n"
+            f"  SET thr = (SELECT sum(cents) DIV count(*) "
+            f"FROM ssps_script_r{i});\n"
+            f"  EXECUTE IMMEDIATE 'CREATE OR REPLACE TEMPORARY VIEW "
+            f"ssps_script_r{i + 1} AS SELECT cents FROM ssps_script_r{i} "
+            f"WHERE cents > ' || thr;\n"
+        )
+    script = (
+        "BEGIN\n"
+        + "".join(f"  DECLARE n{i} BIGINT DEFAULT 0;\n" for i in range(_SCRIPT_ROUNDS + 1))
+        + "  DECLARE thr BIGINT DEFAULT 0;\n"
+        + "".join(script_rounds)
+        + f"  SET n{_SCRIPT_ROUNDS} = "
+        f"(SELECT count(*) FROM ssps_script_r{_SCRIPT_ROUNDS});\n"
+        + f"  SELECT {counts}, thr AS final_threshold_cents;\n"
+        + "END"
+    )
+    return spark.sql(script)
