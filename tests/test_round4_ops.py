@@ -130,3 +130,68 @@ def test_gini_bounds_and_monolingual_zero(spark, sf_dir):
         assert 0.0 <= r.gini < 1.0
         if r.n_langs == 1:
             assert r.gini == 0.0
+
+
+def test_udtf_histogram_conserves_rows(spark, sf_dir):
+    """q140: bucket counts must sum to n_rows, which equals the table."""
+    from spark_state_provider_spark.tables import load_table
+
+    row = _run(spark, sf_dir, "q140_udtf_dynamic_schema").first()
+    buckets = sum(row[f"b{i}"] for i in range(8))
+    assert buckets == row.n_rows
+    assert row.n_rows == load_table(spark, sf_dir, "events").count()
+
+
+def test_sketch_rollup_bounds_always_hold(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q144_sketch_rollup").collect()
+    assert rows and all(r.approx_within_5pct for r in rows)
+
+
+def test_variant_schema_is_stable(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q145_variant_type").collect()
+    assert {r.variant_schema for r in rows} == {"OBJECT<k: BIGINT>"}
+    for r in rows:
+        assert r.max_k <= r.sum_k
+
+
+def test_collation_ci_never_exceeds_raw(spark, sf_dir):
+    for r in _run(spark, sf_dir, "q147_collation_ci_distinct").collect():
+        assert r.n_ci_distinct <= r.n_raw_variants
+
+
+def test_policy_masking_partitions_and_masks(spark, sf_dir):
+    """q142: every policy behaves — clear rows keep metadata, fingerprint
+    rows are 32-hex digests, redacted rows carry the marker + NULLs."""
+    rows = _run(spark, sf_dir, "q142_policy_masking").collect()
+    seen = {r.policy for r in rows}
+    assert seen <= {"clear", "fingerprint", "redact"}
+    for r in rows:
+        if r.policy == "clear":
+            assert r.released_chars is not None
+            assert len(r.released_text) <= 32
+        elif r.policy == "fingerprint":
+            assert r.released_chars is None
+            assert len(r.released_text) == 32
+            int(r.released_text, 16)  # hex digest
+        else:
+            assert r.released_text == "[REDACTED]"
+            assert r.released_chars is None
+
+
+def test_sql_scripting_counts_strictly_decrease(spark, sf_dir):
+    """q148: above-average pruning strictly shrinks a non-degenerate
+    population every round."""
+    row = _run(spark, sf_dir, "q148_sql_scripting").first()
+    ns = [row.n0, row.n1, row.n2, row.n3]
+    assert all(a > b for a, b in zip(ns, ns[1:])), ns
+    assert row.final_threshold_cents > 0
+
+
+def test_corrupt_record_counts(spark, sf_dir):
+    """q143: good rows equal the clean table; exactly the two non-blank
+    planted lines are quarantined."""
+    from spark_state_provider_spark.tables import load_table
+
+    row = _run(spark, sf_dir, "q143_corrupt_record_handling").first()
+    assert row.n_good == load_table(spark, sf_dir, "nation").count()
+    assert row.n_corrupt == 2
