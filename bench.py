@@ -161,6 +161,7 @@ HEADLINE = [
     "q146_xml_ingest",
     "q147_collation_ci_distinct",
     "q148_sql_scripting",
+    "q149_stream_corrupt_quarantine",
 ]
 
 

@@ -729,3 +729,100 @@ def q146_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("key_sum"),
         F.min("name").alias("first_name"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q149 — q143's STREAMING twin: continuous PERMISSIVE ingest with per-
+# micro-batch quarantine accounting. The crawl pipeline shape: files land,
+# each micro-batch parses what arrived, good/corrupt partials append to a
+# metrics sink, and the running certification is a mergeable SUM over the
+# partials — identical to the batch answer because file-granular batches
+# partition the feed.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q149_stream_corrupt_quarantine",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_good,
+           CAST({len([l for l in _CORRUPT_LINES if l.strip()])} AS BIGINT)
+               AS n_corrupt,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    """,
+)
+def q149_stream_corrupt_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming PERMISSIVE JSON ingest over the q143 feed (clean nation
+    shards + planted corrupt shard), one file per micro-batch; each batch
+    appends its (n_good, n_corrupt, key_sum) partial and the result is
+    the summed certification row — equal to q143's batch computation.
+
+    Scale shape: the quarantine counters are map-side-combinable partials
+    per micro-batch; the metrics table grows by ONE row per batch
+    regardless of data volume, and the certification never rescans
+    ingested files.
+    """
+    import shutil
+
+    d = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    feed = _out(sf_dir, "corrupt_json_stream")
+    shutil.rmtree(feed, ignore_errors=True)
+    d.write.mode("overwrite").json(feed)
+    with open(os.path.join(feed, "part-zz-corrupt.json"), "w") as f:
+        f.write("\n".join(_CORRUPT_LINES) + "\n")
+
+    from spark_state_provider_spark.scratch import scratch_dir
+
+    run = scratch_dir("q149_run")  # wiped per invocation
+    metrics_dir = os.path.join(run, "metrics")
+    ckpt = os.path.join(run, "ckpt")
+
+    stream = (
+        spark.readStream.schema(
+            "n_nationkey int, n_name string, n_regionkey int, "
+            "_corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("maxFilesPerTrigger", 1)
+        .json(feed)
+    )
+
+    def account(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.agg(
+            F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias(
+                "n_good"
+            ),
+            F.count("_corrupt_record").alias("n_corrupt"),
+            F.sum(
+                F.when(
+                    F.col("_corrupt_record").isNull(),
+                    F.col("n_nationkey"),
+                )
+            ).alias("key_sum"),
+        )
+        partial.write.mode("append").parquet(metrics_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(account)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(180)
+    finally:
+        q.stop()
+    if not finished:
+        raise TimeoutError("q149 stream did not drain")
+
+    partials = spark.read.parquet(metrics_dir)
+    return partials.agg(
+        F.sum("n_good").alias("n_good"),
+        F.sum("n_corrupt").alias("n_corrupt"),
+        F.sum("key_sum").alias("key_sum"),
+    )
