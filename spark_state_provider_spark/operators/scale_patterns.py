@@ -744,3 +744,82 @@ def q109_null_skew_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("matched_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q151 — exact-distinct rollup via mergeable bitmaps.
+#
+# COUNT(DISTINCT) does not re-aggregate: daily distinct-user counts cannot
+# be summed into a monthly distinct. The scale answer is to materialize the
+# aggregate as a MERGEABLE partial — a roaring-style bitmap per
+# (group, bucket) — so higher rollup levels are pure bitmap ORs of the
+# lower level, never a re-scan of the raw fact table. That is how a 100 TB
+# events table serves "distinct users per day AND per type" from one scan:
+# the daily bitmaps are the cube's base layer; every coarser cell is
+# bitmap_or_agg over already-tiny partials. Spark 3.5+ ships the whole
+# toolkit natively (bitmap_bucket_number / bitmap_bit_position /
+# bitmap_construct_agg / bitmap_or_agg / bitmap_count) — JVM-side,
+# partial-aggregatable, no UDF.
+#
+# The oracle recomputes both levels with plain COUNT(DISTINCT), proving
+# the bitmap path exact (not approximate like HLL in q10d/q144).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q151_bitmap_distinct_rollup",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               count(DISTINCT user_id) AS day_distinct
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+        FROM events GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(d.day_distinct) AS BIGINT) AS sum_daily_distinct,
+           any_value(t.distinct_users) AS distinct_users
+    FROM daily d JOIN tot t ON d.event_type = t.event_type
+    GROUP BY d.event_type
+    """,
+)
+def q151_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type at two grains — per-day (summed) and
+    exact total — where the total is MERGED from the daily bitmaps, not
+    recomputed from the raw rows.
+
+    One shuffle builds the (event_type, day, bucket) bitmap layer; the
+    event_type total is a second aggregation over those partials whose
+    input is already thousands-fold smaller than the fact table. The
+    re-aggregation property (or-merge, exact) is what COUNT(DISTINCT)
+    lacks and what HLL (q10d/q144) only approximates.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+    )
+    daily_bm = e.groupBy("event_type", "day", "bkt").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    day_cnt = daily_bm.groupBy("event_type", "day").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("day_distinct")
+    )
+    ev_cnt = (
+        daily_bm.groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm_all"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm_all)")).cast("long").alias("distinct_users")
+        )
+    )
+    per_type = day_cnt.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("day_distinct").cast("long").alias("sum_daily_distinct"),
+    )
+    return per_type.join(ev_cnt, "event_type")

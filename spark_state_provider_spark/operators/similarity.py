@@ -1386,3 +1386,106 @@ def q126_maxsim_late_interaction(
     return pairs.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") <= _MS_TOP
     )
+
+
+# ---------------------------------------------------------------------------
+# q150 — binary (Hamming) ANN tier: 64-bit sign signature + popcount.
+#
+# The cheapest rung of the quantization ladder below int8 (q29e) and PQ
+# (q29f): one SIGN BIT per dimension compresses a 64-dim float vector to
+# 8 bytes, and distance becomes popcount(xor) — pure integer ALU work that
+# whole-stage codegen keeps JVM-side (no float math at all in the scan).
+# At 100 TB this is the classic pre-filter: 256 GB of raw fp32 embedding
+# becomes 8 GB of signatures, scanned at memory bandwidth; survivors get
+# exact re-ranking upstream (q29's machinery). The reference exposes the
+# same tiered search through its vector scan surface
+# (/root/reference — no native binary tier; this is the Spark-idiomatic
+# composition of its quantized + exact scans).
+#
+# Signatures are split into two 32-bit words (sig_lo = dims 0..31,
+# sig_hi = dims 32..63) so every value stays positive in a signed BIGINT
+# on both engines — no 1<<63 overflow edge. Hamming = bit_count(lo^lo')
+# + bit_count(hi^hi'). Everything is integer-exact, so the DuckDB twin
+# matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_HAM_HALF = 32  # dims per signature word
+
+
+def _ham_sig_sql(vec: str, lo: int, one_based: bool) -> str:
+    """Unrolled sign-bit packing: sum of power-of-two CASE terms.
+
+    Identical text modulo the engine's array indexing base, so Spark and
+    DuckDB evaluate the same integer expression.
+    """
+    terms = []
+    for i in range(lo, lo + _HAM_HALF):
+        idx = i + 1 if one_based else i
+        terms.append(
+            f"(CASE WHEN {vec}[{idx}] >= 0 THEN {1 << (i - lo)} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_HAM_ORACLE = f"""
+WITH s AS (
+    SELECT vec_id,
+           {_ham_sig_sql('embedding', 0, True)} AS sig_lo,
+           {_ham_sig_sql('embedding', 32, True)} AS sig_hi
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, sig_lo AS qlo, sig_hi AS qhi
+    FROM s WHERE vec_id < {N_QUERIES}
+),
+d AS (
+    SELECT q.query_id, s.vec_id AS neighbor_id,
+           CAST(bit_count(xor(s.sig_lo, q.qlo))
+                + bit_count(xor(s.sig_hi, q.qhi)) AS BIGINT) AS hamming
+    FROM q, s WHERE s.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, hamming, rn
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY hamming, neighbor_id
+    ) AS rn FROM d
+) WHERE rn <= {TOP_K}
+"""
+
+
+@register("q150_hamming_topk", oracle=_HAM_ORACLE)
+def q150_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} by Hamming distance over 64-bit sign signatures.
+
+    Plan: one narrow projection packs each embedding's sign bits into two
+    integer words (pure codegen CASE sums, no UDF); the {N_QUERIES}-row
+    query side is broadcast, so the distance pass is scan-local —
+    xor + bit_count per (query, vector), integers only; the per-query
+    top-k window is the only shuffle and carries 3 small columns. A 100×
+    corpus changes nothing but the scan length: signature build is
+    embarrassingly parallel and 32× denser than the raw floats.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            F.expr(_ham_sig_sql("embedding", 0, False)).alias("sig_lo"),
+            F.expr(_ham_sig_sql("embedding", 32, False)).alias("sig_hi"),
+        )
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig_lo").alias("qlo"),
+        F.col("sig_hi").alias("qhi"),
+    )
+    d = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("qlo")))
+            + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("qhi")))
+        ).cast("long").alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOP_K)
