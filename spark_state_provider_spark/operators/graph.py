@@ -311,3 +311,99 @@ def q133_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("id_c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q152 — label propagation communities (min-label, fixed supersteps).
+#
+# The third classical iterative-graph shape after connected components
+# (dedup.py:q28e, large-star/small-star) and PageRank (q74): every node
+# starts as its own label and each superstep adopts the minimum label in
+# its closed neighborhood. Min is exact and associative, so unlike the
+# usual "highest-frequency label" LPA tie-breaking, the result is fully
+# deterministic at any parallelism and the SQL oracle can unroll the same
+# supersteps. On the bipartite customer⟷supplier graph this converges to
+# connected components; the value of the operator is the superstep
+# machinery itself (frontier-free full-relaxation rounds) — bounded
+# rounds give k-hop community approximations on graphs whose diameter
+# exceeds the budget.
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(1, _LPA_ITERS + 1):
+        rounds.append(
+            f"""l{r} AS (
+        SELECT p.id, least(p.lab, coalesce(m.ml, p.lab)) AS lab
+        FROM {prev} p LEFT JOIN (
+            SELECT e.dst AS id, min(l.lab) AS ml
+            FROM edges e JOIN {prev} l ON e.src = l.id
+            GROUP BY e.dst
+        ) m ON p.id = m.id
+    )"""
+        )
+        prev = f"l{r}"
+    rounds_sql = ",\n    ".join(rounds)
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (
+        SELECT 'C' || c AS src, 'S' || s AS dst FROM pairs
+        UNION ALL
+        SELECT 'S' || s AS src, 'C' || c AS dst FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    l0 AS (SELECT id, id AS lab FROM nodes),
+    {rounds_sql}
+    SELECT id AS node_id, lab AS community FROM {prev}
+    """
+
+
+@register("q152_label_propagation", oracle=_lpa_oracle())
+def q152_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation, {_LPA_ITERS} supersteps, over the
+    customer⟷supplier bipartite graph (same edge derivation as q74).
+
+    Superstep = one shuffle: labels join edges on src (both hash-
+    partitioned on the node key — at cluster scale the persisted edge
+    exchange is reused every round), min-aggregate by dst (map-side
+    combinable), left-join back to keep isolated-relaxation nodes. The
+    driver holds only DataFrame handles; ``truncate`` caps the logical
+    plan so round k does not replay rounds 1..k-1.
+    """
+    pairs = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    fwd = pairs.select(
+        F.concat(F.lit("C"), F.col("c")).alias("src"),
+        F.concat(F.lit("S"), F.col("s")).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "lab", F.col("id")
+    )
+    for _ in range(_LPA_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("mid"))
+            .agg(F.min("lab").alias("ml"))
+        )
+        labels = truncate(
+            labels.join(nbr_min, labels.id == nbr_min.mid, "left").select(
+                "id", F.least(F.col("lab"), F.coalesce("ml", "lab")).alias("lab")
+            )
+        )
+    edges.unpersist()
+    return labels.select(F.col("id").alias("node_id"), F.col("lab").alias("community"))

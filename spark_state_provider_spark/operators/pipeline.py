@@ -2073,3 +2073,104 @@ def q142_policy_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "released_chars"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q153 — systematic size-proportional sampling (deterministic, weight-aware).
+#
+# Corpus downsampling where a document's selection probability is
+# proportional to its length: lay every doc's n_chars end-to-end on a
+# virtual tape (ordered by doc_id), cut the tape into N equal stripes,
+# and keep each doc that spans a stripe boundary. Pure integer
+# arithmetic, so Spark and DuckDB agree exactly — no RNG, no
+# transcendentals — yet statistically it is classic systematic PPS
+# (probability-proportional-to-size) sampling.
+#
+# The scale point is the PREFIX SUM: a single global running total is a
+# one-partition window — the anti-pattern. This implementation uses the
+# two-phase distributed form: per-range-bucket subtotals (one small agg),
+# a driver-sized bucket-offset table cum-summed and broadcast back, then
+# per-bucket local cumsums that shuffle in parallel. Same structure a
+# 1000-executor cluster needs for any ordered running total.
+# ---------------------------------------------------------------------------
+
+_SYS_N = 64  # target sample size (stripe count)
+_SYS_BUCKETS = 32  # prefix-sum range buckets
+
+
+@register(
+    "q153_systematic_weighted_sample",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id, source, n_chars AS w,
+               CAST(sum(n_chars) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS cum
+        FROM documents
+    ),
+    t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS w_total FROM documents),
+    s AS (
+        SELECT c.*, greatest(1, t.w_total // {_SYS_N}) AS step
+        FROM c, t
+    )
+    SELECT doc_id, source, w,
+           CAST(cum // step AS BIGINT) AS stripe
+    FROM s
+    WHERE (cum - w) // step < cum // step
+    """,
+)
+def q153_systematic_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep every document that crosses one of {_SYS_N} equal-weight stripe
+    boundaries on the doc_id-ordered n_chars tape.
+
+    Distributed prefix sum: doc_ids are range-bucketed ({_SYS_BUCKETS}
+    buckets), bucket subtotals aggregate in one pass, bucket offsets
+    cum-sum on a {_SYS_BUCKETS}-row frame (metadata-sized — the only
+    single-partition step), and the per-doc running total is a window
+    WITHIN each bucket plus its broadcast offset. No stage ever funnels
+    the corpus through one task, so the plan survives a 100× corpus by
+    adding buckets, not serializing.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").alias("w")
+    )
+    max_id = d.agg(F.max("doc_id")).first()[0]  # scalar, driver-sized
+    span = max(1, (int(max_id) + _SYS_BUCKETS) // _SYS_BUCKETS)
+    d = d.withColumn("bkt", (F.col("doc_id") / span).cast("long"))
+
+    sub = d.groupBy("bkt").agg(F.sum("w").alias("bw"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sub.select(
+        "bkt",
+        F.coalesce(F.sum("bw").over(w_off), F.lit(0)).alias("off"),
+        F.sum("bw").over(
+            Window.orderBy("bkt").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("w_total"),
+    )
+
+    w_local = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        d.withColumn("local_cum", F.sum("w").over(w_local))
+        .join(F.broadcast(offsets), "bkt")
+        .select(
+            "doc_id",
+            "source",
+            "w",
+            (F.col("local_cum") + F.col("off")).alias("cum"),
+            F.greatest(F.lit(1), F.expr(f"w_total div {_SYS_N}")).alias("step"),
+        )
+    )
+    return cum.where(
+        F.expr("(cum - w) div step") < F.expr("cum div step")
+    ).select(
+        "doc_id",
+        "source",
+        "w",
+        F.expr("cum div step").cast("long").alias("stripe"),
+    )
