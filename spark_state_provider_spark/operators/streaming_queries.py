@@ -1405,3 +1405,86 @@ def _register_q114() -> None:
 
 
 _register_q114()
+
+
+# ---------------------------------------------------------------------------
+# q155 — streaming write through the Python DataSource SPI (the stream half
+# of q139's batch sink; q66 covers the stream READ half, completing the
+# 2×2 read/write × batch/stream SPI matrix). Each micro-batch's partitions
+# write attempt-unique files; the epoch commit (commit(messages, batchId))
+# manifests exactly the committed attempts under _MANIFEST-<batchId>.json.
+# The verified result reads back ONLY manifested files — a replayed or
+# aborted attempt's orphan file is invisible, which is the exactly-once
+# sink contract Structured Streaming requires of any transactional sink.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q155_stream_python_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def q155_stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay events as {N_BATCHES} micro-batches into the custom Python
+    stream sink, then aggregate the manifest-committed rows.
+
+    The streamed projection carries integer cents (floor(value*100)) so
+    the text round-trip is exact. Per-batch cost is one narrow pass +
+    O(#partitions) driver manifest work — no shuffle, no state; at scale
+    the sink's epoch manifests are the recovery log (same per-batch
+    commit topology as the reference's external-store writers).
+    """
+    import glob
+    import json
+    import os
+
+    from spark_state_provider_spark.scratch import scratch_dir
+    from spark_state_provider_spark.sources.python_source import (
+        register_linefile_sink,
+    )
+
+    register_linefile_sink(spark)
+    out = scratch_dir(
+        f"linefile_stream_{os.path.basename(os.path.normpath(sf_dir))}",
+        wipe=True,
+    )
+    ckpt = os.path.join(out, "_ckpt")
+
+    with _streaming_session(spark):
+        sdf = stream_events(spark, sf_dir, N_BATCHES, tag="pysink").select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        q = (
+            sdf.writeStream.format("ssps_linefile")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    committed: list[str] = []
+    for mpath in sorted(glob.glob(os.path.join(out, "_MANIFEST-*.json"))):
+        with open(mpath) as f:
+            committed.extend(
+                os.path.join(out, name) for name in json.load(f)["files"]
+            )
+    back = (
+        spark.read.csv([p for p in committed if os.path.getsize(p) > 0],
+                       sep="\t", header=False)
+        .toDF("event_id", "event_type", "cents")
+        if committed
+        else spark.createDataFrame([], "event_id string, event_type string, cents string")
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("cents").cast("long")).alias("sum_cents"),
+    )

@@ -721,3 +721,71 @@ def q123_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("ctext")).alias("clean_chars"),
         F.sum(F.size(F.split("ctext", " "))).alias("clean_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q154 — corpus lexical diversity via the Simpson collision index.
+#
+# Diversity/repetitiveness of a corpus slice without a single logarithm:
+# the probability that two tokens drawn without replacement from the
+# slice are the SAME type is sum(c_t*(c_t-1)) / (N*(N-1)) — a pure
+# rational in the token counts, so both engines compute it exactly
+# (numerator and denominator are emitted as BIGINTs too, making the hash
+# integer-robust). Entropy-based diversity needs log() — banned for
+# cross-engine float determinism; Simpson carries the same "degenerate
+# slice" signal (boilerplate-heavy sources score high collision).
+#
+# Scale: one explode + two co-partitioned groupBys — the q41 plan shape —
+# except grouped at (lang, source) slice level, so the second aggregate's
+# cardinality is the slice count, not the doc count. All partial-sum
+# combinable; nothing driver-side.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q154_corpus_simpson_diversity",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, source, t.tok
+        FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+        WHERE t.tok <> ''
+    ),
+    tf AS (
+        SELECT lang, source, tok, count(*) AS c
+        FROM tok GROUP BY 1, 2, 3
+    )
+    SELECT lang, source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(c * (c - 1)) AS BIGINT) AS collide_pairs,
+           CAST(sum(c) * (sum(c) - 1) AS BIGINT) AS total_pairs,
+           CAST(sum(c * (c - 1)) AS DOUBLE)
+               / CAST(sum(c) * (sum(c) - 1) AS DOUBLE) AS simpson
+    FROM tf GROUP BY lang, source
+    """,
+)
+def q154_corpus_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson collision probability per (lang, source) corpus slice —
+    the log-free lexical-diversity gate a pretraining mix runs per slice.
+
+    The single float is one division of two exact BIGINTs (identical IEEE
+    op both engines); everything upstream is integer counting. At 100 TB
+    the counts outgrow BIGINT only past ~3×10^9 tokens *per slice
+    squared* — the numerator/denominator would move to DECIMAL(38,0)
+    (same plan); the collision ratio itself is scale-free.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", "source", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = tok.groupBy("lang", "source", "tok").agg(F.count("*").alias("c"))
+    return tf.groupBy("lang", "source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("collide_pairs"),
+        (F.sum("c") * (F.sum("c") - 1)).cast("long").alias("total_pairs"),
+        (
+            F.sum(F.col("c") * (F.col("c") - 1)).cast("double")
+            / (F.sum("c") * (F.sum("c") - 1)).cast("double")
+        ).alias("simpson"),
+    )

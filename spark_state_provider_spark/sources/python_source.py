@@ -207,3 +207,66 @@ def register_linefile_sink(spark) -> None:
     except Exception as ex:  # already registered in this session
         if "already" not in str(ex).lower():
             raise
+
+
+# ---------------------------------------------------------------------------
+# Streaming half of the linefile sink: DataSourceStreamWriter. Same
+# per-partition-file + manifest commit protocol, but the manifest is
+# per-micro-batch (_MANIFEST-<batchId>.json), written from commit(messages,
+# batchId) — Spark's streaming epoch commit. A batch replayed after failure
+# rewrites the SAME manifest name (idempotent), so readers that union the
+# manifests see each epoch exactly once — the standard transactional-sink
+# contract (reference's Redis/Aerospike writers commit per batch the same
+# way: RedisStateStoreProvider.scala:52-185).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamWriter
+
+
+class LineFileStreamWriter(DataSourceStreamWriter):
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator) -> _LineCommit:
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.txt")
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write("\t".join(str(v) for v in row) + "\n")
+                n += 1
+        return _LineCommit(fname, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        manifest = {
+            "batch_id": batchId,
+            "files": sorted(
+                os.path.basename(m.path) for m in messages if m is not None
+            ),
+            "rows": sum(m.rows for m in messages if m is not None),
+        }
+        with open(
+            os.path.join(self.path, f"_MANIFEST-{batchId}.json"), "w"
+        ) as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+def _linefile_stream_writer(self, schema, overwrite: bool) -> LineFileStreamWriter:
+    return LineFileStreamWriter(self.options["path"])
+
+
+# attach the stream half to the same registered format
+LineFileDataSource.streamWriter = _linefile_stream_writer
