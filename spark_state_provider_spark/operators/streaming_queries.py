@@ -1488,3 +1488,97 @@ def q155_stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.col("cents").cast("long")).alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q157 — rate-micro-batch source: the built-in deterministic load
+# generator (value = consecutive BIGINTs, fixed rowsPerBatch per epoch).
+# Unlike the file-replay harness, this source is UNBOUNDED — the query
+# demonstrates the bounded-drain pattern for unbounded sources: run until
+# the progress log shows the target epoch, stop, and make the result
+# deterministic by filtering to the value range the target epochs are
+# GUARANTEED to have produced (a racing extra batch changes nothing).
+# Kafka smoke-load testing on a real cluster uses exactly this shape.
+# ---------------------------------------------------------------------------
+
+_RATE_ROWS_PER_BATCH = 1000
+_RATE_BATCHES = 3
+
+
+@register(
+    "q157_rate_source_checksum",
+    oracle=f"""
+    SELECT CAST(v % 7 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sum_v,
+           CAST(min(v) AS BIGINT) AS min_v,
+           CAST(max(v) AS BIGINT) AS max_v
+    FROM (
+        SELECT unnest(generate_series(0,
+                   {_RATE_ROWS_PER_BATCH * _RATE_BATCHES - 1})) AS v
+    )
+    GROUP BY v % 7
+    """,
+)
+def q157_rate_source_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain ≥{_RATE_BATCHES} epochs of rate-micro-batch
+    ({_RATE_ROWS_PER_BATCH} rows/epoch), then checksum exactly the first
+    {_RATE_BATCHES} epochs' value range — per-bucket count/sum/min/max.
+
+    The filter to value < rowsPerBatch×batches is what converts an
+    unbounded nondeterministic drain into a deterministic result; the
+    aggregation is an ordinary map-side-combinable hash aggregate over
+    the memory sink.
+    """
+    import time
+
+    with _streaming_session(spark):
+        sdf = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", _RATE_ROWS_PER_BATCH)
+            .option("numPartitions", 4)
+            .option("startTimestamp", 0)
+            .load()
+            .select(F.col("value").alias("v"))
+        )
+        name = "ssps_rate_sink"
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        import tempfile
+
+        from spark_state_provider_spark.scratch import scratch_dir
+
+        ckpt = tempfile.mkdtemp(
+            prefix="ckpt_rate_", dir=scratch_dir("memck", wipe=False)
+        )
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline:
+                p = q.lastProgress
+                if p is not None and p["batchId"] >= _RATE_BATCHES:
+                    break
+                time.sleep(0.2)
+        finally:
+            q.stop()
+
+    cutoff = _RATE_ROWS_PER_BATCH * _RATE_BATCHES
+    return (
+        spark.table(name)
+        .where(F.col("v") < cutoff)
+        .groupBy((F.col("v") % 7).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+    )

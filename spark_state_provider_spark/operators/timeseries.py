@@ -767,3 +767,66 @@ def q144_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_users")
         ).alias("approx_within_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 — OHLC bar downsample (open/high/low/close), the canonical
+# time-series compaction: per (event_type, 15-min bucket), the FIRST and
+# LAST value by event time plus min/max/count. first/last are ordered
+# aggregates — the trap is that Spark's first()/last() are
+# shuffle-order-dependent; the correct distributed form is
+# min_by/max_by over a UNIQUE ordering key, which stays a hash aggregate
+# (map-side combinable: min_by partials merge associatively) rather than
+# forcing a per-group sort or window. Tie-break: (ts, event_id) — unique,
+# so both engines pick the identical row at any parallelism.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q156_ohlc_downsample",
+    oracle="""
+    WITH r AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+               value,
+               row_number() OVER (
+                   PARTITION BY event_type,
+                                time_bucket(INTERVAL '15 minutes', ts)
+                   ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY event_type,
+                                time_bucket(INTERVAL '15 minutes', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close
+    FROM r GROUP BY event_type, bucket
+    """,
+)
+def q156_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute OHLC bars per event_type.
+
+    One hash aggregate, no window: min_by/max_by carry (ordering key,
+    value) partials that merge map-side, so the plan is the same two-phase
+    partial/final aggregate as a plain sum — the shape that survives
+    100 TB where a per-bucket sort would not. The oracle computes the same
+    first/last with explicit row_number ordering.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.window("ts", "15 minutes").start.alias("bucket"),
+        "value",
+        F.struct("ts", "event_id").alias("ord"),
+    )
+    return e.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n"),
+        F.min_by("value", "ord").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ord").alias("close"),
+    )
