@@ -1582,3 +1582,94 @@ def q157_rate_source_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").alias("max_v"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q158 — state-store CHANGE FEED as a first-class queryable surface: run a
+# stateful streaming dedup, then read the per-version state deltas back
+# through the ``statestore`` reader (readChangeFeed) and aggregate them.
+# This is the reference's versioned-delta model — each version namespace
+# holds exactly that batch's updates (redis/package.scala:7 keyspace
+# layout; RocksDbStateStoreProvider.scala:53-55 re-apply semantics) —
+# driven end-to-end under an oracle: because the replay slices are
+# time-ordered, WHICH batch first sees each dedup key is a pure function
+# of the data, so the per-batch insert counts are SQL-predictable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q158_state_change_feed",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+               row_number() OVER (ORDER BY ts, event_id) AS rn,
+               count(*) OVER () AS n
+        FROM events
+    ),
+    firstseen AS (
+        SELECT user_id, event_type, day,
+               min(CASE WHEN rn <= (n + 1) // 2 THEN 0 ELSE 1 END)
+                   AS batch_id
+        FROM ranked GROUP BY 1, 2, 3
+    )
+    SELECT batch_id, 'update' AS change_type,
+           CAST(count(*) AS BIGINT) AS n_changes
+    FROM firstseen GROUP BY batch_id
+    """,
+)
+def q158_state_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch state-delta counts of a streaming dedup, read back from
+    the RocksDB changelogs via the statestore change feed.
+
+    The dedup operator inserts a key the first time it sees it and never
+    again, so version v's changelog holds exactly the keys whose first
+    occurrence fell in micro-batch v — the oracle recomputes that from
+    the time-ordered slice rule. Reading the feed is a distributed scan
+    of the changelog files (one task per state partition); nothing
+    crosses the driver but the final grouped counts.
+    """
+    import tempfile
+
+    from spark_state_provider_spark.scratch import scratch_dir
+    from spark_state_provider_spark.streaming.state_reader import (
+        read_state_changes,
+    )
+
+    ckpt = tempfile.mkdtemp(
+        prefix="ckpt_q158_", dir=scratch_dir("memck", wipe=False)
+    )
+    name = "mem_q158_sink"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    chlog_conf = (
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    )
+    prev_chlog = spark.conf.get(chlog_conf, None)
+    spark.conf.set(chlog_conf, "true")  # the feed reads the changelogs
+    with _streaming_session(spark):
+        ev = stream_events(spark, sf_dir, N_BATCHES, tag="cf158")
+        q = (
+            ev.select("user_id", "event_type", F.to_date("ts").alias("day"))
+            .dropDuplicates(["user_id", "event_type", "day"])
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+            if prev_chlog is not None:
+                spark.conf.set(chlog_conf, prev_chlog)
+            else:
+                spark.conf.unset(chlog_conf)
+
+    ch = read_state_changes(spark, ckpt, 0, N_BATCHES - 1)
+    return ch.groupBy("batch_id", "change_type").agg(
+        F.count("*").alias("n_changes")
+    )
