@@ -162,6 +162,18 @@ HEADLINE = [
     "q147_collation_ci_distinct",
     "q148_sql_scripting",
     "q149_stream_corrupt_quarantine",
+    # round-4 second batch: binary ANN tier, bitmap exact-distinct,
+    # community detection, PPS sampling, diversity, stream SPI sink,
+    # OHLC downsample, rate source, state change feed
+    "q150_hamming_topk",
+    "q151_bitmap_distinct_rollup",
+    "q152_label_propagation",
+    "q153_systematic_weighted_sample",
+    "q154_corpus_simpson_diversity",
+    "q155_stream_python_sink",
+    "q156_ohlc_downsample",
+    "q157_rate_source_checksum",
+    "q158_state_change_feed",
 ]
 
 

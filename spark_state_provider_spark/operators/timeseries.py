@@ -775,10 +775,11 @@ def q144_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LAST value by event time plus min/max/count. first/last are ordered
 # aggregates — the trap is that Spark's first()/last() are
 # shuffle-order-dependent; the correct distributed form is
-# min_by/max_by over a UNIQUE ordering key, which stays a hash aggregate
-# (map-side combinable: min_by partials merge associatively) rather than
-# forcing a per-group sort or window. Tie-break: (ts, event_id) — unique,
-# so both engines pick the identical row at any parallelism.
+# min_by/max_by over a UNIQUE ordering key, which stays a two-phase
+# partial/final aggregate (map-side combinable: min_by partials merge
+# associatively) rather than forcing a per-group window over raw rows.
+# Tie-break: (ts, event_id) — unique, so both engines pick the identical
+# row at any parallelism.
 # ---------------------------------------------------------------------------
 
 
@@ -811,11 +812,11 @@ def q144_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q156_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """15-minute OHLC bars per event_type.
 
-    One hash aggregate, no window: min_by/max_by carry (ordering key,
-    value) partials that merge map-side, so the plan is the same two-phase
+    One aggregate, no window: min_by/max_by carry (ordering key, value)
+    partials that merge map-side, so the plan is the same two-phase
     partial/final aggregate as a plain sum — the shape that survives
-    100 TB where a per-bucket sort would not. The oracle computes the same
-    first/last with explicit row_number ordering.
+    100 TB where a per-bucket row_number window would not. The oracle
+    computes the same first/last with explicit row_number ordering.
     """
     e = load_table(spark, sf_dir, "events").select(
         "event_type",

@@ -480,3 +480,38 @@ def test_q142_masking_broadcasts_policy_no_extra_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     # masking is a projection — no Python eval anywhere
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_q150_hamming_broadcasts_queries_integer_only(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q150_hamming_topk"))
+    # tiny query side broadcast; big side never shuffles before the top-k
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # signature + distance stay JVM-side (pure codegen, no Python)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_q151_bitmap_rollup_reaggregates_partials(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q151_bitmap_distinct_rollup"))
+    assert "bitmap_construct_agg" in plan
+    assert "bitmap_or_agg" in plan
+    # the total-distinct level must aggregate the BITMAP layer, never
+    # rescan raw events with a count-distinct expand
+    assert "Expand" not in plan
+
+
+def test_q153_prefix_sum_windows_are_bucket_partitioned(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q153_systematic_weighted_sample"))
+    # the corpus-sized window must be partitioned by bucket (parallel),
+    # proving the running total never funnels the corpus into one task
+    assert "hashpartitioning(bkt" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q156_ohlc_is_two_phase_aggregate(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q156_ohlc_downsample"))
+    # min_by/max_by must partial-aggregate BEFORE the exchange (the
+    # struct ordering key forces SortAggregate, but the map-side combine
+    # is what survives scale); never a Window over the raw events
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+    assert "Window" not in plan
