@@ -2174,3 +2174,78 @@ def q153_systematic_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFra
         "w",
         F.expr("cum div step").cast("long").alias("stripe"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q159 — Neyman (variance-optimal) stratified sampling allocation, computed
+# in EXACT integer algebra. Classic survey-sampling math (n_h ∝ N_h·σ_h)
+# is float-fragile across engines: variance accumulates in
+# shuffle-order-dependent floats and Σ N_h·σ_h sums doubles in row order.
+# This implementation keeps everything order-independent:
+#   var_num_h = N_h·Σx² − (Σx)²   (exact BIGINT — the un-normalized
+#                                  variance numerator, N_h²·Var)
+#   sd_floor_h = floor(sqrt(var_num_h))  (sqrt is correctly rounded IEEE
+#                                  on both engines → identical BIGINT)
+#   weight_h = N_h·sd_floor_h ; share_bp = weight·10⁴ // Σweight
+# so the allocation table is bit-stable at any parallelism. The same
+# technique (integer variance numerators) is how distributed engines
+# compare variances without trusting float reduction order.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q159_neyman_allocation",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(sum(n_chars * n_chars) AS BIGINT) AS sumsq
+        FROM documents GROUP BY source
+    ),
+    v AS (
+        SELECT source, n_docs, sum_chars,
+               n_docs * sumsq - sum_chars * sum_chars AS var_num,
+               CAST(floor(sqrt(CAST(n_docs * sumsq - sum_chars * sum_chars
+                                    AS DOUBLE))) AS BIGINT) AS sd_floor
+        FROM s
+    ),
+    w AS (SELECT *, n_docs * sd_floor AS weight FROM v),
+    t AS (SELECT CAST(sum(weight) AS BIGINT) AS total_w FROM w)
+    SELECT w.source, w.n_docs, w.var_num, w.sd_floor,
+           CAST(w.weight * 10000 // t.total_w AS BIGINT) AS share_bp
+    FROM w, t
+    """,
+)
+def q159_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling shares (basis points) proportional to
+    N_h·floor(σ̂_h) with the variance numerator in exact BIGINT algebra.
+
+    One map-side-combinable aggregate over the corpus (count/sum/sum-of-
+    squares — all associative integers), then a one-row total broadcast.
+    Nothing in the plan depends on reduction order, which is the entire
+    point: the allocation a 1000-executor run produces equals this one's.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sumsq"),
+    )
+    v = s.select(
+        "source",
+        "n_docs",
+        (F.col("n_docs") * F.col("sumsq") - F.col("sum_chars") * F.col("sum_chars"))
+        .alias("var_num"),
+    ).withColumn(
+        "sd_floor",
+        F.floor(F.sqrt(F.col("var_num").cast("double"))).cast("long"),
+    ).withColumn("weight", F.col("n_docs") * F.col("sd_floor"))
+    total = v.agg(F.sum("weight").alias("total_w"))
+    return v.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "var_num",
+        "sd_floor",
+        F.expr("weight * 10000 div total_w").alias("share_bp"),
+    )

@@ -400,3 +400,81 @@ def q67_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("m").alias("max_ts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q161 — DYNAMIC-gap session windows: the inactivity timeout is an
+# expression of the event, not a constant (engagement events hold a
+# session open longer than heartbeats — the standard product-analytics
+# refinement). Spark's native session_window accepts a gap COLUMN; the
+# merge semantics follow q22's fixed-gap rule (an event arriving exactly
+# at the previous window's exclusive end starts a NEW session), which the
+# oracle reproduces with a running max of per-event window ends — the
+# general interval-merge form (a constant gap degenerates to lag(ts)+gap).
+# ---------------------------------------------------------------------------
+
+_DYN_GAP_SHORT_MIN = 10  # 'click' micro-interactions
+_DYN_GAP_LONG_MIN = 45  # content events keep the session alive longer
+
+
+@register(
+    "q161_dynamic_gap_sessions",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'click' THEN {_DYN_GAP_SHORT_MIN}
+                    ELSE {_DYN_GAP_LONG_MIN} END AS gap_min
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts,
+               CASE WHEN max(ts + to_minutes(gap_min)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR ts >= max(ts + to_minutes(gap_min)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM g
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS last_event_ts,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def q161_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions where clicks time out after
+    {_DYN_GAP_SHORT_MIN} minutes but content events extend the session
+    {_DYN_GAP_LONG_MIN} minutes.
+
+    Native ``session_window`` with a gap expression: the merge runs
+    inside Spark's session-window aggregation (one shuffle on user_id,
+    per-key interval merge — the same state machinery the streaming form
+    uses), never a driver loop. The oracle is the general interval-merge
+    rewrite (running max of window ends).
+    """
+    e = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "click", F.lit(f"{_DYN_GAP_SHORT_MIN} minutes")
+    ).otherwise(F.lit(f"{_DYN_GAP_LONG_MIN} minutes"))
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event_ts"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "last_event_ts", "n_events")
+    )

@@ -1673,3 +1673,106 @@ def q158_state_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch.groupBy("batch_id", "change_type").agg(
         F.count("*").alias("n_changes")
     )
+
+
+# ---------------------------------------------------------------------------
+# q160 — multi-sink fan-out from ONE streaming query: foreachBatch computes
+# each epoch's delta once and writes it to TWO destinations (the serving
+# store + the audit store — the standard production topology: same numbers
+# must reach the dashboard and the reconciliation table). Fanning out
+# inside foreachBatch reuses one computation and keeps both writes tied to
+# the same epoch; running two separate queries would double the source
+# scan AND let the sinks drift by a batch. The returned row set re-reads
+# BOTH sinks, re-aggregates each independently, and carries the equality
+# verdict per key — so the oracle checks the consistency contract itself.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q160_stream_fanout_consistency",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS sinks_agree
+    FROM events GROUP BY event_type
+    """,
+)
+def q160_stream_fanout_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch per-type deltas fanned out to two parquet sinks from one
+    foreachBatch, then independently re-aggregated and compared.
+
+    Each epoch computes the grouped delta once (cached for the two
+    writes), appends it with its batch_id to both sinks, and the final
+    join proves byte-equal totals. Per-batch cost: one shuffle of
+    batch-sized data + two partition-parallel appends; the driver sees
+    only control flow.
+    """
+    import os
+    import shutil
+
+    from spark_state_provider_spark.scratch import scratch_dir
+
+    base = scratch_dir(
+        f"fanout_{os.path.basename(os.path.normpath(sf_dir))}", wipe=True
+    )
+    dir_a = os.path.join(base, "serving")
+    dir_b = os.path.join(base, "audit")
+    ckpt = os.path.join(base, "_ckpt")
+
+    def fanout(batch_df, batch_id: int) -> None:
+        delta = (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                    "sum_cents"
+                ),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        delta.persist()
+        try:
+            delta.write.mode("append").parquet(dir_a)
+            delta.write.mode("append").parquet(dir_b)
+        finally:
+            delta.unpersist()
+
+    with _streaming_session(spark):
+        sdf = stream_events(spark, sf_dir, N_BATCHES, tag="fanout")
+        q = (
+            sdf.writeStream.foreachBatch(fanout)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+
+    a = (
+        spark.read.parquet(dir_a)
+        .groupBy("event_type")
+        .agg(F.sum("n_rows").alias("n_rows"), F.sum("sum_cents").alias("sum_cents"))
+    )
+    b = (
+        spark.read.parquet(dir_b)
+        .groupBy(F.col("event_type").alias("event_type_b"))
+        .agg(F.sum("n_rows").alias("n_b"), F.sum("sum_cents").alias("c_b"))
+    )
+    out = a.join(
+        F.broadcast(b), a.event_type == b.event_type_b, "full_outer"
+    ).select(
+        "event_type",
+        "n_rows",
+        "sum_cents",
+        (
+            F.col("event_type_b").isNotNull()
+            & (F.col("n_rows") == F.col("n_b"))
+            & (F.col("sum_cents") == F.col("c_b"))
+        ).alias("sinks_agree"),
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
