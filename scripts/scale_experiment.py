@@ -99,6 +99,17 @@ QUERIES = [
     "q122_bigram_rarity",
     "q126_maxsim_late_interaction",
     "q133_dup_graph_triangles",
+    # round-4 second batch: binary ANN scan, bitmap distinct rollup,
+    # LPA supersteps, distributed prefix sum, diversity aggregate,
+    # ordered-aggregate OHLC, exact-integer allocation, dynamic sessions
+    "q150_hamming_topk",
+    "q151_bitmap_distinct_rollup",
+    "q152_label_propagation",
+    "q153_systematic_weighted_sample",
+    "q154_corpus_simpson_diversity",
+    "q156_ohlc_downsample",
+    "q159_neyman_allocation",
+    "q161_dynamic_gap_sessions",
 ]
 
 
@@ -141,8 +152,10 @@ def main() -> None:
     if "--rebuild" in sys.argv and os.path.exists(OUT_DIR):
         shutil.rmtree(OUT_DIR)
     build(spark)
+    only = os.environ.get("SSPS_SCALE_ONLY")  # comma-list: probe a subset
+    queries = [q for q in QUERIES if not only or q in only.split(",")]
     print(f"{'query':28s} {'sf0.1':>8s} {'x' + str(N_COPIES):>8s} {'ratio':>6s}  rows")
-    for name in QUERIES:
+    for name in queries:
         fn = registry.get(name).fn
         # warm BOTH sides (JIT/codegen/page cache), then measure best-of-2
         timed(fn, spark, BASE_SF)

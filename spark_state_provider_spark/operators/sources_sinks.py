@@ -826,3 +826,75 @@ def q149_stream_corrupt_quarantine(
         F.sum("n_corrupt").alias("n_corrupt"),
         F.sum("key_sum").alias("key_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q162 — partition-spec EVOLUTION: a table whose old data is laid out
+# day-partitioned and whose new data is (day, event_type)-partitioned —
+# the lakehouse migration every long-lived 100 TB table goes through when
+# a filter column becomes hot enough to deserve its own directory level.
+# Readers must span both layouts seamlessly AND keep partition pruning on
+# each: the day filter prunes directories in both generations, the
+# event_type filter prunes directories only in the new one (and falls
+# back to row-group stats in the old) — no rewrite of historical data.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q162_partition_evolution",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    WHERE event_type IN ('view', 'click')
+    GROUP BY 1, 2
+    """,
+)
+def q162_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate across a two-generation partition layout: events before
+    the median day live under ``day=``, events after under
+    ``day=/event_type=``; the query unions both scans with the same
+    predicate and Spark prunes whatever each layout can prove.
+
+    The evolution costs no rewrite: old directories stay as written, the
+    new spec applies from the cutover day forward. Partition values
+    round-trip through directory names as strings, so the day is re-cast
+    on read; counts/sums are integer-exact.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+
+    base = _out(sf_dir, "partition_evolution")
+    gen1 = os.path.join(base, "gen1")
+    gen2 = os.path.join(base, "gen2")
+    if not (os.path.exists(os.path.join(base, "_SSPS_DONE"))):
+        old = ev.where(F.col("ts") <= F.lit(cut))
+        new = ev.where(F.col("ts") > F.lit(cut))
+        old.write.mode("overwrite").partitionBy("day").parquet(gen1)
+        new.write.mode("overwrite").partitionBy("day", "event_type").parquet(gen2)
+        with open(os.path.join(base, "_SSPS_DONE"), "w") as f:
+            f.write("ok")
+
+    types = ("view", "click")
+    g1 = (
+        spark.read.parquet(gen1)
+        .where(F.col("event_type").isin(*types))
+        .select("day", "event_type", "value")
+    )
+    g2 = (
+        spark.read.parquet(gen2)
+        .where(F.col("event_type").isin(*types))
+        .select("day", "event_type", "value")
+    )
+    return (
+        g1.unionByName(g2)
+        .groupBy(F.col("day").cast("date").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+    )

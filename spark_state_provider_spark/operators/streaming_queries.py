@@ -1776,3 +1776,76 @@ def q160_stream_fanout_consistency(spark: SparkSession, sf_dir: str) -> DataFram
     )
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q163 — LATE-DATA accounting under an out-of-order replay. q23 proves
+# watermark emission on an in-order stream (no row ever arrives late);
+# this is the complementary half: hash-sliced micro-batches make every
+# batch span the full time range, so later batches deliver rows BEHIND
+# the watermark and Spark drops exactly the late rows whose window the
+# watermark has already closed. Empirically pinned semantics (Spark 4.x,
+# verified by a controlled 3-batch experiment): the late-row filter of
+# batch N uses the watermark computed from batches ≤ N−2 (the filter
+# lags the progress-reported watermark by one batch), with predicate
+# window_end ≤ wm; eviction/emission uses window_end ≤ final watermark.
+# With 3 hash slices everything is a pure function of the data:
+#   wm_filter(batch 2) = max(ts ∈ slice 0) − delay
+#   dropped = slice-2 rows with window_end ≤ wm_filter(batch 2)
+#   emitted = windows with window_end ≤ max(all ts) − delay
+# so the oracle reproduces the exact per-window counts INCLUDING the
+# missing late rows — the semantics every 100 TB event pipeline must
+# budget for (late data silently vanishing vs. landing is the difference
+# between a correct and an incorrect daily report).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q163_late_data_accounting",
+    oracle="""
+    WITH b AS (
+        SELECT ts, event_id % 3 AS slice FROM events
+    ),
+    wm02 AS (
+        SELECT max(ts) - INTERVAL '1 hour' AS w FROM b WHERE slice = 0
+    ),
+    wmf AS (
+        SELECT max(ts) - INTERVAL '1 hour' AS w FROM b
+    ),
+    kept AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start
+        FROM b, wm02
+        WHERE NOT (slice = 2
+                   AND time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+                       <= wm02.w)
+    )
+    SELECT window_start, CAST(count(*) AS BIGINT) AS n_events
+    FROM kept, wmf
+    WHERE window_start + INTERVAL '1 hour' <= wmf.w
+    GROUP BY window_start
+    """,
+)
+def q163_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly counts under a 1-hour watermark on an OUT-OF-ORDER replay:
+    emitted windows are missing exactly the batch-2 rows that arrived
+    after their window closed.
+
+    The state machinery is identical to q23 (RocksDB windowed agg,
+    append mode); what this query certifies is the drop side of the
+    watermark contract — rows behind the frontier never mutate closed
+    state, at any scale, which is what bounds state size to the
+    watermark horizon instead of the full history.
+    """
+    from spark_state_provider_spark.streaming.sources import (
+        stream_events_out_of_order,
+    )
+
+    with _streaming_session(spark):
+        ev = stream_events_out_of_order(spark, sf_dir, 3, tag="late163")
+        agg = (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_events")
+        )
+        return run_to_memory(agg, "mem_q163", "append")

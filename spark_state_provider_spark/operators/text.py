@@ -789,3 +789,72 @@ def q154_corpus_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame
             / (F.sum("c") * (F.sum("c") - 1)).cast("double")
         ).alias("simpson"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q164 — Good-Turing count-of-counts: the frequency-of-frequencies table
+# N_r (how many token TYPES occur exactly r times) plus the Good-Turing
+# re-estimated count r* = (r+1)·N_{r+1}/N_r — the input artifact for
+# every classical smoothed LM (Katz backoff, simple Good-Turing) and the
+# standard diagnostic for corpus duplication (a bloated N_r tail at high
+# r is the signature of boilerplate). All counts are integers; r* is one
+# division of two exact BIGINTs, so the table is engine-exact.
+#
+# Scale shape: token-count (one explode + shuffle on token), then the
+# count-of-counts aggregate collapses the type table to at most
+# max-frequency rows — the second shuffle carries a vanishing fraction
+# of the first. The lead() window runs on that tiny table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q164_good_turing_counts",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, t.tok
+        FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+        WHERE t.tok <> ''
+    ),
+    tf AS (SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    coc AS (
+        SELECT lang, CAST(c AS BIGINT) AS r,
+               CAST(count(*) AS BIGINT) AS n_types
+        FROM tf GROUP BY 1, 2
+    )
+    SELECT lang, r, n_types,
+           CAST(r * n_types AS BIGINT) AS mass,
+           CAST((r + 1) * lead(n_types) OVER w AS DOUBLE)
+               / CAST(n_types AS DOUBLE) AS gt_star
+    FROM coc
+    WINDOW w AS (PARTITION BY lang ORDER BY r)
+    """,
+)
+def q164_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language N_r table with the Good-Turing adjusted count r*.
+
+    Note the window subtlety: ``lead`` must see the NEXT r in sorted
+    order; gaps in r (no type occurs exactly r+1 times) make the naive
+    (r+1)·N_{r+1} formula use the next PRESENT r — both engines apply
+    the same lead-over-sorted-r rule, so the artifact is identical. The
+    r* estimate is standard Simple-Good-Turing input; smoothing choices
+    live downstream.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    tf = tok.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    coc = tf.groupBy("lang", F.col("c").alias("r")).agg(
+        F.count("*").alias("n_types")
+    )
+    w = Window.partitionBy("lang").orderBy("r")
+    return coc.select(
+        "lang",
+        "r",
+        "n_types",
+        (F.col("r") * F.col("n_types")).alias("mass"),
+        (
+            ((F.col("r") + 1) * F.lead("n_types").over(w)).cast("double")
+            / F.col("n_types").cast("double")
+        ).alias("gt_star"),
+    )

@@ -146,3 +146,48 @@ def stream_docs(
         .option("recursiveFileLookup", "true")
         .parquet(path)
     )
+
+
+def split_events_hash_dir(
+    spark: SparkSession, sf_dir: str, n_batches: int = 2, tag: str = "ooo"
+) -> str:
+    """Materialize events as ``n_batches`` HASH-sliced parquet files
+    (slice k = event_id % n_batches == k) — an OUT-OF-ORDER replay: every
+    slice spans the full time range, so later micro-batches deliver rows
+    behind the watermark. The late-data counterpart of
+    ``split_events_dir``'s time-ordered schedule; equally deterministic
+    (slice membership is a pure function of event_id)."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"ssps_stream_{tag}_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{n_batches}_{os.getpid()}",
+    )
+    done_marker = os.path.join(base, "_SSPS_DONE")
+    if os.path.exists(done_marker):
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    events = load_table(spark, sf_dir, "events")
+    for k in range(n_batches):
+        (
+            events.where(F.col("event_id") % n_batches == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, f"slice={k:03d}"))
+        )
+    open(done_marker, "w").close()
+    return base
+
+
+def stream_events_out_of_order(
+    spark: SparkSession, sf_dir: str, n_batches: int = 2, tag: str = "ooo"
+) -> DataFrame:
+    """Streaming events where each micro-batch spans the whole time range
+    (hash slices) — the deterministic late-arrival schedule."""
+    path = split_events_hash_dir(spark, sf_dir, n_batches, tag)
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
