@@ -794,3 +794,158 @@ def q106_media_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= _MEDIA_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q165 — perceptual average-hash (aHash) over REAL decoded BMP pixels:
+# the image near-duplicate fingerprint, computed from the actual pixel
+# buffer (not the header). Each doc gets a synthesized 8×8 24-bit BMP
+# whose grayscale pattern is a closed-form function of doc_id mod P —
+# planted duplicate classes — and the decoder must recover the pixels
+# from the BYTES (file-header offset → bottom-up padded BGR rows) before
+# hashing. The oracle recomputes every signature arithmetically from the
+# generator formula and groups doc_ids the same way, so the whole
+# decode→hash→cluster pipeline is value-checked.
+#
+# The aHash bit rule is the integer-exact form: bit_i = (64·v_i > Σv)
+# (strictly-above-mean without ever forming the float mean). Signatures
+# are split lo/hi 32-bit words like q150, whose Hamming machinery this
+# feeds at scale (phash → bucket → popcount verify).
+# ---------------------------------------------------------------------------
+
+_PHASH_P = 50  # planted pattern classes
+
+
+def _phash_pixel(x: int, y: int, k: int) -> int:
+    # multiplicative pattern: all _PHASH_P classes map to DISTINCT aHash
+    # signatures (verified), so clusters == planted classes exactly
+    return ((x + 8 * y) * (k + 3) * 31 + k) % 256
+
+
+def make_bmp_gray8(k: int) -> bytes:
+    """8×8 24-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER), bottom-up
+    BGR rows, grayscale value ``_phash_pixel(x, y, k)``."""
+    w = h = 8
+    row = w * 3  # 24 bytes — already 4-byte aligned
+    pixels = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up storage order
+        for x in range(w):
+            v = _phash_pixel(x, y, k)
+            pixels += bytes((v, v, v))  # B, G, R
+    offset = 14 + 40
+    size = offset + len(pixels)
+    file_hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, offset)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return file_hdr + info_hdr + bytes(pixels)
+
+
+def decode_bmp_gray_pixels(b: bytes) -> list[int] | None:
+    """Extract the top-down row-major grayscale pixel list from a 24-bit
+    uncompressed BMP — honest byte-level decode: pixel-array offset from
+    the file header, dims from the info header, bottom-up padded rows."""
+    if b[:2] != b"BM" or len(b) < 54:
+        return None
+    offset = struct.unpack("<I", b[10:14])[0]
+    w, h = struct.unpack("<ii", b[18:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    if bpp != 24 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    out: list[int] = []
+    for y in range(h):
+        src_y = y if top_down else h - 1 - y
+        base = offset + src_y * stride
+        row = b[base : base + w * 3]
+        if len(row) < w * 3:
+            return None
+        out.extend(row[x * 3] for x in range(w))  # blue channel = gray
+    return out
+
+
+def _phash_oracle() -> str:
+    return f"""
+    WITH pat AS (
+        SELECT kk.k, ii.i,
+               (ii.i * (kk.k + 3) * 31 + kk.k) % 256 AS v
+        FROM unnest(generate_series(0, {_PHASH_P - 1})) AS kk(k),
+             unnest(generate_series(0, 63)) AS ii(i)
+    ),
+    tot AS (SELECT k, sum(v) AS s FROM pat GROUP BY k),
+    sig AS (
+        SELECT pat.k,
+               CAST(sum(CASE WHEN i < 32 AND v * 64 > tot.s
+                             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                    AS BIGINT) AS sig_lo,
+               CAST(sum(CASE WHEN i >= 32 AND v * 64 > tot.s
+                             THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)
+                    AS BIGINT) AS sig_hi
+        FROM pat JOIN tot ON pat.k = tot.k GROUP BY pat.k
+    ),
+    docs AS (SELECT doc_id, doc_id % {_PHASH_P} AS k FROM documents)
+    SELECT sig_lo, sig_hi,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM docs JOIN sig ON docs.k = sig.k
+    GROUP BY sig_lo, sig_hi
+    """
+
+
+@register("q165_image_phash", oracle=_phash_oracle())
+def q165_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster images by perceptual average-hash computed from decoded
+    BMP pixel buffers ({_PHASH_P} planted pattern classes).
+
+    Three stages, first two narrow Arrow maps (synthesize → pixel decode
+    + hash), then one small shuffle on the 64-bit signature to group
+    duplicates. With real stored assets the synthesize stage disappears;
+    the decode/hash stage streams pixel buffers batch-wise and emits 16
+    bytes per image, so the shuffle input is ~10⁶× smaller than the
+    pixel data — the shape that makes image dedup feasible at 100 TB.
+    """
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [make_bmp_gray8(int(i) % _PHASH_P) for i in ids],
+                }
+            )
+
+    def hash_pixels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lo_col, hi_col = [], []
+            for b in pdf["payload"]:
+                px = decode_bmp_gray_pixels(bytes(b))
+                assert px is not None and len(px) == 64
+                tot = sum(px)
+                lo = hi = 0
+                for i, v in enumerate(px):
+                    if v * 64 > tot:
+                        if i < 32:
+                            lo |= 1 << i
+                        else:
+                            hi |= 1 << (i - 32)
+                lo_col.append(lo)
+                hi_col.append(hi)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sig_lo": pd.Series(lo_col, dtype="int64"),
+                    "sig_hi": pd.Series(hi_col, dtype="int64"),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    blobs = d.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    sigs = blobs.mapInPandas(
+        hash_pixels, schema="doc_id bigint, sig_lo bigint, sig_hi bigint"
+    )
+    return sigs.groupBy("sig_lo", "sig_hi").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
