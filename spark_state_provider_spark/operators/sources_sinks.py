@@ -898,3 +898,61 @@ def q162_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q168 — hidden file-metadata columns (_metadata.file_path / file_size):
+# row-level PROVENANCE on any file-backed table, free at read time. The
+# lineage question every 100 TB ingest audit asks — "which physical file
+# did this row come from, and does the directory key match the row?" —
+# answered without storing a lineage column. The layout is written
+# one-file-per-day (repartition on the partition key before partitionBy),
+# so file counts are deterministic and the oracle can predict the whole
+# audit table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q168_file_metadata_lineage",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS n_files,
+           TRUE AS path_matches_rows
+    FROM events GROUP BY 1
+    """,
+)
+def q168_file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day ingest audit joined from the _metadata hidden struct: rows
+    per file, files per partition directory, and a verdict that every
+    row's event date equals the date its file path claims.
+
+    The metadata struct is populated by the scan itself (no extra I/O);
+    the audit is one aggregate over (path-derived day, row day). At scale
+    this is how misplaced-file detection runs without any companion
+    manifest."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    base = _out(sf_dir, "meta_lineage")
+    out = os.path.join(base, "bydays")
+    if not os.path.exists(os.path.join(base, "_SSPS_DONE")):
+        ev.repartition(F.col("day")).write.mode("overwrite").partitionBy(
+            "day"
+        ).parquet(out)
+        with open(os.path.join(base, "_SSPS_DONE"), "w") as f:
+            f.write("ok")
+
+    back = spark.read.parquet(out).select(
+        F.to_date("ts").alias("row_day"),
+        F.regexp_extract(F.col("_metadata.file_path"), r"day=([0-9-]+)", 1)
+        .cast("date")
+        .alias("path_day"),
+        F.col("_metadata.file_path").alias("fp"),
+    )
+    return back.groupBy(F.col("path_day").alias("day")).agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("fp").alias("n_files"),
+        (F.sum(F.when(F.col("row_day") == F.col("path_day"), 0).otherwise(1)) == 0)
+        .alias("path_matches_rows"),
+    )

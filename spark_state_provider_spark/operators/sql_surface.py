@@ -308,3 +308,58 @@ def q148_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         + "END"
     )
     return spark.sql(script)
+
+
+# ---------------------------------------------------------------------------
+# q167 — SQL scalar UDFs (CREATE FUNCTION ... RETURN expr): the macro path
+# for user extensibility. Unlike q27's Python UDFs, a SQL UDF INLINES into
+# the calling plan at analysis time — it is codegen'd JVM expression code
+# with zero serialization boundary, so on a 100 TB scan it costs exactly
+# what writing the expression by hand costs. This is the first tool to
+# reach for before any Python UDF; the registry proves the inlining is
+# value-exact against the hand-expanded oracle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q167_sql_scalar_udf",
+    oracle="""
+    SELECT event_type,
+           CASE WHEN value < 25 THEN 'low'
+                WHEN value < 75 THEN 'mid' ELSE 'high' END AS band,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q167_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded money aggregation where both derived columns come from SQL
+    UDFs (``ssps_cents``, ``ssps_band``) declared with CREATE FUNCTION.
+
+    The functions disappear at analysis time — the optimized plan is
+    identical to inlining the expressions (asserted in the plan gates:
+    no Python eval node, aggregate pushes down as usual). The oracle IS
+    the hand-inlined form.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ssps_q167_events")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ssps_cents(v DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor(v * 100) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ssps_band(v DOUBLE) "
+        "RETURNS STRING RETURN "
+        "CASE WHEN v < 25 THEN 'low' WHEN v < 75 THEN 'mid' "
+        "ELSE 'high' END"
+    )
+    return spark.sql(
+        """
+        SELECT event_type, ssps_band(value) AS band,
+               count(*) AS n, sum(ssps_cents(value)) AS sum_cents
+        FROM ssps_q167_events
+        GROUP BY 1, 2
+        """
+    )

@@ -1849,3 +1849,75 @@ def q163_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("w.start").alias("window_start"), "n_events")
         )
         return run_to_memory(agg, "mem_q163", "append")
+
+
+# ---------------------------------------------------------------------------
+# q166 — exactly-once across a RESTART: the same query started twice from
+# one checkpoint must not reprocess or duplicate. Run 1 drains both
+# micro-batches into a parquet sink; run 2 restarts from the checkpoint
+# with the source unchanged and must be a no-op (the offset log says
+# everything is committed). This is the core recovery contract the
+# reference's commit/abort machinery exists for
+# (RocksDbStateStoreProvider.scala:90-117 restart suite) — here driven
+# under the value oracle: the sink, read after BOTH runs, equals the
+# batch aggregate exactly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q166_stream_restart_exactly_once",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def q166_stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode parquet sink drained twice from one checkpoint — the
+    second run must add zero rows.
+
+    The parquet file sink is transactional through its _spark_metadata
+    log (batch-id-named manifests — the same exactly-once protocol the
+    q139/q155 custom sink implements via explicit manifests), so a
+    restart replaying an already-committed batch is invisible to
+    readers. Per-run cost is bounded by uncommitted offsets only.
+    """
+    import os
+
+    from spark_state_provider_spark.scratch import scratch_dir
+
+    base = scratch_dir(
+        f"restart_{os.path.basename(os.path.normpath(sf_dir))}", wipe=True
+    )
+    out = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "_ckpt")
+
+    with _streaming_session(spark):
+        for _run in range(2):  # second start must be a committed no-op
+            sdf = stream_events(spark, sf_dir, N_BATCHES, tag="restart166").select(
+                "event_id",
+                "event_type",
+                F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            q = (
+                sdf.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(180)
+            finally:
+                q.stop()
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
