@@ -363,3 +363,55 @@ def q167_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q169 — parameterized SQL + the IDENTIFIER clause: injection-safe dynamic
+# SQL. Value params bind through spark.sql(..., args) placeholders;
+# table/column NAMES — which placeholders cannot carry — bind through
+# IDENTIFIER(:param), which validates the string as a name instead of
+# splicing text. This is the governed-platform surface: a report template
+# that takes (table, metric column, threshold) as data, with zero string
+# concatenation. The oracle is the statically-written equivalent.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q169_parameterized_identifier",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS metric_cents
+    FROM events
+    WHERE value >= 10.0
+    GROUP BY event_type
+    """,
+)
+def q169_parameterized_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A report template instantiated entirely through parameter binding:
+    the table and metric column arrive as IDENTIFIER(:name) bindings, the
+    threshold as a value placeholder.
+
+    Parameterization happens at parse time, so the optimized plan is
+    byte-identical to the static query — pushdown, pruning and codegen
+    all apply; no plan-cache pollution from value splicing either.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ssps_q169_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(*) AS n,
+               sum(CAST(floor(IDENTIFIER(:metric_col) * 100) AS BIGINT))
+                   AS metric_cents
+        FROM IDENTIFIER(:table_name)
+        WHERE IDENTIFIER(:metric_col) >= :threshold
+        GROUP BY event_type
+        """,
+        args={
+            "table_name": "ssps_q169_events",
+            "metric_col": "value",
+            "threshold": 10.0,
+        },
+    )

@@ -1921,3 +1921,135 @@ def q166_stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum("cents").alias("sum_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q170 — streaming VECTOR-INDEX maintenance: as embedding batches arrive,
+# each vector is coarse-quantized to its nearest fixed centroid (the q29d
+# IVF assignment) and appended to the inverted-file index — the pattern
+# that keeps an ANN index fresh while a 100 TB corpus streams in, instead
+# of rebuilding it. Per-batch cost: one broadcast (centroids) + a
+# map-side-combined argmax over the batch + a partition-parallel append;
+# nothing scales with the INDEX size, only with the batch. The oracle
+# recomputes every assignment from scratch and must agree with the
+# incrementally-built index exactly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q170_stream_ivf_maintenance",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id AS cid, v AS cv FROM e
+        WHERE vec_id % 50 = 0 AND vec_id < 500
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(cv, v)
+                            / (sqrt(list_dot_product(cv, cv))
+                               * sqrt(list_dot_product(v, v))) DESC, c.cid
+               ) AS rn
+        FROM e, c
+    )
+    SELECT cid,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(vec_id) AS BIGINT) AS min_vec
+    FROM scored WHERE rn = 1
+    GROUP BY cid
+    """,
+)
+def q170_stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally build the IVF posting-list index from streamed
+    embedding batches, then roll it up per centroid.
+
+    Assignment is per-row (batch boundaries cannot change it), so the
+    streamed index equals the batch recomputation — the invariant that
+    makes incremental maintenance safe. Uses the q29d centroid rule
+    (vec_id % {CENTROID_MOD} == 0, capped) and the same argmax-as-
+    aggregation plan per micro-batch.
+    """
+    import os
+
+    from spark_state_provider_spark.functions.vector import (
+        as_double_vec,
+        cosine_prenormed,
+        norm,
+    )
+    from spark_state_provider_spark.operators.similarity import (
+        _IVF_CENT_MAX,
+        CENTROID_MOD,
+    )
+    from spark_state_provider_spark.scratch import scratch_dir
+    from spark_state_provider_spark.streaming.sources import stream_embeddings
+    from spark_state_provider_spark.tables import load_table as _lt
+
+    base = scratch_dir(
+        f"ivfidx_{os.path.basename(os.path.normpath(sf_dir))}", wipe=True
+    )
+    index_dir = os.path.join(base, "index")
+    ckpt = os.path.join(base, "_ckpt")
+
+    cent = (
+        _lt(spark, sf_dir, "embeddings")
+        .where(
+            (F.col("vec_id") % CENTROID_MOD == 0)
+            & (F.col("vec_id") < _IVF_CENT_MAX)
+        )
+        .select(
+            F.col("vec_id").alias("cid"),
+            as_double_vec("embedding").alias("cv"),
+        )
+        .withColumn("cnrm", norm(F.col("cv")))
+        .persist()
+    )
+    cent.count()  # materialize once; every micro-batch broadcasts this
+
+    def index_batch(batch_df, batch_id: int) -> None:
+        b = batch_df.select(
+            "vec_id", as_double_vec("embedding").alias("v")
+        ).withColumn("nrm", norm(F.col("v")))
+        scored = b.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "cid",
+            cosine_prenormed(
+                F.col("cv"), F.col("v"), F.col("cnrm"), F.col("nrm")
+            ).alias("sim"),
+        )
+        assign = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(F.expr("-sim").alias("ns"), F.col("cid").alias("cid"))
+                ).alias("m")
+            )
+            .select("vec_id", F.col("m.cid").alias("cid"))
+        )
+        assign.write.mode("append").parquet(index_dir)
+
+    with _streaming_session(spark):
+        sdf = stream_embeddings(spark, sf_dir, N_BATCHES, tag="ivf170")
+        q = (
+            sdf.writeStream.foreachBatch(index_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+            cent.unpersist()
+
+    return (
+        spark.read.parquet(index_dir)
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.min("vec_id").alias("min_vec"),
+        )
+    )

@@ -858,3 +858,103 @@ def q164_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_types").cast("double")
         ).alias("gt_star"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q171 — collocation mining by LIFT: which adjacent word pairs co-occur
+# far more than independence predicts. lift(x,y) = N·c_xy / (c_x·c_y) —
+# the log-free core of PMI (PMI = log lift), so the ranking is identical
+# while staying exact rational arithmetic (integer numerator/denominator,
+# one final division). This is the phrase-mining pass a tokenizer/vocab
+# pipeline runs to promote multi-word units (q119's BPE merge candidates
+# are the character-level analog; this is the word level).
+#
+# Scale shape: bigram build is one narrow lead() within doc; unigram and
+# bigram counts are map-side-combined aggregates; the two count joins are
+# key-partitioned on the word; top-k is TakeOrdered (never a global
+# sort). The corpus-size scalar N broadcasts as a one-row frame.
+# ---------------------------------------------------------------------------
+
+_COLLOC_MIN_SUP = 3
+_COLLOC_TOP = 30
+
+
+@register(
+    "q171_collocation_lift",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    uni AS (
+        SELECT t.w, CAST(count(*) AS BIGINT) AS c
+        FROM tok, unnest(l) AS t(w) WHERE t.w <> '' GROUP BY t.w
+    ),
+    bg0 AS (
+        SELECT split_part(t.bg, ' ', 1) AS w1,
+               split_part(t.bg, ' ', 2) AS w2
+        FROM (SELECT l FROM tok WHERE len(l) >= 2),
+             unnest(list_transform(
+                 generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i+1]
+             )) AS t(bg)
+    ),
+    bg AS (SELECT w1, w2 FROM bg0 WHERE w1 <> '' AND w2 <> ''),
+    bgc AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+        FROM bg GROUP BY w1, w2
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM bg)
+    SELECT b.w1, b.w2, b.c_xy,
+           CAST(n.total * b.c_xy AS BIGINT) AS lift_num,
+           CAST(u1.c * u2.c AS BIGINT) AS lift_den,
+           CAST(n.total * b.c_xy AS DOUBLE)
+               / CAST(u1.c * u2.c AS DOUBLE) AS lift
+    FROM bgc b
+    JOIN uni u1 ON u1.w = b.w1
+    JOIN uni u2 ON u2.w = b.w2
+    CROSS JOIN n
+    WHERE b.c_xy >= {_COLLOC_MIN_SUP}
+    ORDER BY lift DESC, b.w1, b.w2
+    LIMIT {_COLLOC_TOP}
+    """,
+)
+def q171_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_COLLOC_TOP} adjacent-pair collocations by lift (support ≥
+    {_COLLOC_MIN_SUP}).
+
+    The lift ratio is emitted as exact BIGINT numerator/denominator plus
+    the one-division double, so ordering and values hash identically on
+    both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    nxt = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("w2", F.lead("w").over(nxt))
+        .where((F.col("w") != "") & F.col("w2").isNotNull() & (F.col("w2") != ""))
+        .select(F.col("w").alias("w1"), "w2")
+    )
+    uni = (
+        toks.where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    total = bg.agg(F.count("*").alias("total"))
+    scored = (
+        bgc.where(F.col("c_xy") >= _COLLOC_MIN_SUP)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            (F.col("total") * F.col("c_xy")).alias("lift_num"),
+            (F.col("c1") * F.col("c2")).alias("lift_den"),
+            (
+                (F.col("total") * F.col("c_xy")).cast("double")
+                / (F.col("c1") * F.col("c2")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "w1", "w2").limit(_COLLOC_TOP)

@@ -191,3 +191,48 @@ def stream_events_out_of_order(
         .option("recursiveFileLookup", "true")
         .parquet(path)
     )
+
+
+EMB_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+
+
+def split_embeddings_dir(
+    spark: SparkSession, sf_dir: str, n_batches: int = 2, tag: str = "emb"
+) -> str:
+    """Materialize the embeddings table as ``n_batches`` vec_id-sliced
+    parquet files — the arrival schedule for streaming vector-index
+    maintenance (assignment is per-row, so slice membership only fixes
+    WHICH batch indexes a vector, never where it lands)."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"ssps_stream_{tag}_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{n_batches}_{os.getpid()}",
+    )
+    done_marker = os.path.join(base, "_SSPS_DONE")
+    if os.path.exists(done_marker):
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    for k in range(n_batches):
+        (
+            emb.where(F.col("vec_id") % n_batches == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, f"slice={k:03d}"))
+        )
+    open(done_marker, "w").close()
+    return base
+
+
+def stream_embeddings(
+    spark: SparkSession, sf_dir: str, n_batches: int = 2, tag: str = "emb"
+) -> DataFrame:
+    """Streaming DataFrame replaying embeddings in n micro-batches."""
+    path = split_embeddings_dir(spark, sf_dir, n_batches, tag)
+    return (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
