@@ -1,4 +1,4 @@
-"""Invariant tests for the round-4 second-batch operators (q150–q158) —
+"""Invariant tests for the round-4 second-batch operators (q150–q171) —
 semantic properties the DuckDB oracles can't express (bounds, conservation
 laws, cross-query consistency), mirroring the reference's invariant suites.
 """
@@ -153,3 +153,145 @@ def test_state_change_feed_conserves_keys(spark, sf_dir):
         .count()
     )
     assert total == exact
+
+
+def test_neyman_shares_sum_and_exactness(spark, sf_dir):
+    """Shares ≤ 10000 in total (floor division loses ≤1bp per stratum);
+    var_num is the exact N·Σx²−(Σx)² identity (cross-checked in Python)."""
+    rows = _run(spark, sf_dir, "q159_neyman_allocation").collect()
+    assert rows
+    assert sum(r.share_bp for r in rows) <= 10000
+    assert sum(r.share_bp for r in rows) >= 10000 - len(rows)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "n_chars")
+        .collect()
+    )
+    by_src: dict[str, list[int]] = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append(r.n_chars)
+    for r in rows:
+        xs = by_src[r.source]
+        assert r.var_num == len(xs) * sum(x * x for x in xs) - sum(xs) ** 2
+        assert r.sd_floor * r.sd_floor <= r.var_num < (r.sd_floor + 1) ** 2
+
+
+def test_fanout_sinks_always_agree(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q160_stream_fanout_consistency").collect()
+    assert rows and all(r.sinks_agree for r in rows)
+
+
+def test_dynamic_gap_sessions_vs_fixed(spark, sf_dir):
+    """A 45/10-minute dynamic gap must produce at least as many sessions
+    as a uniform 45-minute gap (shorter gaps only ever split) and at most
+    as many as a uniform 10-minute gap."""
+    from pyspark.sql import functions as F2
+
+    e = load_table(spark, sf_dir, "events")
+
+    def n_sessions(gap):
+        return (
+            e.groupBy(F2.session_window("ts", gap).alias("sw"), "user_id")
+            .agg(F2.count("*").alias("n"))
+            .count()
+        )
+
+    dyn = _run(spark, sf_dir, "q161_dynamic_gap_sessions").count()
+    assert n_sessions("45 minutes") <= dyn <= n_sessions("10 minutes")
+
+
+def test_partition_evolution_conserves_rows(spark, sf_dir):
+    out = _run(spark, sf_dir, "q162_partition_evolution")
+    total = out.agg(F.sum("n")).first()[0]
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click"))
+        .count()
+    )
+    assert total == exact
+
+
+def test_late_data_strictly_undercounts(spark, sf_dir):
+    """The out-of-order replay must drop SOME late rows (the oracle's
+    kept-set is strictly smaller than the raw count over emitted
+    windows), or the query isn't testing anything."""
+    out = _run(spark, sf_dir, "q163_late_data_accounting")
+    emitted = {r.window_start: r.n_events for r in out.collect()}
+    raw = {
+        r.w: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").start.alias("w"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert emitted, "no windows emitted"
+    assert all(emitted[w] <= raw[w] for w in emitted)
+    assert sum(emitted.values()) < sum(raw[w] for w in emitted)
+
+
+def test_good_turing_mass_conserves_tokens(spark, sf_dir):
+    """Σ r·N_r over the table == total token count per language."""
+    rows = _run(spark, sf_dir, "q164_good_turing_counts").collect()
+    mass: dict[str, int] = {}
+    for r in rows:
+        mass[r.lang] = mass.get(r.lang, 0) + r.mass
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert mass == {r.lang: r.n for r in tok}
+
+
+def test_phash_clusters_partition_corpus(spark, sf_dir):
+    from spark_state_provider_spark.operators.multimodal import _PHASH_P
+
+    rows = _run(spark, sf_dir, "q165_image_phash").collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert len(rows) == min(_PHASH_P, n_docs)  # distinct planted patterns
+
+
+def test_restart_adds_nothing(spark, sf_dir):
+    out = _run(spark, sf_dir, "q166_stream_restart_exactly_once")
+    total = out.agg(F.sum("n_rows")).first()[0]
+    assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_sql_udf_plan_has_no_python(spark, sf_dir):
+    """SQL UDFs must inline — the plan may contain no Python eval node."""
+    from spark_state_provider_spark.plans.explain import plan_string
+
+    plan = plan_string(_run(spark, sf_dir, "q167_sql_scalar_udf"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_maintenance_covers_corpus(spark, sf_dir):
+    """Every vector indexed exactly once; centroid ids obey the fixed
+    rule the oracle hardcodes (guards the constant against drift)."""
+    from spark_state_provider_spark.operators.similarity import (
+        _IVF_CENT_MAX,
+        CENTROID_MOD,
+    )
+
+    assert CENTROID_MOD == 50 and _IVF_CENT_MAX == 500  # baked in q170 oracle
+    rows = _run(spark, sf_dir, "q170_stream_ivf_maintenance").collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == n_vecs
+    for r in rows:
+        assert r.cid % CENTROID_MOD == 0 and r.cid < _IVF_CENT_MAX
+
+
+def test_collocation_lift_support_and_bounds(spark, sf_dir):
+    from spark_state_provider_spark.operators.text import _COLLOC_MIN_SUP
+
+    rows = _run(spark, sf_dir, "q171_collocation_lift").collect()
+    assert rows
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r.c_xy >= _COLLOC_MIN_SUP
+        assert abs(r.lift - r.lift_num / r.lift_den) < 1e-12
