@@ -515,3 +515,18 @@ def test_q156_ohlc_is_two_phase_aggregate(spark, sf_dir):
     # is what survives scale); never a Window over the raw events
     assert "partial_min_by" in plan and "partial_max_by" in plan
     assert "Window" not in plan
+
+
+def test_q162_both_generations_prune_partitions(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q162_partition_evolution"))
+    # both layout generations must show partition-level pruning on their
+    # scans; the event_type IN filter reaches the new layout's directories
+    assert plan.count("PartitionFilters: [") >= 1
+    assert "event_type" in plan.split("PartitionFilters")[-1].splitlines()[0] or \
+        plan.count("PartitionFilters: [") >= 2
+
+
+def test_q171_topk_never_global_sorts(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q171_collocation_lift"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
