@@ -174,6 +174,22 @@ HEADLINE = [
     "q156_ohlc_downsample",
     "q157_rate_source_checksum",
     "q158_state_change_feed",
+    # round-4 third batch: exact allocation, fan-out sinks, dynamic
+    # sessions, layout evolution, late data, Good-Turing, pixel phash,
+    # restart, SQL UDF, parameterized SQL, streaming IVF, collocations
+    "q159_neyman_allocation",
+    "q160_stream_fanout_consistency",
+    "q161_dynamic_gap_sessions",
+    "q162_partition_evolution",
+    "q163_late_data_accounting",
+    "q164_good_turing_counts",
+    "q165_image_phash",
+    "q166_stream_restart_exactly_once",
+    "q167_sql_scalar_udf",
+    "q168_file_metadata_lineage",
+    "q169_parameterized_identifier",
+    "q170_stream_ivf_maintenance",
+    "q171_collocation_lift",
 ]
 
 

@@ -110,6 +110,12 @@ QUERIES = [
     "q156_ohlc_downsample",
     "q159_neyman_allocation",
     "q161_dynamic_gap_sessions",
+    # round-4 third batch (batch-shaped members)
+    "q162_partition_evolution",
+    "q164_good_turing_counts",
+    "q165_image_phash",
+    "q167_sql_scalar_udf",
+    "q171_collocation_lift",
 ]
 
 
