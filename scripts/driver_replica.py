@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import datetime
 import math
+import os
 import sys
 import time
 from decimal import Decimal
@@ -48,12 +49,26 @@ def eq(a, b):
 
 def main() -> int:
     # Deliberately plain session — the driver won't use our tuned builder.
-    spark = (
-        SparkSession.builder.master("local[8]")
+    # Env overrides turn this into the adversarial-geometry determinism
+    # sweep (e.g. SSPS_REPLICA_MASTER=local[3] SSPS_REPLICA_SHUFFLE=7
+    # SSPS_REPLICA_AQE=false): results must be identical under ANY
+    # parallelism/partitioning, or an operator is order-dependent.
+    builder = (
+        SparkSession.builder.master(
+            os.environ.get("SSPS_REPLICA_MASTER", "local[8]")
+        )
         .appName("driver-replica")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if os.environ.get("SSPS_REPLICA_SHUFFLE"):
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", os.environ["SSPS_REPLICA_SHUFFLE"]
+        )
+    if os.environ.get("SSPS_REPLICA_AQE"):
+        builder = builder.config(
+            "spark.sql.adaptive.enabled", os.environ["SSPS_REPLICA_AQE"]
+        )
+    spark = builder.getOrCreate()
     import __spark_entry__ as e
 
     t0 = time.time()
@@ -71,6 +86,14 @@ def main() -> int:
 
     qs = e.queries()
     oracles = e.oracle_sql()
+    only = os.environ.get("SSPS_REPLICA_ONLY")  # comma-list of canonical names
+    if only:
+        import re
+
+        strip = re.compile(r"^(y_|z\d+_)")
+        wanted = set(only.split(","))
+        qs = {n: f for n, f in qs.items() if strip.sub("", n) in wanted}
+        oracles = {n: o for n, o in oracles.items() if strip.sub("", n) in wanted}
     print(f"{len(qs)} queries, {len(oracles)} with oracles; sf_dir={SF_DIR}")
     failures = []
     for name, fn in sorted(qs.items()):

@@ -368,42 +368,62 @@ def q152_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-label propagation, {_LPA_ITERS} supersteps, over the
     customer⟷supplier bipartite graph (same edge derivation as q74).
 
-    Superstep = one shuffle: labels join edges on src (both hash-
-    partitioned on the node key — at cluster scale the persisted edge
-    exchange is reused every round), min-aggregate by dst (map-side
-    combinable), left-join back to keep isolated-relaxation nodes. The
-    driver holds only DataFrame handles; ``truncate`` caps the logical
-    plan so round k does not replay rounds 1..k-1.
+    Superstep = ONE shuffle: labels join the self-loop-augmented edge set
+    on src and min-aggregate by dst — the closed-neighborhood min
+    (least(own, neighbors)) expressed through a single reference to the
+    previous round's labels, so the lineage is LINEAR (no per-round
+    fan-out, hence no per-round checkpoint materialization: all
+    {_LPA_ITERS} supersteps pipeline into one job). The persisted
+    augmented edge exchange is reused every round; the driver holds only
+    DataFrame handles.
     """
-    pairs = (
-        load_table(spark, sf_dir, "orders")
-        .join(
-            load_table(spark, sf_dir, "lineitem"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    fwd = pairs.select(
-        F.concat(F.lit("C"), F.col("c")).alias("src"),
-        F.concat(F.lit("S"), F.col("s")).alias("dst"),
-    )
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "lab", F.col("id")
-    )
+    edges_aug, nodes = _lpa_graph(spark, sf_dir)
+    labels = nodes.withColumn("lab", F.col("id"))
     for _ in range(_LPA_ITERS):
-        nbr_min = (
-            edges.join(labels, edges.src == labels.id)
-            .groupBy(F.col("dst").alias("mid"))
-            .agg(F.min("lab").alias("ml"))
+        labels = (
+            edges_aug.join(labels, edges_aug.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lab").alias("lab"))
         )
-        labels = truncate(
-            labels.join(nbr_min, labels.id == nbr_min.mid, "left").select(
-                "id", F.least(F.col("lab"), F.coalesce("ml", "lab")).alias("lab")
+    return labels.select(
+        F.col("id").alias("node_id"), F.col("lab").alias("community")
+    )
+
+
+_LPA_GRAPH_CACHE: dict = {}
+
+
+def _lpa_graph(spark: SparkSession, sf_dir: str):
+    """(self-loop-augmented edges, nodes) for the LPA graph — persisted
+    once per (session, sf_dir) via the shared dfcache lifecycle (the
+    materialize-once production shape; q74 relies on Spark's CacheManager
+    the same way)."""
+    from spark_state_provider_spark.dfcache import get_or_build
+
+    def build():
+        pairs = (
+            load_table(spark, sf_dir, "orders")
+            .join(
+                load_table(spark, sf_dir, "lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
             )
+            .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+            .distinct()
         )
-    edges.unpersist()
-    return labels.select(F.col("id").alias("node_id"), F.col("lab").alias("community"))
+        fwd = pairs.select(
+            F.concat(F.lit("C"), F.col("c")).alias("src"),
+            F.concat(F.lit("S"), F.col("s")).alias("dst"),
+        )
+        edges = fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        nodes = edges.select(F.col("src").alias("id")).distinct().persist()
+        # self-loops fold least(own, min-of-neighbors) into ONE aggregate,
+        # keeping each superstep a single reference to the previous labels
+        # (linear lineage — all rounds pipeline into one job)
+        edges_aug = edges.unionByName(
+            nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+        ).persist()
+        return edges_aug, nodes
+
+    return get_or_build(_LPA_GRAPH_CACHE, spark, ("lpa", sf_dir), build)
