@@ -427,3 +427,92 @@ def _lpa_graph(spark: SparkSession, sf_dir: str):
         return edges_aug, nodes
 
     return get_or_build(_LPA_GRAPH_CACHE, spark, ("lpa", sf_dir), build)
+
+
+# ---------------------------------------------------------------------------
+# q174 — k-core pruning: iteratively remove nodes of degree < k until the
+# round budget is spent; the surviving subgraph (everyone keeps ≥ k
+# active partners) is the dense backbone — the graph-cleanup pass run
+# before community/centrality work, and in dedup graphs the "only
+# heavily-duplicated families" filter. Each round: one degree aggregate
+# over edges restricted to active endpoints, one filter. The active set
+# is a node-sized frame (≪ edges), persisted per round so the two
+# endpoint semi-joins read a materialized cache, not a growing lineage.
+# Fixed rounds ⇒ the oracle unrolls the same pruning exactly.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "a0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""d{r} AS (
+        SELECT e.src AS id, CAST(count(*) AS BIGINT) AS d
+        FROM edges e
+        JOIN {prev} s ON e.src = s.id
+        JOIN {prev} t ON e.dst = t.id
+        GROUP BY e.src
+    ),
+    a{r} AS (SELECT id FROM d{r} WHERE d >= {_KCORE_K})"""
+        )
+        prev = f"a{r}"
+    rounds_sql = ",\n    ".join(rounds)
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (
+        SELECT 'C' || c AS src, 'S' || s AS dst FROM pairs
+        UNION ALL
+        SELECT 'S' || s AS src, 'C' || c AS dst FROM pairs),
+    a0 AS (SELECT DISTINCT src AS id FROM edges),
+    {rounds_sql}
+    SELECT id AS node_id, d AS degree
+    FROM d{_KCORE_ROUNDS} WHERE d >= {_KCORE_K}
+    """
+
+
+@register("q174_kcore_pruning", oracle=_kcore_oracle())
+def q174_kcore_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_K}-core after {_KCORE_ROUNDS} pruning rounds over the
+    customer⟷supplier graph: surviving nodes with their last-round
+    active-degree.
+
+    Per round the shuffle carries only (edge endpoint, active flag) —
+    the edge list is persisted once and re-filtered; the node frame is
+    thousands-fold smaller and materializes per round (the driver holds
+    handles only). Bounded rounds = bounded cost; full convergence runs
+    the same loop with an early-exit count check.
+    """
+    edges_aug, nodes = _lpa_graph(spark, sf_dir)
+    # reuse the memoized bidirectional edge set (drop the self-loops)
+    edges = edges_aug.where(F.col("src") != F.col("dst"))
+    active = nodes  # round 0: already persisted by the shared graph memo
+    prev_persisted = None  # never unpersist the memo-owned nodes frame
+    deg = None
+    for rnd in range(_KCORE_ROUNDS):
+        if rnd > 0:
+            active = active.persist()
+            active.count()  # materialize: next round reads cache, not lineage
+            if prev_persisted is not None:
+                prev_persisted.unpersist()
+            prev_persisted = active
+        deg = (
+            edges.join(active.select(F.col("id").alias("src")), "src")
+            .join(active.select(F.col("id").alias("dst")), "dst")
+            .groupBy("src")
+            .agg(F.count("*").alias("d"))
+        )
+        active = deg.where(F.col("d") >= _KCORE_K).select(
+            F.col("src").alias("id")
+        )
+    out = deg.where(F.col("d") >= _KCORE_K).select(
+        F.col("src").alias("node_id"), F.col("d").alias("degree")
+    ).localCheckpoint(eager=True)
+    if prev_persisted is not None:
+        prev_persisted.unpersist()
+    return out

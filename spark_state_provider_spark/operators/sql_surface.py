@@ -415,3 +415,55 @@ def q169_parameterized_identifier(spark: SparkSession, sf_dir: str) -> DataFrame
             "threshold": 10.0,
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# q173 — SQL TABLE functions (CREATE FUNCTION … RETURNS TABLE): the
+# relational half of q167's scalar macros. A parameterized view — the
+# report template pattern — declared once and invoked with arguments in
+# the FROM clause. Like scalar SQL UDFs it inlines at analysis time: the
+# optimizer sees the expanded query, so pushdown/pruning/codegen apply as
+# if the SQL were written by hand.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q173_sql_table_function",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    WHERE value >= 10.0 AND value < 60.0
+    GROUP BY event_type
+    """,
+)
+def q173_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded aggregate through a SQL table function
+    ``ssps_value_band(lo, hi)`` — a parameterized view over events.
+
+    The TVF body is ordinary SQL; invocation sites pass the band as
+    arguments. Inlining means the ``value`` range predicate still reaches
+    the parquet scan (same plan as the static query).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ssps_q173_events")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION ssps_value_band(
+            lo DOUBLE, hi DOUBLE)
+        RETURNS TABLE(event_type STRING, cents BIGINT)
+        RETURN SELECT event_type,
+                      CAST(floor(value * 100) AS BIGINT) AS cents
+               FROM ssps_q173_events
+               WHERE value >= lo AND value < hi
+        """
+    )
+    return spark.sql(
+        """
+        SELECT event_type, count(*) AS n, sum(cents) AS sum_cents
+        FROM ssps_value_band(10.0, 60.0)
+        GROUP BY event_type
+        """
+    )

@@ -2053,3 +2053,53 @@ def q170_stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("vec_id").alias("min_vec"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q172 — CHAINED stateful operators in ONE streaming query (dedup state →
+# windowed-aggregation state), the multi-stateful-pipeline capability
+# Spark gained in 3.4/4.x. Before it, each stateful stage needed its own
+# query + intermediate sink; now the dedup's RocksDB state and the window
+# aggregate's state ride the same micro-batch pipeline. Semantics here
+# are fully data-determined: the replay is time-ordered (no late rows),
+# the dedup key includes the hour, so the chain computes COUNT(DISTINCT
+# (user, type)) per hourly window, emitted for watermark-closed windows —
+# exactly the SQL the oracle runs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q172_chained_stateful",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           CAST(count(DISTINCT (user_id, event_type)) AS BIGINT)
+               AS n_distinct_actors
+    FROM events
+    GROUP BY 1
+    HAVING window_start + INTERVAL '1 hour'
+           <= (SELECT max(ts) FROM events) - INTERVAL '1 hour'
+    """,
+)
+def q172_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user, type, hour) feeding a watermarked hourly
+    count — two stateful operators, one query, one checkpoint.
+
+    The chain is the scale win: the intermediate (deduped) stream never
+    hits storage, and both states are partitioned by the same executor
+    fleet. Dedup state is bounded by the distinct-key horizon; the agg
+    state by the watermark. Output equals per-window distinct-actor
+    counts for closed windows.
+    """
+    with _streaming_session(spark):
+        ev = stream_events(spark, sf_dir, N_BATCHES, tag="chain172")
+        deduped = (
+            ev.withWatermark("ts", "1 hour")
+            .withColumn("hour", F.date_trunc("hour", "ts"))
+            .dropDuplicates(["user_id", "event_type", "hour"])
+        )
+        agg = (
+            deduped.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n_distinct_actors"))
+            .select(F.col("w.start").alias("window_start"), "n_distinct_actors")
+        )
+        return run_to_memory(agg, "mem_q172", "append")
