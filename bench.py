@@ -190,6 +190,9 @@ HEADLINE = [
     "q169_parameterized_identifier",
     "q170_stream_ivf_maintenance",
     "q171_collocation_lift",
+    "q172_chained_stateful",
+    "q173_sql_table_function",
+    "q174_kcore_pruning",
 ]
 
 

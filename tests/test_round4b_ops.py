@@ -1,4 +1,4 @@
-"""Invariant tests for the round-4 second-batch operators (q150–q171) —
+"""Invariant tests for the round-4 second-batch operators (q150–q174) —
 semantic properties the DuckDB oracles can't express (bounds, conservation
 laws, cross-query consistency), mirroring the reference's invariant suites.
 """
@@ -295,3 +295,53 @@ def test_collocation_lift_support_and_bounds(spark, sf_dir):
     for r in rows:
         assert r.c_xy >= _COLLOC_MIN_SUP
         assert abs(r.lift - r.lift_num / r.lift_den) < 1e-12
+
+
+def test_chained_stateful_equals_batch(spark, sf_dir):
+    """Two stateful operators in one query: result equals the batch
+    distinct-actor count for every emitted window (subset of raw hours)."""
+    out = {r.window_start: r.n_distinct_actors
+           for r in _run(spark, sf_dir, "q172_chained_stateful").collect()}
+    batch = {
+        r.w: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").start.alias("w"))
+        .agg(F.count_distinct("user_id", "event_type").alias("n"))
+        .collect()
+    }
+    assert out
+    for w, n in out.items():
+        assert batch[w] == n
+
+
+def test_sql_tvf_matches_inline(spark, sf_dir):
+    """The TVF-built aggregate equals the hand-inlined DataFrame query."""
+    out = {r.event_type: (r.n, r.sum_cents)
+           for r in _run(spark, sf_dir, "q173_sql_table_function").collect()}
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("value") >= 10.0) & (F.col("value") < 60.0)
+    )
+    inline = {
+        r.event_type: (r.n, r.c)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    assert out == inline
+
+
+def test_kcore_survivors_have_k_degree_within_core(spark, sf_dir):
+    """Every survivor's reported degree ≥ k, and the survivor set is a
+    fixpoint-approximation: degrees are counted over the PREVIOUS round's
+    active set, so survivors can only lose degree in later rounds —
+    re-pruning the survivor-induced subgraph removes no one with d ≥ k
+    already verified at the last round."""
+    from spark_state_provider_spark.operators.graph import _KCORE_K
+
+    rows = _run(spark, sf_dir, "q174_kcore_pruning").collect()
+    assert rows
+    for r in rows:
+        assert r.degree >= _KCORE_K
