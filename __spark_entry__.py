@@ -110,6 +110,13 @@ _PRIORITY_HINT = [
     "q92_stream_incremental_dedup", "q93_runtime_bloom_join",
     "q94_rolling_anomaly", "q95_data_quality_audit",
     "q96_stream_heavy_hitters",
+    # --- beyond the 50-cap while the round-4 window is pending (no effect
+    # on it), but FIRST in line once those go green: the three oldest
+    # pending names sort lexicographically last (q9x > q1xx), so without
+    # this pin any round-4 red re-entering the window would displace them
+    # in round 5.
+    "q97_stream_rolling_anomaly", "q98_join_size_estimate",
+    "q99_embedding_drift",
 ]
 
 _PREFIX_RE = __import__("re").compile(r"^(y_|z\d+_)")
