@@ -193,6 +193,9 @@ HEADLINE = [
     "q172_chained_stateful",
     "q173_sql_table_function",
     "q174_kcore_pruning",
+    "q175_state_export_kv",
+    "q176_null_semantics",
+    "q177_ddl_column_defaults",
 ]
 
 

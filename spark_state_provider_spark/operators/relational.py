@@ -3150,3 +3150,90 @@ def q147_collation_ci_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ssps_cased_v GROUP BY lang
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q176 — NULL-semantics conformance matrix: one verdict row per ANSI rule
+# the engine must honor (count(col) skips NULLs, NULL arithmetic
+# propagates, NULL = NULL is UNKNOWN, null-safe equality <=> treats NULLs
+# as equal, nullif/coalesce identities). Cross-engine NULL handling is
+# where silent 100 TB data-loss bugs live — a filter that drops UNKNOWN
+# rows an engine kept, an aggregate that counted NULLs — so the matrix is
+# certified value-for-value against DuckDB's ANSI behavior. Everything
+# computes in ONE pass (a single aggregate row, unpivoted to tidy facts).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q176_null_semantics",
+    oracle="""
+    WITH d AS (
+        SELECT CASE WHEN value < 10 THEN NULL ELSE value END AS v,
+               event_type
+        FROM events
+    ),
+    a AS (
+        SELECT
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_null,
+            CAST(count(*) - count(v) AS BIGINT) AS count_gap,
+            CAST(count(*) FILTER (WHERE (v + 1) IS NULL) AS BIGINT)
+                AS n_arith_null,
+            CAST(count(*) FILTER (WHERE v = v) AS BIGINT) AS n_self_eq,
+            CAST(count(*) FILTER (WHERE v IS NOT DISTINCT FROM NULL)
+                 AS BIGINT) AS n_nullsafe_null,
+            CAST(count(*) FILTER (WHERE nullif(event_type, event_type)
+                                        IS NULL) AS BIGINT) AS n_nullif,
+            CAST(count(*) FILTER (WHERE coalesce(v, -1.0) = -1.0)
+                 AS BIGINT) AS n_coalesce
+        FROM d
+    )
+    SELECT t.fact, t.n, t.holds FROM a, LATERAL (VALUES
+        ('count_col_skips_nulls', a.count_gap, a.count_gap = a.n_null),
+        ('null_arith_propagates', a.n_arith_null, a.n_arith_null = a.n_null),
+        ('null_eq_null_is_unknown', a.n_self_eq,
+         a.n_self_eq = a.n_rows - a.n_null),
+        ('null_safe_eq_matches_null', a.n_nullsafe_null,
+         a.n_nullsafe_null = a.n_null),
+        ('nullif_self_is_null', a.n_nullif, a.n_nullif = a.n_rows),
+        ('coalesce_fills_nulls', a.n_coalesce, a.n_coalesce = a.n_null)
+    ) t(fact, n, holds)
+    """,
+)
+def q176_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six ANSI NULL rules, each as (fact, measured count, holds) — the
+    engine-conformance artifact a migration audit signs off on.
+
+    One combinable aggregate over the NULL-injected frame, then a
+    constant-size stack() unpivot — nothing about the matrix costs a
+    second scan at any corpus size.
+    """
+    e = _t(spark, sf_dir, "events").select(
+        F.when(F.col("value") < 10, None).otherwise(F.col("value")).alias("v"),
+        "event_type",
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    a = e.agg(
+        F.count("*").alias("n_rows"),
+        cnt(F.col("v").isNull()).alias("n_null"),
+        (F.count("*") - F.count("v")).alias("count_gap"),
+        cnt((F.col("v") + 1).isNull()).alias("n_arith_null"),
+        cnt(F.col("v") == F.col("v")).alias("n_self_eq"),
+        cnt(F.col("v").eqNullSafe(F.lit(None).cast("double"))).alias(
+            "n_nullsafe_null"
+        ),
+        cnt(F.expr("nullif(event_type, event_type) IS NULL")).alias("n_nullif"),
+        cnt(F.coalesce(F.col("v"), F.lit(-1.0)) == -1.0).alias("n_coalesce"),
+    )
+    return a.selectExpr(
+        """stack(6,
+            'count_col_skips_nulls', count_gap, count_gap = n_null,
+            'null_arith_propagates', n_arith_null, n_arith_null = n_null,
+            'null_eq_null_is_unknown', n_self_eq,
+                n_self_eq = n_rows - n_null,
+            'null_safe_eq_matches_null', n_nullsafe_null,
+                n_nullsafe_null = n_null,
+            'nullif_self_is_null', n_nullif, n_nullif = n_rows,
+            'coalesce_fills_nulls', n_coalesce, n_coalesce = n_null
+        ) AS (fact, n, holds)"""
+    )

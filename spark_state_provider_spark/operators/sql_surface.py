@@ -467,3 +467,66 @@ def q173_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q177 — DDL column DEFAULTs through schema evolution: CREATE TABLE with a
+# declared DEFAULT, INSERT that omits the column, then ALTER TABLE ADD
+# COLUMN with a DEFAULT that must surface for ALL pre-existing rows (the
+# "existence default" — materialized at read time from catalog metadata,
+# NO rewrite of the stored files). This is how a 100 TB managed table
+# grows a column in O(1): the default lives in the catalog; only rows
+# written after the ALTER can carry explicit values.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q177_ddl_column_defaults",
+    oracle="""
+    SELECT 'unreviewed' AS quality, 'global' AS region,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    """,
+)
+def q177_ddl_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert events into a managed table whose ``quality`` column fills
+    from its declared DEFAULT, evolve the schema with
+    ``ALTER TABLE … ADD COLUMN region STRING DEFAULT 'global'``, and roll
+    the table up — every row must carry both defaults.
+
+    The rollup proves (a) INSERT-time defaults and (b) read-time
+    existence defaults over files written BEFORE the column existed.
+    """
+    import os
+
+    tbl = f"ssps_q177_defaults_{os.getpid()}"
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ssps_q177_events")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"""
+        CREATE TABLE {tbl} (
+            event_id BIGINT,
+            cents BIGINT,
+            quality STRING DEFAULT 'unreviewed'
+        ) USING parquet
+        """
+    )
+    spark.sql(
+        f"""
+        INSERT INTO {tbl} (event_id, cents)
+        SELECT event_id, CAST(floor(value * 100) AS BIGINT)
+        FROM ssps_q177_events
+        """
+    )
+    spark.sql(
+        f"ALTER TABLE {tbl} ADD COLUMN region STRING DEFAULT 'global'"
+    )
+    return spark.sql(
+        f"""
+        SELECT quality, region, count(*) AS n, sum(cents) AS sum_cents
+        FROM {tbl} GROUP BY quality, region
+        """
+    )

@@ -2103,3 +2103,78 @@ def q172_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("w.start").alias("window_start"), "n_distinct_actors")
         )
         return run_to_memory(agg, "mem_q172", "append")
+
+
+# ---------------------------------------------------------------------------
+# q175 — external-KV state export under the value oracle: the engine's
+# answer to the reference's Redis/Aerospike backends, whose point is that
+# committed state is READABLE FROM OUTSIDE the streaming job
+# (RedisStateStoreProvider.scala:52-185 serves the `$prefix:$version:`
+# keyspace to any Redis client). Here a stateful aggregation runs to
+# completion, `export_state_snapshot` publishes the final committed
+# version as a keyed parquet KV copy (the external-consumer view), and
+# the returned rows are read from THAT copy — so the driver's hash
+# certifies the exported state itself, not just the query output.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q175_state_export_kv",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q175_state_export_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-type counts kept in RocksDB state, exported after the
+    drain as an external parquet KV table, then read back from the export.
+
+    Export cost is one distributed read of the state files + a
+    key-bucketed write (O(state), zero driver traffic) — the batch analog
+    of the reference's always-external Redis view, with the lag semantics
+    documented in ``streaming/state_export.py``.
+    """
+    import os
+    import tempfile
+
+    from spark_state_provider_spark.scratch import scratch_dir
+    from spark_state_provider_spark.streaming.state_export import (
+        export_state_snapshot,
+        read_exported_state,
+    )
+
+    ckpt = tempfile.mkdtemp(
+        prefix="ckpt_q175_", dir=scratch_dir("memck", wipe=False)
+    )
+    export_dir = tempfile.mkdtemp(
+        prefix="kv_q175_", dir=scratch_dir("memck", wipe=False)
+    )
+    name = "mem_q175_sink"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    with _streaming_session(spark):
+        ev = stream_events(spark, sf_dir, N_BATCHES, tag="kv175")
+        q = (
+            ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+
+    export_state_snapshot(spark, ckpt, export_dir)
+    kv = read_exported_state(spark, export_dir)
+    return kv.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("long").alias("n_events"),
+    )

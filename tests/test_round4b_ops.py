@@ -345,3 +345,30 @@ def test_kcore_survivors_have_k_degree_within_core(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.degree >= _KCORE_K
+
+
+def test_state_export_equals_live_state(spark, sf_dir):
+    """The exported KV copy must equal the batch aggregate exactly (the
+    external consumer sees committed state, nothing more or less)."""
+    out = {r.event_type: r.n_events
+           for r in _run(spark, sf_dir, "q175_state_export_kv").collect()}
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert out == exact
+
+
+def test_null_semantics_all_hold(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q176_null_semantics").collect()
+    assert len(rows) == 6
+    assert all(r.holds for r in rows)
+
+
+def test_ddl_defaults_fill_every_row(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q177_ddl_column_defaults").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.quality == "unreviewed" and r.region == "global"
+    assert r.n == load_table(spark, sf_dir, "events").count()
