@@ -1,4 +1,4 @@
-"""Invariant tests for the round-4 second-batch operators (q150–q174) —
+"""Invariant tests for the round-4 second-batch operators (q150–q177) —
 semantic properties the DuckDB oracles can't express (bounds, conservation
 laws, cross-query consistency), mirroring the reference's invariant suites.
 """
