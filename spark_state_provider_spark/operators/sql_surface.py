@@ -500,8 +500,19 @@ def q177_ddl_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     existence defaults over files written BEFORE the column existed.
     """
     import os
+    import shutil
 
     tbl = f"ssps_q177_defaults_{os.getpid()}"
+    # sweep dead-pid leftovers (a killed prior run can't DROP its table)
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).replace("file:", "")
+    if os.path.isdir(wh):
+        for d in os.listdir(wh):
+            if d.startswith("ssps_q177_defaults_"):
+                pid = d.rsplit("_", 1)[-1]
+                if not os.path.exists(f"/proc/{pid}"):
+                    shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("ssps_q177_events")
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
@@ -524,9 +535,11 @@ def q177_ddl_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(
         f"ALTER TABLE {tbl} ADD COLUMN region STRING DEFAULT 'global'"
     )
-    return spark.sql(
+    out = spark.sql(
         f"""
         SELECT quality, region, count(*) AS n, sum(cents) AS sum_cents
         FROM {tbl} GROUP BY quality, region
         """
-    )
+    ).localCheckpoint(eager=True)  # result outlives the managed table
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")  # managed drop removes files
+    return out
