@@ -196,6 +196,9 @@ HEADLINE = [
     "q175_state_export_kv",
     "q176_null_semantics",
     "q177_ddl_column_defaults",
+    "q178_merkle_tree_integrity",
+    "q179_stream_output_modes",
+    "q180_packing_efficiency_curve",
 ]
 
 

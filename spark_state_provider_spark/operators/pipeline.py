@@ -2249,3 +2249,169 @@ def q159_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sd_floor",
         F.expr("weight * 10000 div total_w").alias("share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q178 — corpus Merkle tree: tamper-evident content integrity in log
+# depth. Leaf = md5(doc_id ':' md5(text)); internal node = md5 of its
+# children's hashes concatenated in doc_id order; root commits to the
+# entire corpus. Verifying a 100 TB release then needs only the root
+# (and any audited subtree re-hashes just its bucket — O(bucket), not
+# O(corpus)). Every level is ONE combinable groupBy whose output is
+# 64× smaller than its input, so the tree costs barely more than a scan;
+# the ordered child concatenation uses array_sort(collect_list(...)) —
+# exact, parallelism-independent. DuckDB twin: string_agg ORDER BY.
+# ---------------------------------------------------------------------------
+
+_MERKLE_FAN = 64
+
+
+@register(
+    "q178_merkle_tree_integrity",
+    oracle=f"""
+    WITH leaf AS (
+        SELECT doc_id,
+               doc_id // {_MERKLE_FAN} AS b1,
+               md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)) AS h
+        FROM documents
+    ),
+    l1 AS (
+        SELECT b1, b1 // {_MERKLE_FAN} AS b2,
+               md5(string_agg(h, '' ORDER BY doc_id)) AS h
+        FROM leaf GROUP BY b1
+    ),
+    l2 AS (
+        SELECT b2, md5(string_agg(h, '' ORDER BY b1)) AS h
+        FROM l1 GROUP BY b2
+    ),
+    root AS (
+        SELECT md5(string_agg(h, '' ORDER BY b2)) AS h FROM l2
+    )
+    SELECT 'L2:' || CAST(b2 AS VARCHAR) AS node, h FROM l2
+    UNION ALL
+    SELECT 'ROOT' AS node, h FROM root
+    """,
+)
+def q178_merkle_tree_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-2 Merkle nodes + the corpus root (fan-out {_MERKLE_FAN}).
+
+    Each level: groupBy + ordered-concat + md5 — a combinable aggregate
+    over monotonically shrinking data. The collect_list per node is
+    bounded by the fan-out (64 fixed-size hashes), never by the corpus.
+    """
+
+    def level(df, child_key: str, parent_key_expr, order_col: str):
+        return (
+            df.groupBy(parent_key_expr.alias(child_key))
+            .agg(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct(order_col, "h"))
+                            ),
+                            lambda x: x["h"],
+                        ),
+                        "",
+                    )
+                ).alias("h")
+            )
+        )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"doc_id div {_MERKLE_FAN}").alias("b1"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.md5("text"))
+        ).alias("h"),
+    )
+    l1 = level(
+        d.withColumn("b2", F.expr(f"b1 div {_MERKLE_FAN}")),
+        "b1x",
+        F.col("b1"),
+        "doc_id",
+    ).withColumnRenamed("b1x", "b1").withColumn(
+        "b2", F.expr(f"b1 div {_MERKLE_FAN}")
+    )
+    l2 = level(l1, "b2x", F.col("b2"), "b1").withColumnRenamed("b2x", "b2")
+    root = l2.agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("b2", "h"))),
+                    lambda x: x["h"],
+                ),
+                "",
+            )
+        ).alias("h")
+    )
+    nodes = l2.select(
+        F.concat(F.lit("L2:"), F.col("b2").cast("string")).alias("node"), "h"
+    )
+    return nodes.unionByName(root.select(F.lit("ROOT").alias("node"), "h"))
+
+
+# ---------------------------------------------------------------------------
+# q180 — packing-efficiency curve: sequence count and token utilization of
+# the q38 contiguous-fill packer at THREE context budgets, from one scan.
+# Contiguous fill makes the curve closed-form: a bucket holding T tokens
+# spans floor((T−1)/B)+1 packs, so the whole capacity-planning table is a
+# per-bucket aggregate plus arithmetic — the "what does a 4k→8k context
+# switch save us" question answered without re-running the packer.
+# ---------------------------------------------------------------------------
+
+_PACK_CURVE_BUDGETS = (256, 512, 1024)
+
+
+@register(
+    "q180_packing_efficiency_curve",
+    oracle=f"""
+    WITH d AS (
+        SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+        FROM documents
+    ),
+    b AS (
+        SELECT bucket, CAST(sum(est_tokens) AS BIGINT) AS bt
+        FROM d GROUP BY bucket
+    )
+    SELECT v.budget,
+           CAST(sum((b.bt - 1) // v.budget + 1) AS BIGINT) AS n_packs,
+           CAST(sum(b.bt) AS BIGINT) AS total_tokens,
+           CAST(sum(b.bt) AS DOUBLE)
+               / CAST(sum((b.bt - 1) // v.budget + 1) * v.budget AS DOUBLE)
+               AS utilization
+    FROM b, (VALUES {", ".join(f"({b})" for b in _PACK_CURVE_BUDGETS)})
+         v(budget)
+    GROUP BY v.budget
+    """,
+)
+def q180_packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(budget, n_packs, total_tokens, utilization) for budgets
+    {_PACK_CURVE_BUDGETS} under q38's contiguous-fill packing semantics.
+
+    One combinable per-bucket aggregate, then constant-size arithmetic —
+    the curve's cost does not depend on how many budgets are evaluated.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("bucket"),
+        F.ceil(F.length("text") / 4.0).alias("est_tokens"),
+    )
+    b = d.groupBy("bucket").agg(F.sum("est_tokens").alias("bt"))
+    budgets = spark.createDataFrame(
+        [(x,) for x in _PACK_CURVE_BUDGETS], "budget int"
+    )
+    return (
+        b.crossJoin(F.broadcast(budgets))
+        .groupBy("budget")
+        .agg(
+            F.sum(F.expr("(bt - 1) div budget + 1")).alias("n_packs"),
+            F.sum("bt").alias("total_tokens"),
+            (
+                F.sum("bt").cast("double")
+                / (
+                    F.sum(F.expr("(bt - 1) div budget + 1")) * F.first("budget")
+                ).cast("double")
+            ).alias("utilization"),
+        )
+    )

@@ -2178,3 +2178,58 @@ def q175_state_export_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q179 — output-mode equivalence: the SAME aggregation drained in COMPLETE
+# mode (sink holds the full result every batch) and in UPDATE mode (sink
+# receives changed keys only; latest row per key wins) must converge to
+# identical final values. This is the sink-contract certification for
+# migrating between serving topologies (complete → small dashboards;
+# update → keyed upsert stores): the mode changes WHAT crosses the sink
+# per batch, never the final state. The verdict rows carry both sides'
+# values plus the equality flag, all under the batch oracle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q179_stream_output_modes",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_complete,
+           CAST(count(*) AS BIGINT) AS n_update,
+           TRUE AS modes_agree
+    FROM events GROUP BY event_type
+    """,
+)
+def q179_stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type running counts drained twice — complete-mode memory sink
+    vs update-mode latest-row-per-key upsert — then joined and compared.
+
+    Two passes over the replay by design (that is the thing being
+    certified); each pass is the ordinary one-shuffle streaming
+    aggregate. At scale you run ONE mode; this query exists to prove the
+    choice is serving-topology-only.
+    """
+    with _streaming_session(spark):
+        ev_c = stream_events(spark, sf_dir, N_BATCHES, tag="modes179c")
+        agg_c = ev_c.groupBy("event_type").agg(F.count("*").alias("n"))
+        complete = run_to_memory(agg_c, "mem_q179_complete", "complete")
+
+        ev_u = stream_events(spark, sf_dir, N_BATCHES, tag="modes179u")
+        agg_u = ev_u.groupBy("event_type").agg(F.count("*").alias("n"))
+        update = run_upsert_table(agg_u, ["event_type"])
+
+    c = complete.select("event_type", F.col("n").alias("n_complete"))
+    u = update.select(
+        F.col("event_type").alias("et_u"), F.col("n").alias("n_update")
+    )
+    return c.join(u, c.event_type == u.et_u, "full_outer").select(
+        "event_type",
+        "n_complete",
+        "n_update",
+        (
+            F.col("et_u").isNotNull()
+            & (F.col("n_complete") == F.col("n_update"))
+        ).alias("modes_agree"),
+    )

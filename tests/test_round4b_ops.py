@@ -372,3 +372,54 @@ def test_ddl_defaults_fill_every_row(spark, sf_dir):
     r = rows[0]
     assert r.quality == "unreviewed" and r.region == "global"
     assert r.n == load_table(spark, sf_dir, "events").count()
+
+
+def test_merkle_root_is_order_invariant_and_sensitive(spark, sf_dir):
+    """Same corpus ⇒ same root at any parallelism (run twice, compare);
+    root differs from a root computed over a 1-doc-smaller corpus."""
+    a = {r.node: r.h for r in _run(spark, sf_dir, "q178_merkle_tree_integrity").collect()}
+    b = {r.node: r.h for r in _run(spark, sf_dir, "q178_merkle_tree_integrity").collect()}
+    assert a == b and "ROOT" in a
+    # tamper-evidence: recompute leaves without doc 0 -> different root
+    from spark_state_provider_spark.operators.pipeline import _MERKLE_FAN
+    import hashlib
+
+    docs = sorted(
+        (r.doc_id, r.text)
+        for r in load_table(spark, sf_dir, "documents").collect()
+    )
+    def md5(s): return hashlib.md5(s.encode()).hexdigest()
+    def root_of(items):
+        leaf = [(i // _MERKLE_FAN, i, md5(f"{i}:{md5(t)}")) for i, t in items]
+        l1 = {}
+        for b1, i, h in sorted(leaf, key=lambda x: x[1]):
+            l1.setdefault(b1, []).append(h)
+        l1h = {b1: md5("".join(hs)) for b1, hs in l1.items()}
+        l2 = {}
+        for b1 in sorted(l1h):
+            l2.setdefault(b1 // _MERKLE_FAN, []).append(l1h[b1])
+        l2h = {b2: md5("".join(hs)) for b2, hs in l2.items()}
+        return md5("".join(l2h[b2] for b2 in sorted(l2h)))
+    assert a["ROOT"] == root_of(docs)  # independent python recomputation
+    assert a["ROOT"] != root_of(docs[1:])
+
+
+def test_output_modes_agree_everywhere(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q179_stream_output_modes").collect()
+    assert rows and all(r.modes_agree for r in rows)
+
+
+def test_packing_curve_monotone(spark, sf_dir):
+    """Bigger budgets ⇒ fewer packs; utilization stays in (0, 1]; pack
+    capacity always covers the tokens."""
+    rows = sorted(
+        _run(spark, sf_dir, "q180_packing_efficiency_curve").collect(),
+        key=lambda r: r.budget,
+    )
+    assert len(rows) == 3
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_packs >= b.n_packs
+        assert a.total_tokens == b.total_tokens
+    for r in rows:
+        assert 0.0 < r.utilization <= 1.0
+        assert r.n_packs * r.budget >= r.total_tokens
