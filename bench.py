@@ -199,6 +199,7 @@ HEADLINE = [
     "q178_merkle_tree_integrity",
     "q179_stream_output_modes",
     "q180_packing_efficiency_curve",
+    "q181_session_timeout_state",
 ]
 
 

@@ -2233,3 +2233,75 @@ def q179_stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_complete") == F.col("n_update"))
         ).alias("modes_agree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q181 — EVENT-TIME TIMEOUT sessionization through applyInPandasWithState:
+# the timer half of the mapGroupsWithState surface (every other handler in
+# streaming/stateful.py runs NoTimeout). Sessions close by a later
+# same-key event past the gap (emitted immediately) or by the timer when
+# the GLOBAL watermark passes last_event + gap (state.hasTimedOut). On
+# the time-ordered replay both rules reproduce batch gaps-and-islands
+# sessionization exactly; which sessions the FINAL flush emits is a pure
+# function of the final watermark (max ts − gap), so the whole emitted
+# set is SQL-predictable: every non-final session of a user, plus final
+# sessions whose timer is at or before the final watermark.
+# ---------------------------------------------------------------------------
+
+_Q181_GAP_MIN = 30
+
+
+@register(
+    "q181_session_timeout_state",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w
+                            >= INTERVAL '{_Q181_GAP_MIN} minutes'
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    ),
+    sessions AS (
+        SELECT user_id, sess_id,
+               min(ts) AS session_start,
+               max(ts) AS last_event_ts,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(sess_id) OVER (PARTITION BY user_id) AS max_sess
+        FROM numbered GROUP BY user_id, sess_id
+    ),
+    wm AS (
+        SELECT max(ts) - INTERVAL '{_Q181_GAP_MIN} minutes' AS w FROM events
+    )
+    SELECT user_id, session_start, last_event_ts, n_events
+    FROM sessions, wm
+    WHERE sess_id < max_sess
+       OR last_event_ts + INTERVAL '{_Q181_GAP_MIN} minutes' <= wm.w
+    """,
+)
+def q181_session_timeout_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeout-closed {_Q181_GAP_MIN}-minute sessions per user, state in
+    RocksDB, timers on event time.
+
+    Per micro-batch cost: the key's batch rows fold into one
+    (start, last, n) tuple; timers ride the state store (no scan of idle
+    keys — the store indexes timeouts). The emitted set equals batch
+    sessionization minus the still-open tail sessions the final watermark
+    has not released — exactly what a production session feed looks like.
+    """
+    from spark_state_provider_spark.streaming.stateful import (
+        session_timeout_stream,
+    )
+
+    with _streaming_session(spark):
+        ev = stream_events(spark, sf_dir, 4, tag="sess181")
+        out = session_timeout_stream(ev, _Q181_GAP_MIN * 60)
+        return run_to_memory(out, "mem_q181", "append")

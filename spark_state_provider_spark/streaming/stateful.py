@@ -169,3 +169,89 @@ def user_statistics_stream(
         F.timestamp_micros(F.col("first_ts_us")).alias("first_ts"),
         F.timestamp_micros(F.col("last_ts_us")).alias("last_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time-TIMEOUT sessionization — the timeout half of the
+# mapGroupsWithState surface (reference ``RocksDbStateTimeoutSuite``'s
+# live-firing semantics; the NoTimeout parity handlers above never arm a
+# timer). A session closes either when a later event of the SAME key
+# arrives past the gap (emitted immediately) or when the GLOBAL watermark
+# passes last_event + gap (``state.hasTimedOut`` → emitted by the timer).
+# On an event-time-ordered replay the two rules produce the SAME session
+# set as batch gaps-and-islands sessionization: a key's next event always
+# carries ts ≥ the global max seen, so a fired timer (watermark ≥
+# last+gap) implies the next event is ≥ gap away too.
+# ---------------------------------------------------------------------------
+
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start_us bigint, last_event_us bigint, "
+    "n_events bigint"
+)
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def make_session_timeout_handler(gap_secs: int):
+    gap_us = gap_secs * 1_000_000
+
+    def handler(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def emit(sess) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [sess[0]],
+                    "last_event_us": [sess[1]],
+                    "n_events": [sess[2]],
+                }
+            )
+
+        if state.hasTimedOut:
+            sess = state.get
+            state.remove()
+            yield emit(sess)
+            return
+        cur = list(state.get) if state.exists else None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        closed = []
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            for ts_us in sorted(pdf["ts"].astype("int64") // 1000):
+                ts_us = int(ts_us)
+                if cur is None:
+                    cur = [ts_us, ts_us, 1]
+                elif ts_us - cur[1] >= gap_us:
+                    closed.append(cur)
+                    cur = [ts_us, ts_us, 1]
+                else:
+                    cur[1] = ts_us
+                    cur[2] += 1
+        state.update(tuple(cur))
+        # arm the event-time timer: fire when the watermark passes the gap
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        for sess in closed:
+            yield emit(sess)
+
+    return handler
+
+
+def session_timeout_stream(events: DataFrame, gap_secs: int) -> DataFrame:
+    """Per-user timeout-closed sessions over a watermarked event stream."""
+    out = (
+        events.withWatermark("ts", f"{gap_secs} seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_session_timeout_handler(gap_secs),
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return out.select(
+        "user_id",
+        F.timestamp_micros(F.col("session_start_us")).alias("session_start"),
+        F.timestamp_micros(F.col("last_event_us")).alias("last_event_ts"),
+        "n_events",
+    )

@@ -423,3 +423,38 @@ def test_packing_curve_monotone(spark, sf_dir):
     for r in rows:
         assert 0.0 < r.utilization <= 1.0
         assert r.n_packs * r.budget >= r.total_tokens
+
+
+def test_session_timeout_subset_of_batch_sessions(spark, sf_dir):
+    """Every emitted session must exist in batch sessionization; only the
+    still-open watermark tail may be missing; timers and event-closes
+    never invent or merge sessions."""
+    import datetime
+
+    rows = _run(spark, sf_dir, "q181_session_timeout_state").collect()
+    assert rows
+    ev = sorted(
+        (r.user_id, r.ts)
+        for r in load_table(spark, sf_dir, "events").collect()
+    )
+    gap = datetime.timedelta(minutes=30)
+    sess: dict[int, list] = {}
+    for uid, ts in ev:
+        s = sess.setdefault(uid, [])
+        if not s or ts - s[-1][1] >= gap:
+            s.append([ts, ts, 1])
+        else:
+            s[-1][1] = ts
+            s[-1][2] += 1
+    batch = {
+        (uid, s[0], s[1], s[2]) for uid, ss in sess.items() for s in ss
+    }
+    emitted = {
+        (r.user_id, r.session_start, r.last_event_ts, r.n_events)
+        for r in rows
+    }
+    assert emitted <= batch
+    missing = batch - emitted
+    wm = max(ts for _, ts in ev) - gap
+    for uid, start, last, n in missing:  # only open tails may be held back
+        assert last + gap > wm
