@@ -200,6 +200,7 @@ HEADLINE = [
     "q179_stream_output_modes",
     "q180_packing_efficiency_curve",
     "q181_session_timeout_state",
+    "q182_stream_stream_full_outer",
 ]
 
 

@@ -2305,3 +2305,97 @@ def q181_session_timeout_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = stream_events(spark, sf_dir, 4, tag="sess181")
         out = session_timeout_stream(ev, _Q181_GAP_MIN * 60)
         return run_to_memory(out, "mem_q181", "append")
+
+
+# ---------------------------------------------------------------------------
+# q182 — stream-stream FULL OUTER join, completing the streaming-join
+# topology matrix (q26 inner, q26b left-outer, q26c stream-static). Both
+# sides null-emit on watermark-proved absence, with ASYMMETRIC eviction
+# predicates derived from the time-bound condition
+# (p_ts ∈ [c_ts, c_ts+6h]):
+#   * a click null-emits when c_ts + 6h < wm — no future purchase can
+#     land in its window;
+#   * a purchase null-emits when p_ts < wm — any future click has
+#     c_ts ≥ wm > p_ts and so cannot cover it.
+# With the time-ordered replay wm = min(both sides' max event time) − 1h,
+# so the emitted set is a pure function of the data and the oracle
+# replays all three legs (matched, left-null, right-null) in SQL.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q182_stream_stream_full_outer",
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT least((SELECT max(c_ts) FROM c), (SELECT max(p_ts) FROM p))
+               - INTERVAL '1 hour' AS w
+    ),
+    m AS (
+        SELECT c.click_id, p.purchase_id, c.c_user AS user_id
+        FROM c JOIN p ON c_user = p_user AND p_ts >= c_ts
+                     AND p_ts <= c_ts + INTERVAL '6 hours'
+    )
+    SELECT * FROM m
+    UNION ALL
+    SELECT c.click_id, NULL AS purchase_id, c.c_user AS user_id
+    FROM c CROSS JOIN wm
+    WHERE c.c_ts + INTERVAL '6 hours' < wm.w
+      AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+    UNION ALL
+    SELECT NULL AS click_id, p.purchase_id, p.p_user AS user_id
+    FROM p CROSS JOIN wm
+    WHERE p.p_ts < wm.w
+      AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
+    """,
+)
+def q182_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer click⟷purchase attribution stream: matches flow like
+    the inner join; each side's unmatched rows null-pad exactly when the
+    watermark proves no partner can still arrive.
+
+    State on both sides is bounded by the watermark horizon (1h delay +
+    6h window); the asymmetric eviction predicates above are what Spark
+    derives from the range condition — certified here value-for-value.
+    """
+    with _streaming_session(spark):
+        clicks = (
+            stream_events(spark, sf_dir, N_BATCHES, tag="fo1")
+            .where(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            stream_events(spark, sf_dir, N_BATCHES, tag="fo2")
+            .where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                "c_user = p_user AND p_ts >= c_ts "
+                "AND p_ts <= c_ts + INTERVAL 6 HOURS"
+            ),
+            "full_outer",
+        ).select(
+            "click_id",
+            "purchase_id",
+            F.coalesce("c_user", "p_user").alias("user_id"),
+        )
+        return run_to_memory(joined, "mem_q182", "append")

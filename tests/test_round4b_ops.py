@@ -458,3 +458,21 @@ def test_session_timeout_subset_of_batch_sessions(spark, sf_dir):
     wm = max(ts for _, ts in ev) - gap
     for uid, start, last, n in missing:  # only open tails may be held back
         assert last + gap > wm
+
+
+def test_full_outer_supersets_left_and_inner(spark, sf_dir):
+    """Full-outer emitted rows must contain the inner matches exactly
+    once and null-pad each side at most once per unmatched id."""
+    rows = _run(spark, sf_dir, "q182_stream_stream_full_outer").collect()
+    matched = [(r.click_id, r.purchase_id) for r in rows
+               if r.click_id is not None and r.purchase_id is not None]
+    left_nulls = [r.click_id for r in rows if r.purchase_id is None]
+    right_nulls = [r.purchase_id for r in rows if r.click_id is None]
+    assert len(left_nulls) == len(set(left_nulls))
+    assert len(right_nulls) == len(set(right_nulls))
+    # a null-padded id must not also appear matched
+    matched_clicks = {c for c, _ in matched}
+    matched_purch = {p for _, p in matched}
+    assert not (set(left_nulls) & matched_clicks)
+    assert not (set(right_nulls) & matched_purch)
+    assert matched and len(set(matched)) == len(matched)
