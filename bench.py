@@ -201,6 +201,7 @@ HEADLINE = [
     "q180_packing_efficiency_curve",
     "q181_session_timeout_state",
     "q182_stream_stream_full_outer",
+    "q183_count_min_sketch",
 ]
 
 

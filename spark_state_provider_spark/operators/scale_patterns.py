@@ -823,3 +823,104 @@ def q151_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("day_distinct").cast("long").alias("sum_daily_distinct"),
     )
     return per_type.join(ev_cnt, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# q183 — Count-Min sketch, the one classical mergeable sketch not yet in
+# the inventory (HLL q10d/q144, Greenwald-Khanna q10e, frequent-items
+# q10f, Misra-Gries q75, bitmap q151, bloom q93). CMS answers point
+# frequency queries from d×w integer cells: cell(j, h_j(x)) += 1 on
+# ingest, estimate(x) = min_j cell(j, h_j(x)) — one-sided error
+# (NEVER underestimates), cells merge by plain addition (the
+# re-aggregation property), and with FIXED hash parameters the sketch is
+# a pure function of the data, so the DuckDB oracle rebuilds it
+# bit-for-bit. Scale: the sketch build is one exploded groupBy (d rows
+# per input row, map-side combinable into d·w cells — constant size), and
+# point queries touch d cells; this is how a 100 TB stream serves
+# "how often did key x occur" from kilobytes of state.
+# ---------------------------------------------------------------------------
+
+_CMS_P = 2_147_483_647  # Mersenne prime 2^31−1
+_CMS_W = 256
+_CMS_ROWS = ((3, 17), (5, 101), (7, 907), (11, 4099))  # (a_j, b_j)
+_CMS_TOP = 20
+
+
+def _cms_hash_sql(j: int, x: str) -> str:
+    a, b = _CMS_ROWS[j]
+    return f"(({a} * ({x} % {_CMS_P}) + {b}) % {_CMS_P}) % {_CMS_W}"
+
+
+def _cms_oracle() -> str:
+    cell_legs = " UNION ALL ".join(
+        f"SELECT {j} AS rw, {_cms_hash_sql(j, 'user_id')} AS bkt FROM events"
+        for j in range(len(_CMS_ROWS))
+    )
+    est_legs = " , ".join(
+        f"(SELECT c FROM cells WHERE rw = {j}"
+        f" AND bkt = {_cms_hash_sql(j, 't.user_id')})"
+        for j in range(len(_CMS_ROWS))
+    )
+    return f"""
+    WITH cells AS (
+        SELECT rw, bkt, CAST(count(*) AS BIGINT) AS c
+        FROM ({cell_legs}) GROUP BY rw, bkt
+    ),
+    exact AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+        FROM events GROUP BY user_id
+        ORDER BY exact_n DESC, user_id LIMIT {_CMS_TOP}
+    )
+    SELECT t.user_id, t.exact_n,
+           CAST(least({est_legs}) AS BIGINT) AS cms_n,
+           least({est_legs}) >= t.exact_n AS never_underestimates
+    FROM exact t
+    """
+
+
+@register("q183_count_min_sketch", oracle=_cms_oracle())
+def q183_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS point-frequency estimates for the {_CMS_TOP} hottest users,
+    next to their exact counts and the one-sided-error verdict.
+
+    The sketch is {len(_CMS_ROWS)}×{_CMS_W} BIGINT cells built in one
+    combinable aggregate; the probe side joins each queried key to its
+    d cells (broadcast — the sketch is kilobytes at ANY corpus size)
+    and takes the min. Hash params are fixed literals, so estimates are
+    engine-exact.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    legs = [
+        e.select(
+            F.lit(j).alias("rw"),
+            F.expr(_cms_hash_sql(j, "user_id")).alias("bkt"),
+        )
+        for j in range(len(_CMS_ROWS))
+    ]
+    exploded = legs[0]
+    for leg in legs[1:]:
+        exploded = exploded.unionByName(leg)
+    cells = exploded.groupBy("rw", "bkt").agg(F.count("*").alias("c"))
+
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(_CMS_TOP)
+    )
+    probes = exact
+    for j in range(len(_CMS_ROWS)):
+        cj = cells.where(F.col("rw") == j).select(
+            F.col("bkt").alias(f"bkt{j}"), F.col("c").alias(f"c{j}")
+        )
+        probes = probes.join(
+            F.broadcast(cj),
+            F.expr(_cms_hash_sql(j, "user_id")) == F.col(f"bkt{j}"),
+        )
+    est = F.least(*[F.col(f"c{j}") for j in range(len(_CMS_ROWS))])
+    return probes.select(
+        "user_id",
+        "exact_n",
+        est.cast("long").alias("cms_n"),
+        (est >= F.col("exact_n")).alias("never_underestimates"),
+    )

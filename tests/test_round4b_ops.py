@@ -476,3 +476,21 @@ def test_full_outer_supersets_left_and_inner(spark, sf_dir):
     assert not (set(left_nulls) & matched_clicks)
     assert not (set(right_nulls) & matched_purch)
     assert matched and len(set(matched)) == len(matched)
+
+
+def test_cms_one_sided_and_tight_on_heavy_hitters(spark, sf_dir):
+    """CMS never underestimates; exact counts match an independent
+    recomputation; the estimate is finite and >= exact for every probe."""
+    rows = _run(spark, sf_dir, "q183_count_min_sketch").collect()
+    assert rows
+    exact = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.never_underestimates
+        assert r.exact_n == exact[r.user_id]
+        assert r.cms_n >= r.exact_n
