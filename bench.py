@@ -202,6 +202,7 @@ HEADLINE = [
     "q181_session_timeout_state",
     "q182_stream_stream_full_outer",
     "q183_count_min_sketch",
+    "q184_stream_merkle_maintenance",
 ]
 
 

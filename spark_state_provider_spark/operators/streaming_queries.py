@@ -2399,3 +2399,152 @@ def q182_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame
             F.coalesce("c_user", "p_user").alias("user_id"),
         )
         return run_to_memory(joined, "mem_q182", "append")
+
+
+# ---------------------------------------------------------------------------
+# q184 — INCREMENTAL Merkle maintenance: q178's integrity tree kept fresh
+# while the corpus streams in. Per micro-batch, only the leaf buckets the
+# batch TOUCHED are re-hashed (leaf store partitioned by bucket →
+# partition-pruned read; dynamic partition overwrite rewrites only those
+# L1 directories); the closing L2+root fold runs over the L1 store —
+# thousands-fold smaller than the corpus. Certification: the oracle is
+# q178's BATCH tree — the incrementally-maintained root must equal the
+# from-scratch root, which is the invariant that makes continuous
+# integrity auditing sound at 100 TB (per-batch cost ∝ batch, never
+# corpus).
+# ---------------------------------------------------------------------------
+
+
+def _q184_oracle() -> str:
+    from spark_state_provider_spark.operators.pipeline import _MERKLE_FAN
+
+    return f"""
+    WITH leaf AS (
+        SELECT doc_id,
+               doc_id // {_MERKLE_FAN} AS b1,
+               md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)) AS h
+        FROM documents
+    ),
+    l1 AS (
+        SELECT b1, b1 // {_MERKLE_FAN} AS b2,
+               md5(string_agg(h, '' ORDER BY doc_id)) AS h
+        FROM leaf GROUP BY b1
+    ),
+    l2 AS (
+        SELECT b2, md5(string_agg(h, '' ORDER BY b1)) AS h
+        FROM l1 GROUP BY b2
+    ),
+    root AS (
+        SELECT md5(string_agg(h, '' ORDER BY b2)) AS h FROM l2
+    )
+    SELECT 'L2:' || CAST(b2 AS VARCHAR) AS node, h FROM l2
+    UNION ALL
+    SELECT 'ROOT' AS node, h FROM root
+    """
+
+
+@register("q184_stream_merkle_maintenance", oracle=_q184_oracle())
+def q184_stream_merkle_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the corpus Merkle tree incrementally over streamed
+    document batches, then emit L2 nodes + root — which must equal the
+    q178 from-scratch tree exactly.
+
+    Per batch: leaf-hash the batch (narrow map), append to the
+    bucket-partitioned leaf store, re-hash ONLY the touched buckets
+    (partition-pruned read + dynamic partition overwrite of their L1
+    dirs). Nothing in the loop reads the whole corpus.
+    """
+    import os
+
+    from spark_state_provider_spark.operators.pipeline import _MERKLE_FAN
+    from spark_state_provider_spark.scratch import scratch_dir
+    from spark_state_provider_spark.streaming.sources import stream_docs
+
+    base = scratch_dir(
+        f"merkle_{os.path.basename(os.path.normpath(sf_dir))}", wipe=True
+    )
+    leaf_dir = os.path.join(base, "leaves")
+    l1_dir = os.path.join(base, "l1")
+    ckpt = os.path.join(base, "_ckpt")
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def maintain(batch_df, batch_id: int) -> None:
+        leaves = batch_df.select(
+            "doc_id",
+            F.expr(f"doc_id div {_MERKLE_FAN}").alias("b1"),
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), F.md5("text")
+                )
+            ).alias("h"),
+        ).persist()
+        leaves.write.mode("append").partitionBy("b1").parquet(leaf_dir)
+        touched = [r.b1 for r in leaves.select("b1").distinct().collect()]
+        leaves.unpersist()
+        # partition-pruned reread of ONLY the touched buckets
+        all_leaves = spark.read.parquet(leaf_dir).where(
+            F.col("b1").isin(touched)
+        )
+        l1 = all_leaves.groupBy("b1").agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "h"))),
+                        lambda x: x["h"],
+                    ),
+                    "",
+                )
+            ).alias("h")
+        )
+        # dynamic overwrite: only the touched buckets' directories rewrite
+        l1.write.mode("overwrite").partitionBy("b1").parquet(l1_dir)
+
+    with _streaming_session(spark):
+        sdf = stream_docs(spark, sf_dir, N_BATCHES, tag="merkle184")
+        q = (
+            sdf.writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+            if prev_mode is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev_mode
+                )
+            else:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+    l1 = spark.read.parquet(l1_dir).withColumn(
+        "b2", F.expr(f"b1 div {_MERKLE_FAN}")
+    )
+    l2 = l1.groupBy("b2").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("b1", "h"))),
+                    lambda x: x["h"],
+                ),
+                "",
+            )
+        ).alias("h")
+    )
+    root = l2.agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("b2", "h"))),
+                    lambda x: x["h"],
+                ),
+                "",
+            )
+        ).alias("h")
+    )
+    return l2.select(
+        F.concat(F.lit("L2:"), F.col("b2").cast("string")).alias("node"), "h"
+    ).unionByName(root.select(F.lit("ROOT").alias("node"), "h"))

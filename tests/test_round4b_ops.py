@@ -494,3 +494,14 @@ def test_cms_one_sided_and_tight_on_heavy_hitters(spark, sf_dir):
         assert r.never_underestimates
         assert r.exact_n == exact[r.user_id]
         assert r.cms_n >= r.exact_n
+
+
+def test_incremental_merkle_equals_batch(spark, sf_dir):
+    """The streamed, incrementally-maintained tree must be byte-identical
+    to the from-scratch q178 tree — the invariant that makes continuous
+    integrity auditing sound."""
+    inc = {r.node: r.h
+           for r in _run(spark, sf_dir, "q184_stream_merkle_maintenance").collect()}
+    batch = {r.node: r.h
+             for r in _run(spark, sf_dir, "q178_merkle_tree_integrity").collect()}
+    assert inc == batch
