@@ -203,6 +203,8 @@ HEADLINE = [
     "q182_stream_stream_full_outer",
     "q183_count_min_sketch",
     "q184_stream_merkle_maintenance",
+    "q185_bloom_filter_explicit",
+    "q186_skyline_pareto",
 ]
 
 

@@ -3237,3 +3237,65 @@ def q176_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             'coalesce_fills_nulls', n_coalesce, n_coalesce = n_null
         ) AS (fact, n, holds)"""
     )
+
+
+# ---------------------------------------------------------------------------
+# q186 — SKYLINE (Pareto front): parts no other part beats on BOTH price
+# and size (strict dominance: p_y ≤ p, s_y ≤ s, strict in one). Some
+# engines ship this as SKYLINE OF; Spark expresses the 2-D case exactly
+# without the naive O(n²) self-join: group to per-price minima (one
+# combinable aggregate), run the strictly-prior running min over the
+# per-price table (a window over DISTINCT prices — thousands-fold smaller
+# than the parts), and keep rows that tie their price's minimum AND beat
+# every strictly-cheaper row's best size. Duplicated (price, size) pairs
+# survive together, per strict dominance. All comparisons are exact
+# (double equality on untouched stored values + integer sizes).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q186_skyline_pareto",
+    oracle="""
+    WITH pm AS (
+        SELECT p_retailprice AS price, min(p_size) AS min_s
+        FROM part GROUP BY p_retailprice
+    ),
+    pr AS (
+        SELECT price, min_s,
+               min(min_s) OVER (
+                   ORDER BY price
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_best
+        FROM pm
+    )
+    SELECT p.p_partkey, p.p_retailprice AS price,
+           CAST(p.p_size AS BIGINT) AS size
+    FROM part p JOIN pr ON p.p_retailprice = pr.price
+    WHERE p.p_size = pr.min_s
+      AND (pr.prev_best IS NULL OR p.p_size < pr.prev_best)
+    """,
+)
+def q186_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The price×size Pareto front of the part table.
+
+    Scale shape: one map-side-combinable per-price min, one window over
+    the per-price frame (its size is the distinct-price count, not the
+    row count — and a coarser price bucketing caps it arbitrarily), one
+    broadcast-joinable filter back onto the parts. The same
+    grid-collapse-then-sweep generalizes to k dimensions by fixing k−1
+    grid axes.
+    """
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_retailprice").alias("price"), "p_size"
+    )
+    pm = p.groupBy("price").agg(F.min("p_size").alias("min_s"))
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    pr = pm.withColumn("prev_best", F.min("min_s").over(w))
+    return (
+        p.join(F.broadcast(pr), "price")
+        .where(
+            (F.col("p_size") == F.col("min_s"))
+            & (F.col("prev_best").isNull() | (F.col("p_size") < F.col("prev_best")))
+        )
+        .select("p_partkey", "price", F.col("p_size").cast("long").alias("size"))
+    )

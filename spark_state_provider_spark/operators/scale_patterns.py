@@ -924,3 +924,124 @@ def q183_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.cast("long").alias("cms_n"),
         (est >= F.col("exact_n")).alias("never_underestimates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q185 — EXPLICIT Bloom filter with measured false-positive rate. q93
+# exercises the optimizer-injected bloom join; this is the filter as a
+# first-class data structure: m bits in ⌈m/32⌉ integer words built by a
+# combinable OR-aggregate, fixed portable hashes so Spark and DuckDB set
+# identical bits, then a probe pass measuring (a) zero false negatives —
+# the Bloom guarantee — and (b) the exact false-positive count among
+# known non-members. At 100 TB the words are the shuffle-free broadcast
+# pre-filter for any anti-join-shaped "have we seen this key" question.
+# 32-bit words keep the 1<<pos shifts overflow-free in a signed BIGINT.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096  # bits
+_BLOOM_WORDS = _BLOOM_M // 32
+_BLOOM_HASHES = ((3, 17), (5, 101), (7, 907))  # (a, b) over the Mersenne p
+_BLOOM_MEMBER_MOD = 2  # members: even custkeys; probes: odd custkeys
+
+
+def _bloom_bit_sql(j: int, x: str) -> str:
+    a, b = _BLOOM_HASHES[j]
+    return f"(({a} * ({x} % {_CMS_P}) + {b}) % {_CMS_P}) % {_BLOOM_M}"
+
+
+def _bloom_oracle() -> str:
+    word_legs = " UNION ALL ".join(
+        f"SELECT {_bloom_bit_sql(j, 'c_custkey')} // 32 AS w, "
+        f"CAST(1 AS BIGINT) << ({_bloom_bit_sql(j, 'c_custkey')} % 32) AS bit "
+        f"FROM customer WHERE c_custkey % {_BLOOM_MEMBER_MOD} = 0"
+        for j in range(len(_BLOOM_HASHES))
+    )
+    probe_hits = " AND ".join(
+        f"(SELECT bits FROM words WHERE w = {_bloom_bit_sql(j, 'p.c_custkey')} // 32)"
+        f" & (CAST(1 AS BIGINT) << ({_bloom_bit_sql(j, 'p.c_custkey')} % 32)) <> 0"
+        for j in range(len(_BLOOM_HASHES))
+    )
+    return f"""
+    WITH words AS (
+        SELECT w, CAST(bit_or(bit) AS BIGINT) AS bits
+        FROM ({word_legs}) GROUP BY w
+    ),
+    probes AS (
+        SELECT c_custkey, c_custkey % {_BLOOM_MEMBER_MOD} = 0 AS is_member,
+               ({probe_hits}) AS bloom_hit
+        FROM customer p
+    )
+    SELECT is_member,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(count(*) FILTER (WHERE bloom_hit) AS BIGINT) AS n_hits,
+           CAST(count(*) FILTER (WHERE bloom_hit AND NOT is_member)
+                AS BIGINT) AS n_false_positives
+    FROM probes GROUP BY is_member
+    """
+
+
+@register("q185_bloom_filter_explicit", oracle=_bloom_oracle())
+def q185_bloom_filter_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a {_BLOOM_M}-bit Bloom filter over the even customer keys,
+    probe it with ALL keys, and report per-membership-class hit counts —
+    members must hit 100% (no false negatives); the odd-key row carries
+    the exact measured false-positive count.
+
+    The filter is {_BLOOM_WORDS} integer words from one OR-combinable
+    aggregate; the probe side broadcasts them (kilobytes at any corpus
+    size) and tests k bits per key in pure codegen.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    members = cust.where(F.col("c_custkey") % _BLOOM_MEMBER_MOD == 0)
+    legs = [
+        members.select(
+            F.expr(f"{_bloom_bit_sql(j, 'c_custkey')} div 32").alias("w"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"{_bloom_bit_sql(j, 'c_custkey')} % 32)"
+            ).alias("bit"),
+        )
+        for j in range(len(_BLOOM_HASHES))
+    ]
+    bits = legs[0]
+    for leg in legs[1:]:
+        bits = bits.unionByName(leg)
+    words = bits.groupBy("w").agg(F.expr("bit_or(bit)").alias("bits"))
+
+    probes = cust.select(
+        "c_custkey",
+        (F.col("c_custkey") % _BLOOM_MEMBER_MOD == 0).alias("is_member"),
+    )
+    hit = F.lit(True)
+    for j in range(len(_BLOOM_HASHES)):
+        wj = words.select(
+            F.col("w").alias(f"w{j}"), F.col("bits").alias(f"bits{j}")
+        )
+        probes = probes.join(
+            F.broadcast(wj),
+            F.expr(f"{_bloom_bit_sql(j, 'c_custkey')} div 32") == F.col(f"w{j}"),
+            "left",
+        )
+        hit = hit & (
+            F.coalesce(
+                F.col(f"bits{j}").bitwiseAND(
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT), "
+                        f"{_bloom_bit_sql(j, 'c_custkey')} % 32)"
+                    )
+                ),
+                F.lit(0),
+            )
+            != 0
+        )
+    return probes.withColumn("bloom_hit", hit).groupBy("is_member").agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hits"),
+        F.sum(
+            F.when(F.col("bloom_hit") & ~F.col("is_member"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_positives"),
+    )

@@ -505,3 +505,28 @@ def test_incremental_merkle_equals_batch(spark, sf_dir):
     batch = {r.node: r.h
              for r in _run(spark, sf_dir, "q178_merkle_tree_integrity").collect()}
     assert inc == batch
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    rows = {r.is_member: r for r in _run(spark, sf_dir, "q185_bloom_filter_explicit").collect()}
+    m = rows[True]
+    assert m.n_hits == m.n_probes and m.n_false_positives == 0
+    nm = rows[False]
+    assert nm.n_false_positives == nm.n_hits  # every non-member hit is an FP
+    assert nm.n_false_positives < nm.n_probes  # filter actually filters
+
+
+def test_skyline_is_exactly_the_undominated_set(spark, sf_dir):
+    """Brute-force dominance check over the collected part table."""
+    sky = {(r.p_partkey) for r in _run(spark, sf_dir, "q186_skyline_pareto").collect()}
+    parts = [
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in load_table(spark, sf_dir, "part").collect()
+    ]
+    def dominated(x):
+        return any(
+            y[1] <= x[1] and y[2] <= x[2] and (y[1] < x[1] or y[2] < x[2])
+            for y in parts if y[0] != x[0]
+        )
+    expect = {x[0] for x in parts if not dominated(x)}
+    assert sky == expect
