@@ -2302,7 +2302,10 @@ def q181_session_timeout_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     with _streaming_session(spark):
-        ev = stream_events(spark, sf_dir, 4, tag="sess181")
+        # 3 time-ordered slices: timers fire mid-stream (batch 2's watermark
+        # releases batch-1 tails) AND at the final flush; the emitted set —
+        # and so the oracle — is batch-count-independent
+        ev = stream_events(spark, sf_dir, 3, tag="sess181")
         out = session_timeout_stream(ev, _Q181_GAP_MIN * 60)
         return run_to_memory(out, "mem_q181", "append")
 
