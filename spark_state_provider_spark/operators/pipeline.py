@@ -1779,16 +1779,19 @@ def q124_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{_CURRICULUM_PHASES}-phase curriculum split by mean-word-length
     difficulty, with per-phase composition stats.
 
-    The ntile runs over an unpartitioned window — fine here because the
-    windowed payload is (doc_id, source, difficulty), not the text, and
-    because the tie-broken total order (difficulty, doc_id) is exactly
-    what makes the phase assignment reproducible. At 100 TB you'd replace
-    the exact ntile with quantile boundaries from approx_percentile over a
-    sample (or Spark's own range-partitioning sampler) and assign phases
-    by comparison against the broadcast boundaries — same downstream
-    contract, no single-task sort; the exact form is the contract this
-    query pins. Difficulty is rational: (chars − spaces) / tokens, one
-    division, bit-identical on both engines.
+    EXACT ntile without the single-partition window: SQL ntile(k) over n
+    rows front-loads the remainder — with q = n div k and r = n mod k the
+    first r tiles hold q+1 rows and the rest hold q — so the phase is a
+    closed-form function of the row's 1-based rank in the (difficulty,
+    doc_id) total order, and the global rank is computed with the
+    q100/q83 two-phase layout —
+    coarse difficulty buckets (width 0.1 mean-word-length; monotone in the
+    sort key) are counted and prefix-summed into start offsets (a tiny
+    broadcast), then per-bucket parallel row_numbers shift by their
+    bucket's offset. Every window is either bucket-partitioned or
+    bucket-count-sized; the corpus-wide sort the naive ntile would ship to
+    ONE task never materializes. Difficulty is rational: (chars − spaces)
+    / tokens, one division, bit-identical on both engines.
     """
     d = load_table(spark, sf_dir, "documents")
     ntok = F.size(F.split("text", " "))
@@ -1800,9 +1803,34 @@ def q124_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ntok.cast("double")
         ).alias("difficulty"),
     )
-    w = Window.orderBy("difficulty", "doc_id")
-    phased = scored.withColumn(
-        "phase", F.ntile(_CURRICULUM_PHASES).over(w).cast("long")
+    scored = scored.withColumn(
+        "coarse", F.floor(F.col("difficulty") * 10).cast("long")
+    )
+    counts = scored.groupBy("coarse").agg(F.count("*").alias("cn"))
+    woff = Window.orderBy("coarse").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "coarse", F.coalesce(F.sum("cn").over(woff), F.lit(0)).alias("off")
+    )
+    wb = Window.partitionBy("coarse").orderBy("difficulty", "doc_id")
+    ranked = scored.join(F.broadcast(offsets), "coarse").withColumn(
+        "rnk", F.row_number().over(wb) + F.col("off")
+    )
+    total = scored.agg(F.count("*").alias("n"))
+    k = _CURRICULUM_PHASES
+    # ntile's exact closed form (remainder tiles first); the q=0 branch
+    # (n < k) degenerates to phase = rank, matching SQL ntile.
+    phased = ranked.join(F.broadcast(total)).withColumn(
+        "phase",
+        F.expr(
+            f"CASE WHEN n < {k} THEN rnk "
+            f"WHEN rnk <= (n % {k}) * ((n div {k}) + 1) "
+            f"THEN (rnk - 1) div ((n div {k}) + 1) + 1 "
+            f"ELSE (n % {k}) + 1 + "
+            f"(rnk - (n % {k}) * ((n div {k}) + 1) - 1) div (n div {k}) "
+            f"END"
+        ).cast("long"),
     )
     return phased.groupBy("phase").agg(
         F.count("*").alias("n_docs"),

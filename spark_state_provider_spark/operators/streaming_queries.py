@@ -2302,10 +2302,13 @@ def q181_session_timeout_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     with _streaming_session(spark):
-        # 3 time-ordered slices: timers fire mid-stream (batch 2's watermark
-        # releases batch-1 tails) AND at the final flush; the emitted set —
-        # and so the oracle — is batch-count-independent
-        ev = stream_events(spark, sf_dir, 3, tag="sess181")
+        # 2 time-ordered slices — the minimum that keeps timers firing
+        # mid-stream (batch 2 runs under batch 1's watermark, releasing
+        # batch-1 tails) AND at the final flush. The emitted set is proven
+        # batch-count-independent (same oracle at 2 or 3 slices), so the
+        # third slice bought only micro-batch overhead (~1/3 of the round-4
+        # bench's most expensive query).
+        ev = stream_events(spark, sf_dir, 2, tag="sess181")
         out = session_timeout_stream(ev, _Q181_GAP_MIN * 60)
         return run_to_memory(out, "mem_q181", "append")
 

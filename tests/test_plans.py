@@ -530,3 +530,74 @@ def test_q171_topk_never_global_sorts(spark, sf_dir):
     plan = plan_string(_df(spark, sf_dir, "q171_collocation_lift"))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Single-partition gate (round-5): no query may force corpus-sized data
+# through one task — unpartitioned Window nodes and SinglePartition
+# exchanges are flagged by plans.explain.single_partition_findings, with
+# post-limit and zero-key-agg shapes auto-allowed. scripts/plan_audit.py
+# runs the same detector over the WHOLE registry (PLAN_AUDIT.md's
+# GLOBAL_1PART column, with the documented bounded-frame allowlist);
+# these tests pin the detector's semantics plus the queries most at risk.
+# ---------------------------------------------------------------------------
+
+def test_single_partition_detector_semantics(spark, sf_dir):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from spark_state_provider_spark.plans.explain import (
+        single_partition_findings,
+    )
+
+    df = spark.range(100).withColumn("k", F.col("id") % 5)
+    # global ordered window → flagged
+    bad = df.withColumn("r", F.row_number().over(W.orderBy("id")))
+    assert any("global_window" in f for f in single_partition_findings(bad))
+    # partitioned window → clean
+    good = df.withColumn(
+        "r", F.row_number().over(W.partitionBy("k").orderBy("id"))
+    )
+    assert single_partition_findings(good) == []
+    # partition-only window (no orderBy; 2 bracket groups too) → clean
+    part_only = df.withColumn("m", F.max("id").over(W.partitionBy("k")))
+    assert single_partition_findings(part_only) == []
+    # zero-key aggregate's SinglePartition exchange → allowed
+    assert single_partition_findings(df.agg(F.count("*").alias("n"))) == []
+    # global window over a post-limit frame (bounded) → allowed
+    lim = df.orderBy("id").limit(5).withColumn(
+        "r", F.row_number().over(W.orderBy("id"))
+    )
+    assert single_partition_findings(lim) == []
+
+
+def test_q124_curriculum_no_corpus_global_window(spark, sf_dir):
+    from spark_state_provider_spark.plans.explain import (
+        single_partition_findings,
+    )
+
+    df = _df(spark, sf_dir, "q124_curriculum_order")
+    plan = plan_string(df)
+    # the corpus-sized rank window must be coarse-bucket-partitioned
+    assert "hashpartitioning(coarse" in plan
+    # the only global window left is the prefix sum over the ~150-row
+    # coarse-bucket counts frame (the documented bucket-offset pattern)
+    finds = single_partition_findings(df)
+    assert all("sum(cn" in f or "Sort [coarse" in f for f in finds), finds
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q12_window_rank", "q38_sequence_packing", "q94_rolling_anomaly",
+        "q107_trend_slope", "q111_span_dedup", "q116_lateral_topk",
+        "q119_bpe_merge_candidates", "q125_temperature_mix",
+        "q49_bm25", "q70_grouped_topk_array",
+    ],
+)
+def test_no_unallowlisted_single_partition(spark, sf_dir, name):
+    from spark_state_provider_spark.plans.explain import (
+        single_partition_findings,
+    )
+
+    assert single_partition_findings(_df(spark, sf_dir, name)) == []
