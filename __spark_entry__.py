@@ -90,33 +90,44 @@ _WINDOW_CAP = 50
 # additions plus q97/q98/q99 are round 5's window (18 names, well under
 # the cap, so round 5 can also re-serve anything round 4 leaves red).
 _PRIORITY_HINT = [
-    "q100_equidepth_histogram", "q101_negative_sampling",
-    "q102_aqe_skew_join", "q104_cascade_delete", "q105_corpus_diff",
-    "q106_media_similarity", "q107_trend_slope", "q108_stream_leaderboard",
-    "q109_null_skew_outer_join", "q111_span_dedup", "q112_semdedup",
-    "q113_source_overlap", "q114_stream_span_dedup", "q115_recursive_cte",
-    "q116_lateral_topk", "q117_pipe_syntax", "q118_session_variables",
-    "q119_bpe_merge_candidates", "q120_quality_funnel", "q121_dataset_card",
-    "q51_inverted_index", "q64_table_profile", "q65_schema_evolution",
-    "q66_python_stream_source", "q67_incremental_agg", "q68_bucketed_join",
-    "q69_correlation", "q70_grouped_topk_array", "q71_null_safe_join",
-    "q75_heavy_hitters", "q76_dynamic_partition_pruning",
-    "q77_doc_chunking", "q78_incremental_dedup", "q79_salted_join",
-    "q80_cluster_representative", "q81_boilerplate_strip",
-    "q82_binaryfile_source", "q83_global_shuffle", "q84_vocab_coverage",
-    "q85_leakage_safe_split", "q86_feature_hash_embed",
-    "q87_rare_ngram_ratio", "q88_rollup_hierarchy",
-    "q89_small_file_compaction", "q91_multiprobe_lsh",
-    "q92_stream_incremental_dedup", "q93_runtime_bloom_join",
-    "q94_rolling_anomaly", "q95_data_quality_audit",
-    "q96_stream_heavy_hitters",
-    # --- beyond the 50-cap while the round-4 window is pending (no effect
-    # on it), but FIRST in line once those go green: the three oldest
-    # pending names sort lexicographically last (q9x > q1xx), so without
-    # this pin any round-4 red re-entering the window would displace them
-    # in round 5.
+    # Round 5's window, pinned explicitly (oldest-first: the three q9x
+    # names sort lexicographically last and would otherwise be displaced
+    # by q1xx additions): q97–q99 + q122–q174. These drop out of the hint
+    # on their own once CORRECTNESS_r05 lands.
     "q97_stream_rolling_anomaly", "q98_join_size_estimate",
     "q99_embedding_drift",
+    "q122_bigram_rarity", "q123_text_normalize", "q124_curriculum_order",
+    "q125_temperature_mix", "q126_maxsim_late_interaction",
+    "q133_dup_graph_triangles", "q134_source_gini", "q135_k_anonymity",
+    "q136_containment_dedup", "q137_cogroup_reconcile",
+    "q138_window_group_limit", "q139_python_datasource_write",
+    "q140_udtf_dynamic_schema", "q141_observation_metrics",
+    "q142_policy_masking", "q143_corrupt_record_handling",
+    "q144_sketch_rollup", "q145_variant_type", "q146_xml_ingest",
+    "q147_collation_ci_distinct", "q148_sql_scripting",
+    "q149_stream_corrupt_quarantine", "q150_hamming_topk",
+    "q151_bitmap_distinct_rollup", "q152_label_propagation",
+    "q153_systematic_weighted_sample", "q154_corpus_simpson_diversity",
+    "q155_stream_python_sink", "q156_ohlc_downsample",
+    "q157_rate_source_checksum", "q158_state_change_feed",
+    "q159_neyman_allocation", "q160_stream_fanout_consistency",
+    "q161_dynamic_gap_sessions", "q162_partition_evolution",
+    "q163_late_data_accounting", "q164_good_turing_counts",
+    "q165_image_phash", "q166_stream_restart_exactly_once",
+    "q167_sql_scalar_udf", "q168_file_metadata_lineage",
+    "q169_parameterized_identifier", "q170_stream_ivf_maintenance",
+    "q171_collocation_lift", "q172_chained_stateful",
+    "q173_sql_table_function", "q174_kcore_pruning",
+    # --- ROUND 6's front of the line (beyond this round's 50-cap, so no
+    # effect now): the round-4b flagships that spill past round 5's
+    # window. Pinned BEFORE any round-5 registry addition lands, per the
+    # round-4 verdict — new qN adds must queue BEHIND these.
+    "q175_state_export_kv", "q176_null_semantics",
+    "q177_ddl_column_defaults", "q178_merkle_tree_integrity",
+    "q179_stream_output_modes", "q180_packing_efficiency_curve",
+    "q181_session_timeout_state", "q182_stream_stream_full_outer",
+    "q183_count_min_sketch", "q184_stream_merkle_maintenance",
+    "q185_bloom_filter_explicit", "q186_skyline_pareto",
 ]
 
 _PREFIX_RE = __import__("re").compile(r"^(y_|z\d+_)")

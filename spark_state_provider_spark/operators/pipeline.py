@@ -2443,3 +2443,243 @@ def q180_packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("utilization"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q187 — hashed-n-gram linear quality classifier (fastText-style scoring).
+# The workhorse of modern corpus curation (CCNet/RefinedWeb/FineWeb-style
+# "educational value" / quality filters) is a linear model over hashed
+# token features. The heavy lift at 100 TB is the SCORING pass, and that
+# is exactly what this pins: token → fixed-width feature bucket → weight
+# lookup → per-doc accumulate → threshold. Weights here are derived
+# deterministically from the bucket id (a stand-in for a broadcast learned
+# weight table of the same shape — the plan is identical either way).
+# Integer milli-weights accumulate in BIGINT (float summation order never
+# enters); the single final division is exact IEEE on both engines.
+# ---------------------------------------------------------------------------
+
+_QC_BUCKETS = 1024  # feature-hash width
+_QC_MULT = 2654435761  # Knuth multiplicative constant for the weight table
+
+
+@register(
+    "q187_quality_classifier",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, t.tok
+        FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+    ),
+    feat AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(tok), 1, 8))::BIGINT % {_QC_BUCKETS})
+                   AS bucket
+        FROM tok
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum((bucket * {_QC_MULT}) % 2001 - 1000) AS BIGINT)
+                   AS logit_milli
+        FROM feat GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, logit_milli,
+           CAST(logit_milli AS DOUBLE) / (1000.0 * n_tokens) AS score,
+           logit_milli > 0 AS keep
+    FROM scored
+    """,
+)
+def q187_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document linear quality score over {_QC_BUCKETS} hashed token
+    features, with the keep/drop verdict a production filter would gate on.
+
+    Scale shape: explode + hash + groupBy(doc_id) with map-side combine —
+    one narrow corpus pass, no joins (the weight table is a pure function
+    here; a learned one broadcasts at ~{_QC_BUCKETS} rows). The md5-derived
+    bucket is the portable-hash pattern (q28c2): both engines read the
+    first 8 hex chars as an i64, so bucket and weight agree bit-for-bit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % _QC_BUCKETS
+        ).alias("bucket"),
+    )
+    scored = feat.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(
+            (F.col("bucket") * F.lit(_QC_MULT)) % 2001 - 1000
+        ).cast("long").alias("logit_milli"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "logit_milli",
+        (
+            F.col("logit_milli").cast("double")
+            / (F.lit(1000.0) * F.col("n_tokens"))
+        ).alias("score"),
+        (F.col("logit_milli") > 0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q190 — per-source winsorized length statistics: clip each source's
+# document lengths at its own exact P05/P95 (percentile_disc semantics:
+# the smallest value whose cumulative rank reaches the target) and report
+# the winsorized totals. Outlier clipping is how length-based quality
+# signals are made robust before thresholding; doing it EXACTLY and
+# per-source is the part worth pinning (approx_percentile drifts between
+# engines, and a global clip misprices sources with different length
+# regimes).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q190_winsorized_stats",
+    oracle="""
+    WITH r AS (
+        SELECT source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    ),
+    cuts AS (
+        SELECT source,
+               max(n) AS n_docs,
+               max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                        THEN n_chars END) AS p05,
+               max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                        THEN n_chars END) AS p95
+        FROM r GROUP BY source
+    )
+    SELECT d.source,
+           cuts.n_docs,
+           cuts.p05,
+           cuts.p95,
+           CAST(sum(CASE WHEN d.n_chars < cuts.p05 THEN cuts.p05
+                         WHEN d.n_chars > cuts.p95 THEN cuts.p95
+                         ELSE d.n_chars END) AS BIGINT) AS winsorized_chars,
+           CAST(sum(CASE WHEN d.n_chars < cuts.p05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(sum(CASE WHEN d.n_chars > cuts.p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high
+    FROM documents d JOIN cuts ON d.source = cuts.source
+    GROUP BY d.source, cuts.n_docs, cuts.p05, cuts.p95
+    """,
+)
+def q190_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source P05/P95 winsorization of document lengths.
+
+    Scale shape: the rank window partitions BY SOURCE (parallel across
+    sources; within a source, lengths are the only windowed payload), the
+    per-source cut table is tiny and broadcasts back onto the corpus, and
+    the final aggregate map-side-combines. All integer arithmetic — the
+    clip boundaries are actual data values (percentile_disc), never an
+    interpolated float.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    wr = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    r = d.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    cuts = r.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.05 * F.col("n")).cast("long"),
+                F.col("n_chars"),
+            )
+        ).alias("p05"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.95 * F.col("n")).cast("long"),
+                F.col("n_chars"),
+            )
+        ).alias("p95"),
+    )
+    clipped = d.join(F.broadcast(cuts), "source").select(
+        "source",
+        "n_docs",
+        "p05",
+        "p95",
+        F.when(F.col("n_chars") < F.col("p05"), F.col("p05"))
+        .when(F.col("n_chars") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("n_chars"))
+        .alias("w_chars"),
+        (F.col("n_chars") < F.col("p05")).cast("long").alias("lo"),
+        (F.col("n_chars") > F.col("p95")).cast("long").alias("hi"),
+    )
+    return clipped.groupBy("source", "n_docs", "p05", "p95").agg(
+        F.sum("w_chars").cast("bigint").alias("winsorized_chars"),
+        F.sum("lo").cast("bigint").alias("n_clipped_low"),
+        F.sum("hi").cast("bigint").alias("n_clipped_high"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q191 — per-domain document cap: keep at most K docs per source, best
+# first (here: longest, tie-broken by doc_id). Every production mixture
+# caps over-represented domains; the cap must be deterministic (stable
+# under re-runs and shard order) and must never funnel the corpus through
+# a global sort — per-source top-K is windowed WITHIN each source.
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAP = 15
+
+
+@register(
+    "q191_domain_cap",
+    oracle=f"""
+    WITH r AS (
+        SELECT source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn <= {_DOMAIN_CAP} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars,
+           CAST(sum(CASE WHEN rn > {_DOMAIN_CAP} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS dropped_chars
+    FROM r GROUP BY source
+    """,
+)
+def q191_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at {_DOMAIN_CAP} docs (longest-first, doc_id
+    tie-break) and account for what the cap keeps vs drops.
+
+    Scale shape: one window partitioned by source (parallel across the
+    domain axis — at 100 TB a skewed mega-domain additionally pre-prunes
+    with a per-partition partial top-K before the window, the q70
+    pattern), then a map-side-combined aggregate. No global ordering
+    anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    r = d.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") <= _DOMAIN_CAP
+    return r.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(kept.cast("long")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+        F.sum(F.when(~kept, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_chars"),
+    )

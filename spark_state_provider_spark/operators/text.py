@@ -958,3 +958,233 @@ def q171_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("lift").desc(), "w1", "w2").limit(_COLLOC_TOP)
+
+
+# ---------------------------------------------------------------------------
+# q188 — character-trigram corpus LM scoring (the CCNet-style "does this
+# document look like the corpus" filter, without the transcendental):
+# train char-3-gram occurrence counts over the whole corpus, then score
+# each document by the average corpus frequency of ITS trigram
+# occurrences. High score = in-distribution text; low = line noise,
+# wrong-charset, boilerplate. All accumulation is BIGINT (count sums);
+# the single final division is exact IEEE on both engines — a log-prob
+# variant would rank identically but hash-mismatch on libm `ln`.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q188_char_trigram_lm",
+    oracle="""
+    WITH tri AS (
+        SELECT doc_id, t.tri
+        FROM documents, unnest(list_transform(
+            generate_series(1, length(text) - 2),
+            i -> substr(text, i, 3)
+        )) AS t(tri)
+        WHERE length(text) >= 3
+    ),
+    model AS (SELECT tri, count(*) AS n FROM tri GROUP BY tri),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM model)
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tris,
+           CAST(sum(m.n) AS BIGINT) AS freq_sum,
+           CAST(sum(m.n) AS DOUBLE)
+               / (CAST(t.total AS DOUBLE) * count(*)) AS lm_score
+    FROM tri d JOIN model m USING (tri) CROSS JOIN tot t
+    GROUP BY d.doc_id, t.total
+    """,
+)
+def q188_char_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average corpus-frequency of its character trigrams
+    (self-trained 3-gram LM filter score).
+
+    Scale shape: the MODEL is bounded by the charset cubed (tens of
+    thousands of rows however big the corpus — it broadcasts), so scoring
+    is explode → broadcast hash probe → map-side-combined groupBy(doc_id).
+    Two corpus passes total (count, score), both narrow. The trigram
+    explode reuses one `sequence` per row — linear per doc, no
+    re-evaluated substring lambda.
+    """
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= 3
+    )
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("tri"),
+    )
+    model = tri.groupBy("tri").agg(F.count("*").alias("n"))
+    tot = model.agg(F.sum("n").cast("bigint").alias("total"))
+    return (
+        tri.join(F.broadcast(model), "tri")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "total")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tris"),
+            F.sum("n").cast("bigint").alias("freq_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tris",
+            "freq_sum",
+            (
+                F.col("freq_sum").cast("double")
+                / (F.col("total").cast("double") * F.col("n_tris"))
+            ).alias("lm_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q192 — tokenizer fertility audit: with a frequency-induced vocabulary
+# (every token covering ≥ 1/1000 of corpus occurrences — scale-invariant,
+# unlike an absolute count cutoff), charge 1 token per in-vocab word and
+# a byte-fallback of length(word) tokens per OOV word, then report
+# per-source fertility (tokens per word). This is the metric that decides
+# whether a tokenizer fits a domain — fertility >> 1 on a source means
+# the vocab under-serves it (the multilingual tax, measured).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q192_tokenizer_fertility",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source, t.tok
+        FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+    ),
+    freq AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM freq),
+    vocab AS (
+        SELECT tok FROM freq, tot WHERE n * 1000 >= total
+    ),
+    costed AS (
+        SELECT t.source,
+               CASE WHEN v.tok IS NOT NULL THEN 1
+                    ELSE length(t.tok) END AS cost
+        FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(cost) AS BIGINT) AS n_tokens,
+           CAST(sum(cost) AS DOUBLE) / count(*) AS fertility
+    FROM costed GROUP BY source
+    """,
+)
+def q192_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility under a ≥0.1%-frequency vocabulary
+    with character fallback for OOV words.
+
+    Scale shape: vocabulary induction is one map-side-combined token
+    count; the vocab (bounded: at most 1000 tokens can each hold ≥1/1000
+    of occurrences) BROADCASTS; costing is a narrow scan + hash probe +
+    combinable per-source sums. Integer token costs — fertility is the
+    one final division.
+    """
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = freq.agg(F.sum("n").cast("bigint").alias("total"))
+    vocab = (
+        freq.crossJoin(F.broadcast(tot))
+        .where(F.col("n") * 1000 >= F.col("total"))
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    costed = tok.join(F.broadcast(vocab), "tok", "left").select(
+        "source",
+        F.when(F.col("in_vocab").isNotNull(), F.lit(1))
+        .otherwise(F.length("tok"))
+        .cast("long")
+        .alias("cost"),
+    )
+    return costed.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum("cost").cast("bigint").alias("n_tokens"),
+        (F.sum("cost").cast("double") / F.count("*")).alias("fertility"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q198 — language-label QA: the confusion matrix between the stored lang
+# label and the marker-word prediction (q30b's classifier), plus each
+# cell's share of its labeled row. Label noise is a first-order data
+# problem at 100 TB — before training on `lang`, measure how often the
+# content disagrees with it, per label.
+# ---------------------------------------------------------------------------
+
+
+def _langid_confusion_sql() -> str:
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        expr = " + ".join(_count_sql("p", m) for m in markers)
+        scores.append(f"CAST({expr} AS BIGINT) AS score_{lang}")
+    langs = sorted(LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lang} = {greatest} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+    WITH p AS (SELECT doc_id, lang, (' ' || text || ' ') AS p FROM documents),
+    s AS (SELECT doc_id, lang, {", ".join(scores)} FROM p),
+    pred AS (
+        SELECT lang AS labeled_lang, {case} AS predicted_lang FROM s
+    ),
+    cells AS (
+        SELECT labeled_lang, predicted_lang,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY labeled_lang, predicted_lang
+    )
+    SELECT labeled_lang, predicted_lang, n,
+           CAST(n AS DOUBLE) / CAST(sum(n) OVER (
+               PARTITION BY labeled_lang) AS DOUBLE) AS share_of_label,
+           labeled_lang = predicted_lang AS agree
+    FROM cells
+    """
+
+
+@register("q198_langid_confusion", oracle=_langid_confusion_sql())
+def q198_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """labeled-lang × predicted-lang confusion cells with per-label
+    shares — the audit that prices `lang` before anyone trains on it.
+
+    Scale shape: the marker scoring is q30b's pure column expressions
+    (one narrow pass, no Python), the confusion matrix is a
+    map-side-combined count over a |langs|² key space, and the share
+    window partitions by labeled_lang over at most |langs| rows per
+    partition. The integer count ratio is the only division.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "p", F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    )
+    for lang, markers in LANG_MARKERS.items():
+        expr = " + ".join(_count_sql("p", m) for m in markers)
+        d = d.withColumn(f"score_{lang}", F.expr(f"CAST({expr} AS BIGINT)"))
+    langs = sorted(LANG_MARKERS)
+    greatest = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == greatest, lang).otherwise(pred)
+    cells = (
+        d.select(
+            F.col("lang").alias("labeled_lang"),
+            pred.alias("predicted_lang"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(w).cast("double")
+        ).alias("share_of_label"),
+        (F.col("labeled_lang") == F.col("predicted_lang")).alias("agree"),
+    )
