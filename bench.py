@@ -205,6 +205,21 @@ HEADLINE = [
     "q184_stream_merkle_maintenance",
     "q185_bloom_filter_explicit",
     "q186_skyline_pareto",
+    # round-5 additions: curation classifiers/stats, streaming quota,
+    # hard negatives, order-statistics + SQL-surface parity, EWMA fold
+    "q187_quality_classifier",
+    "q188_char_trigram_lm",
+    "q189_stream_domain_quota",
+    "q190_winsorized_stats",
+    "q191_domain_cap",
+    "q192_tokenizer_fertility",
+    "q193_hard_negatives",
+    "q194_listagg",
+    "q195_median_percentiles",
+    "q196_ignore_nulls",
+    "q197_ewma",
+    "q198_langid_confusion",
+    "q199_group_by_all",
 ]
 
 

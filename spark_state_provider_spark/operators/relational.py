@@ -3299,3 +3299,113 @@ def q186_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "price", F.col("p_size").cast("long").alias("size"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q195 — exact order statistics per group: median / percentile_cont /
+# percentile_disc (SQL:2003 WITHIN GROUP, native in Spark 3.4+). The
+# profile row every monitoring pass wants. percentile_cont interpolates
+# (lo + (hi-lo)·frac — both engines use this form); the chosen quantiles
+# (.25/.5/.75) make `frac` an exact binary fraction, so the interpolation
+# arithmetic is engine-identical on the 2dp event values.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q195_median_percentiles",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           median(CAST(value AS DOUBLE)) AS med,
+           quantile_cont(CAST(value AS DOUBLE), 0.25) AS p25,
+           quantile_cont(CAST(value AS DOUBLE), 0.75) AS p75,
+           quantile_disc(CAST(value AS DOUBLE), 0.5) AS med_disc
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q195_median_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type median, quartiles (continuous), and discrete
+    median of `value`.
+
+    Scale shape: percentile aggregates are NOT map-side combinable in
+    exact form — Spark collects per-group sorted digests; at 100 TB the
+    exact form runs per bounded group (event types here: single digits)
+    while corpus-wide quantiles switch to approx_percentile (q10e) or
+    the distributed exact-rank layout (q100). This row pins the exact
+    semantics those approximations are judged against.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.median("v").alias("med"),
+        F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY v)").alias("p25"),
+        F.expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY v)").alias("p75"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").alias("med_disc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q196 — IGNORE NULLS window navigation: last_value/lead/lag NULL-skipping
+# (SQL:2008 optional feature, native in Spark). The gap-fill idiom: carry
+# each user's last known non-null reading forward, and look across gaps
+# both directions. Nulls are injected deterministically ('view' events
+# report no value) so both engines see the identical null pattern.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q196_ignore_nulls",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'view' THEN NULL
+                    ELSE CAST(value AS DOUBLE) END AS v
+        FROM events
+    )
+    SELECT event_id, user_id, v,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled,
+           lag(v, 1 IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_reading,
+           lead(v, 1 IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_reading
+    FROM v
+    """,
+)
+def q196_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill + nearest non-null reading in both directions per
+    user ('view' events carry no value).
+
+    Scale shape: one user-partitioned window pass computes all three
+    navigations (Spark shares the sort). No corpus-sized global window;
+    the fill never leaves the key's partition.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "view", F.lit(None).cast("double"))
+        .otherwise(F.col("value").cast("double"))
+        .alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "v",
+        F.last("v", ignorenulls=True).over(wf).alias("filled"),
+        F.expr(
+            "lag(v, 1) IGNORE NULLS OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id)"
+        ).alias("prev_reading"),
+        F.expr(
+            "lead(v, 1) IGNORE NULLS OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id)"
+        ).alias("next_reading"),
+    )

@@ -1489,3 +1489,83 @@ def q150_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
     return d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# q193 — hard-negative mining for contrastive training: for each anchor
+# vector, the top-K most-similar vectors with a DIFFERENT label. These
+# near-miss negatives are what make embedding models sharp (random
+# negatives are too easy); mining them is a first-class pass over any
+# embedding corpus. Same broadcast-anchor plan as the q29 brute baseline —
+# the label filter rides the join condition, so wrong-label candidates
+# are dropped before the similarity fold.
+# ---------------------------------------------------------------------------
+
+_HN_TOP_K = 5
+
+
+@register(
+    "q193_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS anchor_id, label AS anchor_label,
+               CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    s AS (
+        SELECT q.anchor_id, q.anchor_label,
+               e.vec_id AS negative_id, e.label AS negative_label,
+               {_DUCK_COS} AS sim
+        FROM q, (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS nv
+                 FROM embeddings) e
+        WHERE e.label <> q.anchor_label
+    )
+    SELECT anchor_id, negative_id, negative_label, sim, rn
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY anchor_id ORDER BY sim DESC, negative_id
+        ) AS rn FROM s
+    )
+    WHERE rn <= {_HN_TOP_K}
+    """,
+)
+def q193_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_HN_TOP_K} cross-label nearest neighbors (hard negatives) per
+    anchor vector.
+
+    Scale shape: anchors broadcast (contrastive batches are thousands of
+    anchors against a corpus of millions), the corpus side is one narrow
+    scan with pre-computed norms, the label inequality prunes candidates
+    INSIDE the broadcast join, and the per-anchor top-k is a partitioned
+    window. At 100 TB the LSH-bucketed variant (q29b's bucket equijoin
+    with the same label filter) replaces the scan; this exact form is its
+    recall oracle.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", as_double_vec("embedding").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("nrm", norm(F.col("v")))
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    sims = emb.join(
+        F.broadcast(q), F.col("label") != F.col("anchor_label")
+    ).select(
+        "anchor_id",
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        cosine_prenormed(
+            F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("negative_id")
+    )
+    return sims.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _HN_TOP_K
+    )

@@ -543,3 +543,85 @@ def q177_ddl_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)  # result outlives the managed table
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")  # managed drop removes files
     return out
+
+
+# ---------------------------------------------------------------------------
+# q194 — LISTAGG ... WITHIN GROUP (SQL:2016, added in Spark 4): ordered
+# string aggregation, the standard "roll the group up into one delimited
+# field" export step. The WITHIN GROUP order makes the output
+# deterministic — an unordered listagg would be partition-order-dependent
+# and unverifiable at any scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q194_listagg",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS supplier_csv
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q194_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation ordered supplier roster via LISTAGG WITHIN GROUP.
+
+    Scale shape: the nation dim broadcasts; the aggregation shuffles only
+    (nation, name) pairs with map-side partial collect. Group payloads
+    are bounded by group membership — the op is for dimension-sized
+    rollups (reports, exports), not corpus-sized groups.
+    """
+    _view(spark, sf_dir, "supplier", "q194_supplier")
+    _view(spark, sf_dir, "nation", "q194_nation")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               listagg(s.s_name, ',') WITHIN GROUP (ORDER BY s.s_name)
+                   AS supplier_csv
+        FROM q194_supplier s
+        JOIN q194_nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q199 — GROUP BY ALL / ORDER BY ALL (Spark 4 SQL sugar): every
+# non-aggregate select item becomes a grouping key. Parity matters for
+# migrated analyst SQL — the feature changes how queries are WRITTEN,
+# not how they run (Catalyst expands it to the explicit grouping set,
+# so pushdown/partial-agg are identical to the spelled-out form).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q199_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def q199_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q63/TPC-H-Q1 aggregation shape written with GROUP BY ALL +
+    ORDER BY ALL — same physical plan as the explicit form (partial
+    hash agg before the exchange; scan reads only the 4 referenced
+    columns)."""
+    _view(spark, sf_dir, "lineitem", "q199_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty
+        FROM q199_lineitem
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

@@ -2554,3 +2554,51 @@ def q184_stream_merkle_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     return l2.select(
         F.concat(F.lit("L2:"), F.col("b2").cast("string")).alias("node"), "h"
     ).unionByName(root.select(F.lit("ROOT").alias("node"), "h"))
+
+
+# ---------------------------------------------------------------------------
+# q189 — streaming per-domain admission quota: the continuous-crawl twin
+# of the batch domain cap (pipeline.py q191). Each source admits its
+# first N documents IN ARRIVAL ORDER across micro-batches; the running
+# admitted count lives in the RocksDB state store, so the quota holds
+# across restarts and batch boundaries. On the doc_id-ordered replay the
+# admitted set is exactly the first-N per source — SQL-checkable, with
+# each row's admission position emitted for full-trace verification.
+# ---------------------------------------------------------------------------
+
+_Q189_CAP = 15
+
+
+@register(
+    "q189_stream_domain_quota",
+    oracle=f"""
+    WITH r AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY doc_id) AS quota_pos
+        FROM documents
+    )
+    SELECT source, doc_id, n_chars, CAST(quota_pos AS BIGINT) AS quota_pos
+    FROM r WHERE quota_pos <= {_Q189_CAP}
+    """,
+)
+def q189_stream_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-{_Q189_CAP}-per-source admission across {N_BATCHES} document
+    micro-batches, counts in RocksDB state.
+
+    Per-batch cost is the batch's rows plus one counter per touched key;
+    keys at quota short-circuit (their rows drop before any further
+    work). At 100 TB the quota state is |domains| longs — nothing scales
+    with corpus size except the narrow pass over each arriving batch.
+    """
+    from spark_state_provider_spark.streaming.sources import stream_docs
+    from spark_state_provider_spark.streaming.stateful import (
+        domain_quota_stream,
+    )
+
+    with _streaming_session(spark):
+        docs = stream_docs(spark, sf_dir, N_BATCHES, tag="quota189")
+        out = domain_quota_stream(
+            docs.select("source", "doc_id", "n_chars"), _Q189_CAP
+        )
+        return run_to_memory(out, "mem_q189", "append")

@@ -831,3 +831,63 @@ def q156_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.max_by("value", "ord").alias("close"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q197 — exponentially-weighted moving average per user (α = 1/2): the
+# standard smoothing/trend signal every metrics pipeline keeps. EWMA is an
+# inherently ORDER-DEPENDENT fold (sᵢ = sᵢ₋₁/2 + xᵢ/2), which windowed
+# SUMs cannot express and engine-internal summation trees would skew — so
+# both engines run the SAME sequential fold over the SAME (ts, event_id)
+# order: Spark's `aggregate` higher-order function vs DuckDB's
+# `list_reduce` over an ORDER BY'd list agg. α = 1/2 keeps every step an
+# exact IEEE halving (exponent shift), so the fold is bit-identical.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q197_ewma",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           list_reduce(
+               list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+               (acc, x) -> acc * 0.5 + x * 0.5
+           ) AS ewma
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q197_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final α=1/2 EWMA of `value` per user over the (ts, event_id) total
+    order of that user's events.
+
+    Scale shape: one shuffle on user_id; the collect+fold is per-key and
+    JVM-side (higher-order `aggregate`, no Python). Per-key history is
+    bounded by user activity — at 100 TB the same fold runs windowed
+    (last-K or time-horizon slice) or incrementally in a stateful stream
+    (the q24 fold pattern), because EWMA's recurrence needs only the
+    previous smoothed value; this exact batch form is the oracle for
+    those.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("ts"),
+                    F.col("event_id"),
+                    F.col("value").cast("double").alias("value"),
+                )
+            )
+        ).alias("seq"),
+    )
+    fold = F.aggregate(
+        F.col("seq"),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x["value"]).otherwise(
+            acc * F.lit(0.5) + x["value"] * F.lit(0.5)
+        ),
+    )
+    return per_user.select("user_id", "n_events", fold.alias("ewma"))

