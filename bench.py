@@ -220,6 +220,9 @@ HEADLINE = [
     "q197_ewma",
     "q198_langid_confusion",
     "q199_group_by_all",
+    "q200_ann_recall_eval",
+    "q201_agg_filter_clause",
+    "q202_image_resize",
 ]
 
 

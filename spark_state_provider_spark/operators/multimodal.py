@@ -949,3 +949,127 @@ def q165_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.groupBy("sig_lo", "sig_hi").agg(
         F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# q202 — image RESIZE (box-filter downsample) over real decoded bytes:
+# synthesize 16×16 BMPs, decode the pixel array byte-for-byte (same
+# honest header/offset/bottom-up walk as q165), average-pool 4×4 blocks
+# to a 4×4 thumbnail (integer mean — the exact arithmetic both engines
+# share), and emit per-image thumbnail stats. This is the
+# decode→transform→re-encode stage of a multimodal pipeline with the
+# transform REAL; because the planted pixel pattern is a closed-form
+# function, the DuckDB oracle recomputes the expected thumbnails from
+# the formula and checks every image's pooled values.
+# ---------------------------------------------------------------------------
+
+_RESIZE_W = 16  # source side; thumbnails are (W/4)×(W/4)
+
+
+def _resize_pixel(x: int, y: int, k: int) -> int:
+    return ((x + _RESIZE_W * y) * (k + 3) * 31 + k) % 256
+
+
+def make_bmp_gray16(k: int) -> bytes:
+    """16×16 24-bit BMP, bottom-up BGR rows, value ``_resize_pixel``."""
+    w = h = _RESIZE_W
+    pixels = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up storage order
+        for x in range(w):
+            v = _resize_pixel(x, y, k)
+            pixels += bytes((v, v, v))
+    offset = 14 + 40
+    size = offset + len(pixels)
+    file_hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, offset)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return file_hdr + info_hdr + bytes(pixels)
+
+
+def _resize_oracle() -> str:
+    return f"""
+    WITH pat AS (
+        SELECT kk.k, xx.x, yy.y,
+               ((xx.x + {_RESIZE_W} * yy.y) * (kk.k + 3) * 31 + kk.k) % 256
+                   AS v
+        FROM unnest(generate_series(0, {_PHASH_P - 1})) AS kk(k),
+             unnest(generate_series(0, {_RESIZE_W - 1})) AS xx(x),
+             unnest(generate_series(0, {_RESIZE_W - 1})) AS yy(y)
+    ),
+    pooled AS (
+        SELECT k, x // 4 AS px, y // 4 AS py,
+               CAST(sum(v) // 16 AS BIGINT) AS pv
+        FROM pat GROUP BY k, x // 4, y // 4
+    ),
+    per_k AS (
+        SELECT k,
+               CAST(sum(pv) AS BIGINT) AS thumb_sum,
+               max(CASE WHEN px = 0 AND py = 0 THEN pv END) AS px00,
+               max(CASE WHEN px = 3 AND py = 3 THEN pv END) AS px33
+        FROM pooled GROUP BY k
+    )
+    SELECT d.doc_id, per_k.thumb_sum, per_k.px00, per_k.px33
+    FROM documents d JOIN per_k ON d.doc_id % {_PHASH_P} = per_k.k
+    """
+
+
+@register("q202_image_resize", oracle=_resize_oracle())
+def q202_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4×4 box-filter thumbnails from decoded 16×16 BMPs, per image.
+
+    Scale shape: two narrow Arrow stages (synthesize → decode+pool) with
+    zero shuffle — resize is embarrassingly parallel and the emitted
+    thumbnail stats are bytes per image against KBs of pixels, the
+    reduction that makes multimodal feature extraction feasible at
+    100 TB. With real stored assets the synthesize stage disappears and
+    the decode swaps for the image codec behind the same batch iterator.
+    """
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        make_bmp_gray16(int(i) % _PHASH_P) for i in ids
+                    ],
+                }
+            )
+
+    def pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = _RESIZE_W
+        for pdf in batches:
+            sums, p00s, p33s = [], [], []
+            for b in pdf["payload"]:
+                px = decode_bmp_gray_pixels(bytes(b))
+                assert px is not None and len(px) == w * w
+                pooled = [
+                    sum(
+                        px[(4 * py + dy) * w + (4 * px_ + dx)]
+                        for dy in range(4)
+                        for dx in range(4)
+                    )
+                    // 16
+                    for py in range(4)
+                    for px_ in range(4)
+                ]
+                sums.append(sum(pooled))
+                p00s.append(pooled[0])
+                p33s.append(pooled[15])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb_sum": pd.Series(sums, dtype="int64"),
+                    "px00": pd.Series(p00s, dtype="int64"),
+                    "px33": pd.Series(p33s, dtype="int64"),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    blobs = d.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    return blobs.mapInPandas(
+        pool,
+        schema="doc_id bigint, thumb_sum bigint, px00 bigint, px33 bigint",
+    )

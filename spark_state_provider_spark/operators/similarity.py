@@ -1569,3 +1569,65 @@ def q193_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sims.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") <= _HN_TOP_K
     )
+
+
+# ---------------------------------------------------------------------------
+# q200 — ANN recall evaluation as a first-class query: recall@k of the
+# LSH index (q29b) against the exact brute-force baseline (q29), per
+# query vector. Production retrieval systems recompute this continuously
+# (index drift, parameter tuning); making the EVALUATION itself an
+# oracle-checked operator closes the loop — the oracle recomputes BOTH
+# pipelines in SQL and must agree on every per-query hit count.
+# ---------------------------------------------------------------------------
+
+
+def _ann_recall_oracle() -> str:
+    from spark_state_provider_spark.operators.registry import get as _get
+
+    brute = _get("q29_knn_brute").oracle
+    lsh = _get("q29b_ann_lsh").oracle
+    return f"""
+    SELECT b.query_id,
+           CAST(count(l.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(l.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+    FROM ({brute}) b
+    LEFT JOIN ({lsh}) l
+      ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    GROUP BY b.query_id
+    """
+
+
+@register("q200_ann_recall_eval", oracle=_ann_recall_oracle())
+def q200_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{TOP_K} of the hyperplane-LSH index vs the exact cosine
+    top-{TOP_K}, one row per query vector.
+
+    Scale shape: both sides are existing top-k results (k rows per
+    query), so the eval join and aggregate touch k·|queries| rows — at
+    100 TB the cost IS the two retrieval passes, and the brute side runs
+    over a fixed eval sample (here: all queries) rather than the corpus.
+    """
+    brute = q29_knn_brute(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = q29b_ann_lsh(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor_id")
+    )
+    return (
+        brute.join(
+            ann,
+            (brute["query_id"] == ann["query_id"])
+            & (brute["neighbor_id"] == ann["ann_neighbor_id"]),
+            "left",
+        )
+        .drop(ann["query_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count("ann_neighbor_id").cast("bigint").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(TOP_K)).alias(
+                "recall_at_k"
+            ),
+        )
+    )

@@ -625,3 +625,59 @@ def q199_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q201 — aggregate FILTER clause (SQL:2003 <filter clause>): per-group
+# conditional aggregation without CASE-wrapping every argument. The
+# pivot-lite idiom analysts migrate in with; Catalyst compiles each
+# FILTER to the same conditional partial aggregate as the CASE form, so
+# pushdown and map-side combine are unchanged.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q201_agg_filter_clause",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS n_clicks,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(18,2)))
+                    FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+               AS purchase_value,
+           CAST(count(DISTINCT event_type)
+                    FILTER (WHERE event_type <> 'view') AS BIGINT)
+               AS n_nonview_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q201_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel counters via FILTER-clause aggregates (count, sum,
+    distinct-count each under a different predicate, one pass).
+
+    Scale shape: ONE scan, one shuffle on user_id; every FILTER aggregate
+    partial-aggregates map-side exactly like its CASE-expression twin.
+    The DECIMAL(18,2) sum is the exact-money pattern (BASELINE.md)."""
+    _view(spark, sf_dir, "events", "q201_events")
+    return spark.sql(
+        """
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+                   AS n_clicks,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                    AS BIGINT) AS n_purchases,
+               CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+                   AS purchase_value,
+               CAST(count(DISTINCT event_type)
+                        FILTER (WHERE event_type <> 'view') AS BIGINT)
+                   AS n_nonview_types
+        FROM q201_events
+        GROUP BY user_id
+        """
+    )

@@ -244,3 +244,49 @@ def test_group_by_all_matches_explicit(spark, sf_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_ann_recall_eval_consistent_with_components(spark, sf_dir):
+    """recall = n_hits/k; n_hits ∈ [0, k]; n_hits equals the actual
+    intersection of the two component results."""
+    from spark_state_provider_spark.operators.similarity import TOP_K
+
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in _run(spark, sf_dir, "q29_knn_brute").collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in _run(spark, sf_dir, "q29b_ann_lsh").collect()
+    }
+    for r in _run(spark, sf_dir, "q200_ann_recall_eval").collect():
+        expected = len(
+            {(q, n) for q, n in brute & ann if q == r.query_id}
+        )
+        assert r.n_hits == expected
+        assert r.recall_at_k == r.n_hits / TOP_K
+        assert 0 <= r.n_hits <= TOP_K
+
+
+def test_agg_filter_clause_counter_consistency(spark, sf_dir):
+    """Filtered counters never exceed the unfiltered total; purchase sum
+    is null exactly when the user has no purchases."""
+    for r in _run(spark, sf_dir, "q201_agg_filter_clause").collect():
+        assert r.n_clicks + r.n_purchases <= r.n_events
+        assert (r.purchase_value is None) == (r.n_purchases == 0)
+        assert 0 <= r.n_nonview_types <= 4
+
+
+def test_image_resize_thumbnail_bounds(spark, sf_dir):
+    """Pooled values are valid pixel means (0..255); thumb_sum equals the
+    16-pixel-thumbnail total bound; same class → identical thumbnail."""
+    rows = _run(spark, sf_dir, "q202_image_resize").collect()
+    from spark_state_provider_spark.operators.multimodal import _PHASH_P
+
+    by_class: dict[int, tuple] = {}
+    for r in rows:
+        assert 0 <= r.px00 <= 255 and 0 <= r.px33 <= 255
+        assert 0 <= r.thumb_sum <= 255 * 16
+        k = r.doc_id % _PHASH_P
+        sig = (r.thumb_sum, r.px00, r.px33)
+        assert by_class.setdefault(k, sig) == sig
