@@ -223,6 +223,7 @@ HEADLINE = [
     "q200_ann_recall_eval",
     "q201_agg_filter_clause",
     "q202_image_resize",
+    "q203_stream_ewma",
 ]
 
 

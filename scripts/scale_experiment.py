@@ -116,6 +116,18 @@ QUERIES = [
     "q165_image_phash",
     "q167_sql_scalar_udf",
     "q171_collocation_lift",
+    # round-5: curation classifiers (hash-feature scorer, trigram LM,
+    # fertility), order statistics (winsorize), per-domain cap, hard
+    # negatives, EWMA fold, recall eval, Arrow resize
+    "q187_quality_classifier",
+    "q188_char_trigram_lm",
+    "q190_winsorized_stats",
+    "q191_domain_cap",
+    "q192_tokenizer_fertility",
+    "q193_hard_negatives",
+    "q197_ewma",
+    "q200_ann_recall_eval",
+    "q202_image_resize",
 ]
 
 

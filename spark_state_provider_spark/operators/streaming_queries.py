@@ -2602,3 +2602,39 @@ def q189_stream_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.select("source", "doc_id", "n_chars"), _Q189_CAP
         )
         return run_to_memory(out, "mem_q189", "append")
+
+
+# ---------------------------------------------------------------------------
+# q203 — STREAMING EWMA: q197's order-dependent fold maintained across
+# micro-batches with the smoothed value as state (streaming/stateful.py
+# ewma_stream). The point being proved: a float accumulator survives the
+# state-store round-trip bit-for-bit — α=1/2 makes every fold step an
+# exact IEEE halving, the time-ordered replay plus in-batch (ts,event_id)
+# sort pins the fold order, so the streamed final state must equal the
+# one-shot batch fold and shares its oracle.
+# ---------------------------------------------------------------------------
+
+
+def _register_q203() -> None:
+    from spark_state_provider_spark.operators.registry import get as _get
+
+    @register("q203_stream_ewma", oracle=_get("q197_ewma").oracle)
+    def q203_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-user running EWMA across {N_BATCHES} micro-batches; final
+        upserted state equals the batch fold (same oracle as q197).
+
+        Per-batch cost: the batch's rows + one (double, long) state row
+        per touched key — at 100 TB the state is |users|·16 bytes no
+        matter how long the history, the shape that beats re-aggregation.
+        """
+        from spark_state_provider_spark.streaming.stateful import ewma_stream
+
+        with _streaming_session(spark):
+            # reuses q24s's pre-materialized time-ordered slices (same
+            # content; bench pre-builds the "us" tag)
+            ev = stream_events(spark, sf_dir, N_BATCHES, tag="us")
+            out = ewma_stream(ev.select("user_id", "ts", "event_id", "value"))
+            return run_upsert_table(out, ["user_id"])
+
+
+_register_q203()

@@ -308,3 +308,46 @@ def domain_quota_stream(docs: DataFrame, cap: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA — the order-dependent float fold (operators/timeseries.py
+# q197) maintained ACROSS micro-batches with the smoothed value itself as
+# RocksDB state. EWMA's recurrence needs only (previous value, count), so
+# the state is two scalars per key however long the history — the textbook
+# case for stateful streaming over re-aggregation. α = 1/2 keeps every
+# step an exact IEEE halving, so state round-tripping through the store
+# (Arrow float64 both ways) reproduces the batch fold bit-for-bit.
+# ---------------------------------------------------------------------------
+
+EWMA_OUT_SCHEMA = "user_id bigint, n_events bigint, ewma double"
+EWMA_STATE_SCHEMA = "ewma double, n long"
+
+
+def ewma_handler(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    acc, n = state.get if state.exists else (None, 0)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for x in pdf["value"].astype("float64"):
+            x = float(x)
+            acc = x if acc is None else acc * 0.5 + x * 0.5
+        n += len(pdf)
+    state.update((acc, n))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "ewma": [acc]}
+    )
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Per-user running EWMA over a streaming events DataFrame."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        ewma_handler,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -290,3 +290,17 @@ def test_image_resize_thumbnail_bounds(spark, sf_dir):
         k = r.doc_id % _PHASH_P
         sig = (r.thumb_sum, r.px00, r.px33)
         assert by_class.setdefault(k, sig) == sig
+
+
+def test_stream_ewma_equals_batch_fold(spark, sf_dir):
+    """The streamed EWMA state (across micro-batches, through RocksDB)
+    equals the one-shot batch fold bit-for-bit for every user."""
+    batch = {
+        (r.user_id): (r.n_events, r.ewma)
+        for r in _run(spark, sf_dir, "q197_ewma").collect()
+    }
+    streamed = {
+        (r.user_id): (r.n_events, r.ewma)
+        for r in _run(spark, sf_dir, "q203_stream_ewma").collect()
+    }
+    assert streamed == batch
