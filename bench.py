@@ -224,6 +224,10 @@ HEADLINE = [
     "q201_agg_filter_clause",
     "q202_image_resize",
     "q203_stream_ewma",
+    "q204_asof_nearest",
+    "q205_union_schema_drift",
+    "q206_lsh_dedup_recall",
+    "q207_twap",
 ]
 
 

@@ -12,6 +12,7 @@ from spark_state_provider_spark.operators import registry  # noqa: F401
 def load_all() -> None:
     """Import every operator module so all queries self-register."""
     from spark_state_provider_spark.operators import (  # noqa: F401
+        asof,
         relational,
         dedup,
         graph,

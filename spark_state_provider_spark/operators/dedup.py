@@ -1473,3 +1473,124 @@ def _register_q113() -> None:
 
 
 _register_q113()
+
+
+# ---------------------------------------------------------------------------
+# q206 — LSH dedup RECALL certification: exact ground truth (every pair
+# with true shingle-Jaccard ≥ θ, found via the shingle inverted-index
+# join — no banding, no cartesian) vs the banded-LSH pair set. The
+# one-row verdict carries recall AND a zero-false-positive proof
+# (n_lsh_only must be 0 because q28b exact-verifies its candidates).
+# Production analog: run the exact side on an eval sample to monitor the
+# band/row parameters as the corpus drifts; the q200 recall eval is the
+# same pattern for ANN retrieval.
+# ---------------------------------------------------------------------------
+
+
+def _register_q206() -> None:
+    from spark_state_provider_spark.operators.registry import get as _get
+
+    lsh_oracle = _get("q28b_minhash_lsh").oracle
+
+    @register(
+        "q206_lsh_dedup_recall",
+        oracle=f"""
+        WITH {_DUCK_TRI},
+        sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+        allint AS (
+            SELECT ta.doc_id AS id_a, tb.doc_id AS id_b,
+                   count(*) AS n_inter
+            FROM tri ta JOIN tri tb
+              ON tb.tri = ta.tri AND ta.doc_id < tb.doc_id
+            GROUP BY ta.doc_id, tb.doc_id
+        ),
+        truth AS (
+            SELECT i.id_a, i.id_b
+            FROM allint i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)
+                  >= {JACCARD_THRESHOLD}
+        ),
+        lsh AS (SELECT id_a, id_b FROM ({lsh_oracle}))
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+            (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+            (SELECT CAST(count(*) AS BIGINT)
+             FROM truth t JOIN lsh l
+               ON t.id_a = l.id_a AND t.id_b = l.id_b) AS n_found,
+            (SELECT CAST(count(*) AS BIGINT)
+             FROM lsh l LEFT JOIN truth t
+               ON t.id_a = l.id_a AND t.id_b = l.id_b
+             WHERE t.id_a IS NULL) AS n_lsh_only,
+            CAST((SELECT count(*) FROM truth t JOIN lsh l
+                  ON t.id_a = l.id_a AND t.id_b = l.id_b) AS DOUBLE)
+              / (SELECT count(*) FROM truth) AS recall
+        """,
+    )
+    def q206_lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """One-row recall certificate of the banded MinHash-LSH dedup
+        against the exact Jaccard-≥-{JACCARD_THRESHOLD} ground truth.
+
+        Scale shape: ground truth is a self-equijoin of the persisted
+        shingle index on the shingle key (bounded by co-shingle pair
+        count — an inverted-index walk, never all-pairs); the LSH side is
+        the memoized verified-pair frame. At 100 TB the exact side runs
+        on a sampled eval slice with the identical plan.
+        """
+        tri = _trigrams_persisted(spark, sf_dir)
+        sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n"))
+        ta = tri.select(F.col("doc_id").alias("id_a"), "tri")
+        tb = tri.select(F.col("doc_id").alias("id_b"), "tri")
+        allint = (
+            ta.join(tb, "tri")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+        truth = (
+            allint.join(
+                sizes.select(
+                    F.col("doc_id").alias("id_a"), F.col("n").alias("na")
+                ),
+                "id_a",
+            )
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("id_b"), F.col("n").alias("nb")
+                ),
+                "id_b",
+            )
+            .where(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+                >= JACCARD_THRESHOLD
+            )
+            .select("id_a", "id_b")
+        )
+        lsh = _pairs_persisted(spark, sf_dir)
+        found = truth.join(lsh, ["id_a", "id_b"])
+        lsh_only = lsh.join(truth, ["id_a", "id_b"], "left_anti")
+        n_true = truth.agg(F.count("*").cast("bigint").alias("n_true"))
+        n_lsh = lsh.agg(F.count("*").cast("bigint").alias("n_lsh"))
+        n_found = found.agg(F.count("*").cast("bigint").alias("n_found"))
+        n_only = lsh_only.agg(
+            F.count("*").cast("bigint").alias("n_lsh_only")
+        )
+        return (
+            n_true.crossJoin(F.broadcast(n_lsh))
+            .crossJoin(F.broadcast(n_found))
+            .crossJoin(F.broadcast(n_only))
+            .select(
+                "n_true",
+                "n_lsh",
+                "n_found",
+                "n_lsh_only",
+                (
+                    F.col("n_found").cast("double") / F.col("n_true")
+                ).alias("recall"),
+            )
+        )
+
+
+_register_q206()

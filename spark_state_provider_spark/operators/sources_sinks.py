@@ -956,3 +956,68 @@ def q168_file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.when(F.col("row_day") == F.col("path_day"), 0).otherwise(1)) == 0)
         .alias("path_matches_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q205 — schema-drift union (unionByName + allowMissingColumns): two
+# corpus snapshots whose schemas diverged (a column added, another
+# dropped) combined BY NAME with null-fill — the API that makes
+# multi-generation corpus reads survivable without rewriting old data
+# (the read-side half of q65's mergeSchema; this is the compute-side
+# combinator). The audit aggregate counts the null-filled cells per
+# snapshot so drift is measured, not silently absorbed.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q205_union_schema_drift",
+    oracle="""
+    WITH gen1 AS (
+        SELECT doc_id, source, n_chars,
+               CAST(NULL AS VARCHAR) AS lang,
+               'gen1' AS generation
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    gen2 AS (
+        SELECT doc_id, source, lang,
+               CAST(NULL AS BIGINT) AS n_chars,
+               'gen2' AS generation
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    unioned AS (
+        SELECT * FROM gen1 UNION ALL BY NAME SELECT * FROM gen2
+    )
+    SELECT generation, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_lang,
+           CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_n_chars
+    FROM unioned GROUP BY generation, source
+    """,
+)
+def q205_union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-fill audit of a BY-NAME union across two schema generations
+    (gen1 lacks `lang`, gen2 lacks `n_chars`).
+
+    Scale shape: unionByName is a zero-shuffle plan combinator — each
+    snapshot scans with its own pruned schema and the missing columns
+    materialize as null literals; the audit is one combinable aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    gen1 = d.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "source", "n_chars", F.lit("gen1").alias("generation")
+    )
+    gen2 = d.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", "lang", F.lit("gen2").alias("generation")
+    )
+    u = gen1.unionByName(gen2, allowMissingColumns=True)
+    return u.groupBy("generation", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("lang").isNull().cast("long"))
+        .cast("bigint")
+        .alias("null_lang"),
+        F.sum(F.col("n_chars").isNull().cast("long"))
+        .cast("bigint")
+        .alias("null_n_chars"),
+    )

@@ -891,3 +891,61 @@ def q197_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return per_user.select("user_id", "n_events", fold.alias("ewma"))
+
+
+# ---------------------------------------------------------------------------
+# q207 — time-weighted average (TWAP): each reading holds until the next
+# one, so its weight is its holding duration — the correct average for
+# irregularly-sampled series (a plain mean over-weights bursts; every
+# metering/pricing pipeline uses this form). All weights are exact
+# integer microseconds (lead over the per-user order), values are exact
+# cents; one final division.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q207_twap",
+    oracle="""
+    WITH w AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                 - epoch_us(ts) AS dur_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(dur_us) AS BIGINT) AS span_us,
+           CAST(sum(cents * dur_us) AS DOUBLE)
+               / (100.0 * sum(dur_us)) AS twap
+    FROM w WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q207_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of `value` (holding-duration
+    weights; the last reading of each user carries no duration).
+
+    Scale shape: one user-partitioned window for the lead, one
+    map-side-combined aggregate — identical cost to any per-key
+    windowed pass. cents×µs products stay far inside int64 (≤2^53 the
+    doubles could even carry, and we never leave integers until the
+    final division).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    rows = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.lead(us).over(w) - us).alias("dur_us"),
+    ).where(F.col("dur_us").isNotNull())
+    return rows.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("dur_us").cast("bigint").alias("span_us"),
+        (
+            F.sum(F.col("cents") * F.col("dur_us")).cast("double")
+            / (F.lit(100.0) * F.sum("dur_us"))
+        ).alias("twap"),
+    )

@@ -304,3 +304,71 @@ def test_stream_ewma_equals_batch_fold(spark, sf_dir):
         for r in _run(spark, sf_dir, "q203_stream_ewma").collect()
     }
     assert streamed == batch
+
+
+def test_asof_nearest_is_truly_nearest(spark, sf_dir):
+    """Each matched click's gap equals the true minimum |click −
+    purchase| over the user's purchases; unmatched clicks have no
+    purchase within tolerance; backward wins ties."""
+    from spark_state_provider_spark.operators.asof import _NEAREST_TOL_US
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    ).collect()
+    purchases: dict[int, list[int]] = {}
+    clicks = []
+    for r in ev:
+        us = int(r.ts.timestamp() * 1_000_000)
+        if r.event_type == "purchase":
+            purchases.setdefault(r.user_id, []).append(us)
+        else:
+            clicks.append((r.event_id, r.user_id, us))
+    gaps = {}
+    for cid, uid, us in clicks:
+        cands = [abs(p - us) for p in purchases.get(uid, [])]
+        best = min(cands) if cands else None
+        gaps[cid] = best if best is not None and best <= _NEAREST_TOL_US else None
+    for r in _run(spark, sf_dir, "q204_asof_nearest").collect():
+        assert r.gap_us == gaps[r.click_id]
+        if r.gap_us is None:
+            assert r.matched_dir is None
+
+
+def test_union_schema_drift_null_accounting(spark, sf_dir):
+    """gen1 rows are exactly the even docs with ALL lang cells null;
+    gen2 the odd docs with ALL n_chars cells null; doc counts conserved."""
+    rows = _run(spark, sf_dir, "q205_union_schema_drift").collect()
+    total = 0
+    for r in rows:
+        total += r.n_docs
+        if r.generation == "gen1":
+            assert r.null_lang == r.n_docs and r.null_n_chars == 0
+        else:
+            assert r.null_n_chars == r.n_docs and r.null_lang == 0
+    assert total == load_table(spark, sf_dir, "documents").count()
+
+
+def test_lsh_recall_zero_false_positives(spark, sf_dir):
+    """The banded-LSH pair set must be a subset of the exact truth
+    (verified candidates ⇒ no false positives) and recall consistent."""
+    r = _run(spark, sf_dir, "q206_lsh_dedup_recall").collect()[0]
+    assert r.n_lsh_only == 0
+    assert r.n_found == r.n_lsh  # subset ⇒ every LSH pair is found-true
+    assert r.n_found <= r.n_true
+    assert r.recall == r.n_found / r.n_true
+
+
+def test_twap_within_value_range_and_span(spark, sf_dir):
+    """TWAP lies within the user's [min, max] values; span equals
+    last−first event time; n_events = user's events − 1."""
+    per_user: dict[int, list] = {}
+    for r in load_table(spark, sf_dir, "events").collect():
+        per_user.setdefault(r.user_id, []).append(
+            (int(r.ts.timestamp() * 1_000_000), float(r.value))
+        )
+    for r in _run(spark, sf_dir, "q207_twap").collect():
+        evs = sorted(per_user[r.user_id])
+        assert r.n_events == len(evs) - 1
+        assert r.span_us == evs[-1][0] - evs[0][0]
+        vals = [v for _, v in evs[:-1]]  # last reading carries no weight
+        assert min(vals) - 1e-9 <= r.twap <= max(vals) + 1e-9
