@@ -228,6 +228,8 @@ HEADLINE = [
     "q205_union_schema_drift",
     "q206_lsh_dedup_recall",
     "q207_twap",
+    "q208_try_arithmetic",
+    "q209_grouping_id",
 ]
 
 

@@ -3409,3 +3409,49 @@ def q196_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             "PARTITION BY user_id ORDER BY ts, event_id)"
         ).alias("next_reading"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q209 — GROUPING() / grouping_id over CUBE: the disambiguator the q11
+# family needs in real data — a NULL in a cube output row either means
+# "the subtotal over this column" or "the group whose key IS NULL", and
+# only the grouping flags can tell them apart. Flags ride as exact
+# integers; every aggregate is the exact-money pattern.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q209_grouping_id",
+    oracle="""
+    SELECT o_orderpriority,
+           o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def q209_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status) with GROUPING flags and the packed
+    grouping_id, so subtotal rows are machine-distinguishable from
+    NULL-keyed groups.
+
+    Scale shape: CUBE expands to 4 grouping sets map-side (one scan,
+    partial aggregation per set) — same cost class as q11b; the flags
+    are free metadata from the expand operator.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

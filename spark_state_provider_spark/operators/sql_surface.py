@@ -681,3 +681,76 @@ def q201_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q208 — try_* error-safe arithmetic under ANSI mode: Spark 4 turned ANSI
+# SQL on by default, so the divide-by-zero / overflow / bad-cast cases
+# that silently produced NULL in Spark 3 now FAIL the job — unless the
+# pipeline opts into `try_divide` / `try_add` / `try_cast`, which return
+# NULL exactly where legacy mode did. A migrating user's first crash is
+# this row; it pins the complete NULL-accounting of all three families.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q208_try_arithmetic",
+    oracle="""
+    WITH t AS (
+        SELECT event_type,
+               CASE WHEN user_id % 5 <> 0
+                    THEN CAST(value AS DOUBLE) / (user_id % 5) END AS d1,
+               CASE WHEN event_id > 0 THEN NULL
+                    ELSE 0 END AS ov,           -- i64max + event_id overflows
+               TRY_CAST(event_type AS BIGINT) AS bad_cast,
+               TRY_CAST(CAST(user_id AS VARCHAR) AS BIGINT) AS good_cast
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN d1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS div_by_zero_nulls,
+           min(d1) AS min_ratio,
+           max(d1) AS max_ratio,
+           CAST(sum(CASE WHEN ov IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS overflow_nulls,
+           CAST(sum(CASE WHEN bad_cast IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS bad_cast_nulls,
+           CAST(sum(good_cast) AS BIGINT) AS good_cast_sum
+    FROM t GROUP BY event_type
+    """,
+)
+def q208_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL accounting of try_divide (by zero), try_add (i64 overflow),
+    and try_cast (non-numeric string / round-trip) per event type.
+
+    Scale shape: pure narrow column expressions + one combinable
+    aggregate — the point is semantics, not plan. Only min/max of the
+    division ride the compare (a float SUM would be summation-order
+    sensitive across engines; counts and integer sums are exact).
+    """
+    _view(spark, sf_dir, "events", "q208_events")
+    return spark.sql(
+        """
+        WITH t AS (
+            SELECT event_type,
+                   try_divide(CAST(value AS DOUBLE), user_id % 5) AS d1,
+                   try_add(9223372036854775807, event_id) AS ov,
+                   try_cast(event_type AS BIGINT) AS bad_cast,
+                   try_cast(CAST(user_id AS STRING) AS BIGINT) AS good_cast
+            FROM q208_events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN d1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS div_by_zero_nulls,
+               min(d1) AS min_ratio,
+               max(d1) AS max_ratio,
+               CAST(sum(CASE WHEN ov IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS overflow_nulls,
+               CAST(sum(CASE WHEN bad_cast IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bad_cast_nulls,
+               CAST(sum(good_cast) AS BIGINT) AS good_cast_sum
+        FROM t GROUP BY event_type
+        """
+    )

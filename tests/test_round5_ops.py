@@ -372,3 +372,29 @@ def test_twap_within_value_range_and_span(spark, sf_dir):
         assert r.span_us == evs[-1][0] - evs[0][0]
         vals = [v for _, v in evs[:-1]]  # last reading carries no weight
         assert min(vals) - 1e-9 <= r.twap <= max(vals) + 1e-9
+
+
+def test_try_arithmetic_null_pattern(spark, sf_dir):
+    """Division nulls exactly when user_id%5==0; every positive event_id
+    overflows; bad casts are all-null; good casts round-trip."""
+    for r in _run(spark, sf_dir, "q208_try_arithmetic").collect():
+        assert r.bad_cast_nulls == r.n
+        assert r.overflow_nulls <= r.n
+        assert 0 <= r.div_by_zero_nulls <= r.n
+        if r.min_ratio is not None:
+            assert r.min_ratio <= r.max_ratio
+
+
+def test_grouping_id_structure(spark, sf_dir):
+    """gid = 2·g_priority + g_status; subtotal rows null exactly the
+    flagged columns; the four grouping sets partition the count."""
+    rows = _run(spark, sf_dir, "q209_grouping_id").collect()
+    total = load_table(spark, sf_dir, "orders").count()
+    by_gid: dict[int, int] = {}
+    for r in rows:
+        assert r.gid == 2 * r.g_priority + r.g_status
+        assert (r.o_orderpriority is None) == (r.g_priority == 1)
+        assert (r.o_orderstatus is None) == (r.g_status == 1)
+        by_gid[r.gid] = by_gid.get(r.gid, 0) + r.n_orders
+    assert set(by_gid) == {0, 1, 2, 3}
+    assert all(v == total for v in by_gid.values())
