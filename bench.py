@@ -230,6 +230,8 @@ HEADLINE = [
     "q207_twap",
     "q208_try_arithmetic",
     "q209_grouping_id",
+    "q210_self_repetition",
+    "q211_profile_lang_id",
 ]
 
 

@@ -1188,3 +1188,197 @@ def q198_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share_of_label"),
         (F.col("labeled_lang") == F.col("predicted_lang")).alias("agree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q210 — intra-document repetition spans: the max-repeated word-5-gram
+# per document plus the distinct/total 5-gram ratio. Catches the
+# degeneration q41's token-level ratios miss — a doc can have healthy
+# token diversity while looping the same paragraph (the classic LM-output
+# failure and boilerplate signature). Explode + per-(doc, gram) count +
+# per-doc max: all map-side-combinable.
+# ---------------------------------------------------------------------------
+
+_REP_N = 5  # span length in words
+
+
+@register(
+    "q210_self_repetition",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        WHERE len(string_split(text, ' ')) >= {_REP_N}
+    ),
+    grams AS (
+        SELECT doc_id, g.g
+        FROM tok, unnest(list_transform(
+            generate_series(1, len(l) - {_REP_N - 1}),
+            i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' '
+                 || l[i+3] || ' ' || l[i+4]
+        )) AS g(g)
+    ),
+    per_gram AS (
+        SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_distinct_grams,
+           CAST(max(c) AS BIGINT) AS max_repeat,
+           CAST(count(*) AS DOUBLE) / sum(c) AS distinct_ratio
+    FROM per_gram GROUP BY doc_id
+    """,
+)
+def q210_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document {_REP_N}-gram repetition profile: occurrence count,
+    distinct count, the most-repeated span's multiplicity, and the
+    distinct ratio (1.0 = no span repeats).
+
+    Scale shape: one narrow pass builds the grams (single split +
+    transform per row, linear per doc), then two map-side-combined
+    aggregations keyed by doc — repetition never leaves the document,
+    so nothing shuffles beyond (doc, gram) partials.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("l")).where(
+        F.size("l") >= _REP_N
+    )
+    join_expr = " || ' ' || ".join(f"l[i + {j}]" for j in range(_REP_N))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(l) - {_REP_N}), i -> {join_expr})"
+            )
+        ).alias("g"),
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.count("*").cast("bigint").alias("n_distinct_grams"),
+        F.max("c").cast("bigint").alias("max_repeat"),
+        (F.count("*").cast("double") / F.sum("c")).alias("distinct_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q211 — profile-based language ID (textcat/CLD family): per-language
+# character-trigram profiles (top-{200} trigrams by frequency over the
+# labeled slice), each document scored by how many of its trigram
+# OCCURRENCES the profile covers, argmax with alphabetic tie-break.
+# Character profiles are what production lang-ID actually uses — they
+# survive domains where q30b's marker WORDS never appear. Scores are
+# integer coverage counts; no floats anywhere until the driver.
+# ---------------------------------------------------------------------------
+
+_PROFILE_TOP = 200
+
+
+def _q211_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_cols = ", ".join(
+        f"CAST(coalesce(max(CASE WHEN s.lang = '{lg}' THEN s.cov END), 0)"
+        f" AS BIGINT) AS score_{lg}"
+        for lg in langs
+    )
+    greatest = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lg} = {greatest} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+    WITH tri AS (
+        SELECT doc_id, lang, t.tri
+        FROM documents, unnest(list_transform(
+            generate_series(1, length(text) - 2),
+            i -> substr(text, i, 3)
+        )) AS t(tri)
+        WHERE length(text) >= 3
+    ),
+    lang_tri AS (
+        SELECT lang, tri, count(*) AS c FROM tri GROUP BY lang, tri
+    ),
+    profile AS (
+        SELECT lang, tri FROM (
+            SELECT lang, tri,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY c DESC, tri) AS rn
+            FROM lang_tri
+        ) WHERE rn <= {_PROFILE_TOP}
+    ),
+    cov AS (
+        SELECT t.doc_id, p.lang, count(*) AS cov
+        FROM tri t JOIN profile p ON t.tri = p.tri
+        GROUP BY t.doc_id, p.lang
+    ),
+    scored AS (
+        SELECT d.doc_id, d.lang AS labeled_lang, {score_cols}
+        FROM documents d LEFT JOIN cov s ON s.doc_id = d.doc_id
+        GROUP BY d.doc_id, d.lang
+    )
+    SELECT doc_id, labeled_lang, {case} AS predicted_lang,
+           {", ".join(f"score_{lg}" for lg in langs)}
+    FROM scored
+    """
+
+
+@register("q211_profile_lang_id", oracle=_q211_sql())
+def q211_profile_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram profile language ID: per-language top-{_PROFILE_TOP}
+    profiles, integer coverage scores per document, deterministic argmax.
+
+    Scale shape: profile building is one map-side-combined (lang, tri)
+    count plus a per-LANG rank window (vocab-sized partitions — the
+    corpus never passes through it); the |langs|·{_PROFILE_TOP}-row
+    profile broadcasts; scoring is one narrow pass + hash probe +
+    combinable (doc, lang) count. Exactly the q188 broadcast-model
+    shape with a per-class model.
+    """
+    langs = sorted(LANG_MARKERS)
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") >= 3)
+    tri = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("tri"),
+    )
+    lang_tri = tri.groupBy("lang", "tri").agg(F.count("*").alias("c"))
+    wl = Window.partitionBy("lang").orderBy(F.col("c").desc(), "tri")
+    profile = (
+        lang_tri.withColumn("rn", F.row_number().over(wl))
+        .where(F.col("rn") <= _PROFILE_TOP)
+        .select(F.col("lang").alias("p_lang"), "tri")
+    )
+    cov = (
+        tri.join(F.broadcast(profile), "tri")
+        .groupBy("doc_id", "p_lang")
+        .agg(F.count("*").alias("cov"))
+    )
+    scored = (
+        d.select("doc_id", F.col("lang").alias("labeled_lang"))
+        .join(cov, "doc_id", "left")
+        .groupBy("doc_id", "labeled_lang")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("p_lang") == lg, F.col("cov"))),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias(f"score_{lg}")
+                for lg in langs
+            ]
+        )
+    )
+    greatest = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit(None).cast("string")
+    for lg in reversed(langs):
+        pred = F.when(F.col(f"score_{lg}") == greatest, lg).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        pred.alias("predicted_lang"),
+        *[F.col(f"score_{lg}") for lg in langs],
+    )

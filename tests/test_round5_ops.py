@@ -398,3 +398,40 @@ def test_grouping_id_structure(spark, sf_dir):
         by_gid[r.gid] = by_gid.get(r.gid, 0) + r.n_orders
     assert set(by_gid) == {0, 1, 2, 3}
     assert all(v == total for v in by_gid.values())
+
+
+def test_self_repetition_gram_accounting(spark, sf_dir):
+    """n_grams = word count − 4 per doc; distinct ≤ total; the ratio is
+    their exact quotient; max_repeat ≥ 1."""
+    words = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    rows = _run(spark, sf_dir, "q210_self_repetition").collect()
+    for r in rows:
+        assert r.n_grams == words[r.doc_id] - 4
+        assert 1 <= r.max_repeat <= r.n_grams
+        assert r.n_distinct_grams <= r.n_grams
+        assert r.distinct_ratio == r.n_distinct_grams / r.n_grams
+
+
+def test_profile_lang_id_scores_and_argmax(spark, sf_dir):
+    """Scores are bounded by the doc's trigram count; the prediction is
+    the alphabetically-first max-score language; one row per doc."""
+    rows = _run(spark, sf_dir, "q211_profile_lang_id").collect()
+    n_docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 3)
+        .count()
+    )
+    assert len(rows) == n_docs
+    langs = ["de", "en", "es", "fr", "zh"]
+    for r in rows:
+        scores = {lg: getattr(r, f"score_{lg}") for lg in langs}
+        best = max(scores.values())
+        assert r.predicted_lang == min(
+            lg for lg, s in scores.items() if s == best
+        )
+        assert all(s >= 0 for s in scores.values())
