@@ -232,6 +232,11 @@ HEADLINE = [
     "q209_grouping_id",
     "q210_self_repetition",
     "q211_profile_lang_id",
+    "q212_cusum_drift",
+    "q213_golden_record",
+    "q214_knn_label_eval",
+    "q215_proximity_search",
+    "q216_link_prediction",
 ]
 
 

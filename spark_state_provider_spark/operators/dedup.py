@@ -1594,3 +1594,72 @@ def _register_q206() -> None:
 
 
 _register_q206()
+
+
+# ---------------------------------------------------------------------------
+# q213 — GOLDEN RECORD per duplicate cluster (MDM survivorship): each
+# near-dup cluster collapses to one merged record — canonical id (min),
+# the longest member as the surviving text carrier (ties → lowest id),
+# the union of sources, and size accounting. This is what dedup is FOR:
+# downstream consumers read the survivor table, not the pair graph.
+# Reuses the memoized cluster labels; the oracle replays the full
+# LSH + transitive-closure chain (q28e's CTE) and merges in SQL.
+# ---------------------------------------------------------------------------
+
+
+def _register_q213() -> None:
+    from spark_state_provider_spark.operators.registry import get as _get
+
+    cluster_oracle = _get("q28e_dedup_clusters").oracle
+
+    @register(
+        "q213_golden_record",
+        oracle=f"""
+        WITH labels AS ({cluster_oracle})
+        SELECT l.cluster_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               min(d.doc_id) AS canonical_id,
+               CAST(min(10000000000 * (999999 - d.n_chars) + d.doc_id)
+                    % 10000000000 AS BIGINT) AS survivor_id,
+               CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+               string_agg(DISTINCT d.source, ',' ORDER BY d.source)
+                   AS sources_csv
+        FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+        GROUP BY l.cluster_id
+        """,
+    )
+    def q213_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """One merged survivor row per near-dup cluster: canonical id,
+        longest-member survivor (exact argmax via the packed
+        (999999−n_chars, doc_id) key — no max_by tie ambiguity), source
+        union as an ordered CSV, member/char accounting.
+
+        Scale shape: the cluster labels are the memoized CC output
+        (log-round, linear); the merge is ONE map-side-combined
+        aggregate over (cluster, doc) rows. The packed-integer argmax
+        keeps survivorship deterministic on both engines.
+        """
+        labels = _clusters_persisted(spark, sf_dir)
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        j = labels.join(d, "doc_id")
+        packed = (
+            F.lit(10_000_000_000).cast("long")
+            * (F.lit(999_999) - F.col("n_chars"))
+            + F.col("doc_id")
+        )
+        return j.groupBy("cluster_id").agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.min("doc_id").alias("canonical_id"),
+            (F.min(packed) % 10_000_000_000)
+            .cast("bigint")
+            .alias("survivor_id"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.array_join(
+                F.array_sort(F.collect_set("source")), ","
+            ).alias("sources_csv"),
+        )
+
+
+_register_q213()

@@ -527,3 +527,108 @@ def q174_kcore_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     if prev_persisted is not None:
         prev_persisted.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# q216 — link prediction on the document-similarity graph: common-
+# neighbor Jaccard for vertex pairs that are NOT yet edges. The graph's
+# edges are doc pairs sharing >= 3 word-trigrams (the co-shingle
+# relation, q46's contamination join one notch stricter) — docs never
+# directly linked but sharing many linked neighbors are the "emerging
+# duplicate family / missed by thresholding" candidates a dedup platform
+# queues for exact re-verification. Wedge-join + degree join +
+# anti-join, all bounded by the similarity graph, never the corpus.
+# ---------------------------------------------------------------------------
+
+_LINKPRED_MIN_SHARED = 3
+
+
+def _linkpred_oracle() -> str:
+    from spark_state_provider_spark.operators.dedup import _DUCK_TRI
+
+    return f"""
+    WITH {_DUCK_TRI},
+    pr AS (
+        SELECT ta.doc_id AS id_a, tb.doc_id AS id_b
+        FROM tri ta JOIN tri tb
+          ON tb.tri = ta.tri AND ta.doc_id < tb.doc_id
+        GROUP BY ta.doc_id, tb.doc_id
+        HAVING count(*) >= {_LINKPRED_MIN_SHARED}
+    ),
+    ed AS (
+        SELECT id_a AS u, id_b AS v FROM pr
+        UNION SELECT id_b, id_a FROM pr
+    ),
+    deg AS (SELECT u, count(*) AS d FROM ed GROUP BY u),
+    wedge AS (
+        SELECT e1.v AS u, e2.v AS v, count(*) AS common
+        FROM ed e1 JOIN ed e2 ON e1.u = e2.u AND e1.v < e2.v
+        GROUP BY e1.v, e2.v
+    )
+    SELECT w.u, w.v,
+           CAST(w.common AS BIGINT) AS common_neighbors,
+           CAST(w.common AS DOUBLE) / (du.d + dv.d - w.common)
+               AS neighbor_jaccard
+    FROM wedge w
+    JOIN deg du ON du.u = w.u
+    JOIN deg dv ON dv.u = w.v
+    LEFT JOIN ed ON ed.u = w.u AND ed.v = w.v
+    WHERE ed.u IS NULL
+    """
+
+
+@register("q216_link_prediction", oracle=_linkpred_oracle())
+def q216_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-edge doc pairs ranked by common-neighbor Jaccard over the
+    >={_LINKPRED_MIN_SHARED}-shared-trigram similarity graph.
+
+    Scale shape: edge generation is the shingle inverted-index join
+    (linear in co-shingle pairs — q206's truth-side plan); wedges are
+    generated only through shared neighbors (never all-pairs); degree
+    and existing-edge joins broadcast the graph-sized frames. The
+    output is the re-verification queue an incremental dedup platform
+    feeds back into the exact scorer.
+    """
+    from spark_state_provider_spark.operators.dedup import (
+        _trigrams_persisted,
+    )
+
+    tri = _trigrams_persisted(spark, sf_dir)
+    ta = tri.select(F.col("doc_id").alias("id_a"), "tri")
+    tb = tri.select(F.col("doc_id").alias("id_b"), "tri")
+    pr = (
+        ta.join(tb, "tri")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("ns"))
+        .where(F.col("ns") >= _LINKPRED_MIN_SHARED)
+        .select("id_a", "id_b")
+    )
+    ed = pr.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).union(
+        pr.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    deg = ed.groupBy("u").agg(F.count("*").alias("d"))
+    e1 = ed.select(F.col("u").alias("m"), F.col("v").alias("u"))
+    e2 = ed.select(F.col("u").alias("m"), F.col("v").alias("v"))
+    wedge = (
+        e1.join(e2, "m")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("common"))
+    )
+    nonedge = wedge.join(F.broadcast(ed), ["u", "v"], "left_anti")
+    du = deg.select(F.col("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    return (
+        nonedge.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            F.col("common").cast("bigint").alias("common_neighbors"),
+            (
+                F.col("common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common"))
+            ).alias("neighbor_jaccard"),
+        )
+    )

@@ -1631,3 +1631,91 @@ def q200_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q214 — kNN label evaluation (leave-one-out): each query vector's label
+# is predicted by majority vote of its top-{TOP_K} cosine neighbors
+# (ties → lowest label id) and compared to the stored label. The
+# embedding-space label-noise audit — the q198 metadata audit's
+# geometric sibling, and the second eval-in-pipeline row after q200.
+# ---------------------------------------------------------------------------
+
+
+def _register_q214() -> None:
+    from spark_state_provider_spark.operators.registry import get as _get
+
+    brute = _get("q29_knn_brute").oracle
+
+    @register(
+        "q214_knn_label_eval",
+        oracle=f"""
+        WITH nn AS (SELECT query_id, neighbor_id FROM ({brute})),
+        votes AS (
+            SELECT nn.query_id, e.label, count(*) AS c
+            FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+            GROUP BY nn.query_id, e.label
+        ),
+        pred AS (
+            SELECT query_id, label AS predicted_label
+            FROM (
+                SELECT query_id, label,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY c DESC, label) AS rn
+                FROM votes
+            ) WHERE rn = 1
+        )
+        SELECT p.query_id,
+               CAST(q.label AS BIGINT) AS own_label,
+               CAST(p.predicted_label AS BIGINT) AS predicted_label,
+               q.label = p.predicted_label AS agree
+        FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+        """,
+    )
+    def q214_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Majority-vote label prediction from the exact top-{TOP_K}
+        neighbor set vs each query vector's own label.
+
+        Scale shape: rides the q29 retrieval output (k rows per query);
+        the vote is a (query, label) count + one tiny partitioned rank.
+        At 100 TB the same audit runs the ANN path (q29b) over an eval
+        sample — this exact form is its oracle, like q200.
+        """
+        nn = q29_knn_brute(spark, sf_dir).select("query_id", "neighbor_id")
+        lab = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label"
+        )
+        votes = (
+            nn.join(
+                F.broadcast(lab.withColumnRenamed("vec_id", "neighbor_id")),
+                "neighbor_id",
+            )
+            .groupBy("query_id", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        wv = Window.partitionBy("query_id").orderBy(
+            F.col("c").desc(), "label"
+        )
+        pred = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == 1)
+            .select("query_id", F.col("label").alias("predicted_label"))
+        )
+        own = lab.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("own_label"),
+        )
+        return pred.join(F.broadcast(own), "query_id").select(
+            "query_id",
+            F.col("own_label").cast("bigint").alias("own_label"),
+            F.col("predicted_label").cast("bigint").alias(
+                "predicted_label"
+            ),
+            (F.col("own_label") == F.col("predicted_label")).alias(
+                "agree"
+            ),
+        )
+
+
+_register_q214()

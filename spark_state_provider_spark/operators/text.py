@@ -1382,3 +1382,81 @@ def q211_profile_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.alias("predicted_lang"),
         *[F.col(f"score_{lg}") for lg in langs],
     )
+
+
+# ---------------------------------------------------------------------------
+# q215 — proximity search: documents where two query terms co-occur
+# within a K-token window, ranked by their minimum token distance. The
+# retrieval primitive between bag-of-words (BM25, q49 — blind to word
+# order) and phrase match (exact adjacency): "spark" NEAR/5 "join".
+# Position lists come from one filter over the token index sequence;
+# the min pairwise distance is a nested fold over the two (short)
+# position lists — all JVM higher-order functions, no explode of the
+# position cross product into rows.
+# ---------------------------------------------------------------------------
+
+_PROX_A, _PROX_B, _PROX_WIN = "spark", "join", 5
+
+
+@register(
+    "q215_proximity_search",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    pos AS (
+        SELECT doc_id,
+               list_filter(generate_series(1, len(l)),
+                           i -> l[i] = '{_PROX_A}') AS pa,
+               list_filter(generate_series(1, len(l)),
+                           i -> l[i] = '{_PROX_B}') AS pb
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(pa) AS BIGINT) AS n_a,
+           CAST(len(pb) AS BIGINT) AS n_b,
+           CAST(list_min(list_transform(pa, a ->
+                list_min(list_transform(pb, b -> abs(a - b))))) AS BIGINT)
+               AS min_dist
+    FROM pos
+    WHERE len(pa) > 0 AND len(pb) > 0
+      AND list_min(list_transform(pa, a ->
+              list_min(list_transform(pb, b -> abs(a - b)))))
+          <= {_PROX_WIN}
+    """,
+)
+def q215_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs where '{_PROX_A}' and '{_PROX_B}' occur within
+    {_PROX_WIN} tokens, with occurrence counts and the min distance.
+
+    Scale shape: one narrow pass per doc — tokenize once, two position
+    filters, one nested min-fold whose cost is |pa|·|pb| per doc
+    (query-term occurrence counts, not doc length). At index scale the
+    same computation runs over q51's posting lists (positions per
+    (term, doc)) so only the two terms' postings are ever read.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("l"))
+    pos = t.select(
+        "doc_id",
+        F.expr(
+            f"filter(sequence(1, size(l)), i -> l[i - 1] = '{_PROX_A}')"
+        ).alias("pa"),
+        F.expr(
+            f"filter(sequence(1, size(l)), i -> l[i - 1] = '{_PROX_B}')"
+        ).alias("pb"),
+    )
+    min_dist = F.expr(
+        "array_min(transform(pa, a -> "
+        "array_min(transform(pb, b -> abs(a - b)))))"
+    )
+    return (
+        pos.where((F.size("pa") > 0) & (F.size("pb") > 0))
+        .select(
+            "doc_id",
+            F.size("pa").cast("bigint").alias("n_a"),
+            F.size("pb").cast("bigint").alias("n_b"),
+            min_dist.cast("bigint").alias("min_dist"),
+        )
+        .where(F.col("min_dist") <= _PROX_WIN)
+    )

