@@ -128,6 +128,15 @@ QUERIES = [
     "q197_ewma",
     "q200_ann_recall_eval",
     "q202_image_resize",
+    "q204_asof_nearest",
+    "q206_lsh_dedup_recall",
+    "q207_twap",
+    "q210_self_repetition",
+    "q211_profile_lang_id",
+    "q212_cusum_drift",
+    "q213_golden_record",
+    "q215_proximity_search",
+    "q216_link_prediction",
 ]
 
 

@@ -1477,14 +1477,27 @@ _register_q113()
 
 # ---------------------------------------------------------------------------
 # q206 — LSH dedup RECALL certification: exact ground truth (every pair
-# with true shingle-Jaccard ≥ θ, found via the shingle inverted-index
-# join — no banding, no cartesian) vs the banded-LSH pair set. The
+# with true shingle-Jaccard ≥ θ whose overlap touches ≥1 NON-STOP
+# shingle, found via the shingle inverted-index join — no banding, no
+# cartesian) vs the banded-LSH pair set. Candidate generation is
+# anchored on shingles with document frequency ≤ {_TRUTH_DF_CAP} (the
+# standard stop-shingle bound: boilerplate shingles generate quadratic
+# candidate pairs and no dedup signal), which bounds the join
+# intermediate at CAP·|shingles| — LINEAR in the corpus even under
+# adversarial duplication (an all-duplicates 30× replica OOM'd the
+# uncapped join; with the cap it degrades gracefully by design).
+# Max df on the testdata is 25, so the capped truth is bit-identical
+# to the uncapped one at every tested scale. Jaccard for generated
+# candidates is still computed over FULL shingle sets — exact. The
 # one-row verdict carries recall AND a zero-false-positive proof
 # (n_lsh_only must be 0 because q28b exact-verifies its candidates).
 # Production analog: run the exact side on an eval sample to monitor the
 # band/row parameters as the corpus drifts; the q200 recall eval is the
 # same pattern for ANN retrieval.
 # ---------------------------------------------------------------------------
+
+
+_TRUTH_DF_CAP = 100  # stop-shingle bound for truth candidates
 
 
 def _register_q206() -> None:
@@ -1497,12 +1510,23 @@ def _register_q206() -> None:
         oracle=f"""
         WITH {_DUCK_TRI},
         sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+        rare AS (
+            SELECT tri FROM (
+                SELECT tri, count(*) AS df FROM tri GROUP BY tri
+            ) WHERE df <= {_TRUTH_DF_CAP}
+        ),
+        cand AS (
+            SELECT DISTINCT ta.doc_id AS id_a, tb.doc_id AS id_b
+            FROM tri ta
+            JOIN rare r ON r.tri = ta.tri
+            JOIN tri tb ON tb.tri = ta.tri AND ta.doc_id < tb.doc_id
+        ),
         allint AS (
-            SELECT ta.doc_id AS id_a, tb.doc_id AS id_b,
-                   count(*) AS n_inter
-            FROM tri ta JOIN tri tb
-              ON tb.tri = ta.tri AND ta.doc_id < tb.doc_id
-            GROUP BY ta.doc_id, tb.doc_id
+            SELECT c.id_a, c.id_b, count(*) AS n_inter
+            FROM cand c
+            JOIN tri ta ON ta.doc_id = c.id_a
+            JOIN tri tb ON tb.doc_id = c.id_b AND tb.tri = ta.tri
+            GROUP BY c.id_a, c.id_b
         ),
         truth AS (
             SELECT i.id_a, i.id_b
@@ -1530,7 +1554,9 @@ def _register_q206() -> None:
     )
     def q206_lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         """One-row recall certificate of the banded MinHash-LSH dedup
-        against the exact Jaccard-≥-{JACCARD_THRESHOLD} ground truth.
+        against the exact Jaccard-≥-{JACCARD_THRESHOLD} ground truth
+        (candidates anchored on df≤{_TRUTH_DF_CAP} shingles; exact
+        full-set Jaccard for every candidate).
 
         Scale shape: ground truth is a self-equijoin of the persisted
         shingle index on the shingle key (bounded by co-shingle pair
@@ -1540,11 +1566,25 @@ def _register_q206() -> None:
         """
         tri = _trigrams_persisted(spark, sf_dir)
         sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n"))
+        rare = (
+            tri.groupBy("tri")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= _TRUTH_DF_CAP)
+            .select("tri")
+        )
         ta = tri.select(F.col("doc_id").alias("id_a"), "tri")
         tb = tri.select(F.col("doc_id").alias("id_b"), "tri")
-        allint = (
-            ta.join(tb, "tri")
+        cand = (
+            ta.join(rare, "tri")
+            .join(tb, "tri")
             .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        allint = (
+            cand.join(ta.withColumnRenamed("tri", "t_a"), "id_a")
+            .join(tb.withColumnRenamed("tri", "t_b"), "id_b")
+            .where(F.col("t_a") == F.col("t_b"))
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("n_inter"))
         )

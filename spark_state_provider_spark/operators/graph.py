@@ -532,8 +532,10 @@ def q174_kcore_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q216 — link prediction on the document-similarity graph: common-
 # neighbor Jaccard for vertex pairs that are NOT yet edges. The graph's
-# edges are doc pairs sharing >= 3 word-trigrams (the co-shingle
-# relation, q46's contamination join one notch stricter) — docs never
+# edges are doc pairs sharing >= 3 word-trigrams of document frequency
+# <= 100 (the co-shingle relation, q46's contamination join one notch
+# stricter, df-capped like q206's truth side so the inverted-index join
+# stays LINEAR under adversarial duplication) — docs never
 # directly linked but sharing many linked neighbors are the "emerging
 # duplicate family / missed by thresholding" candidates a dedup platform
 # queues for exact re-verification. Wedge-join + degree join +
@@ -541,6 +543,7 @@ def q174_kcore_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LINKPRED_MIN_SHARED = 3
+_LINKPRED_DF_CAP = 100  # stop-shingle bound (q206's _TRUTH_DF_CAP twin)
 
 
 def _linkpred_oracle() -> str:
@@ -548,9 +551,15 @@ def _linkpred_oracle() -> str:
 
     return f"""
     WITH {_DUCK_TRI},
+    rare AS (
+        SELECT tri FROM (
+            SELECT tri, count(*) AS df FROM tri GROUP BY tri
+        ) WHERE df <= {_LINKPRED_DF_CAP}
+    ),
+    rt AS (SELECT t.doc_id, t.tri FROM tri t JOIN rare r ON r.tri = t.tri),
     pr AS (
         SELECT ta.doc_id AS id_a, tb.doc_id AS id_b
-        FROM tri ta JOIN tri tb
+        FROM rt ta JOIN rt tb
           ON tb.tri = ta.tri AND ta.doc_id < tb.doc_id
         GROUP BY ta.doc_id, tb.doc_id
         HAVING count(*) >= {_LINKPRED_MIN_SHARED}
@@ -577,10 +586,48 @@ def _linkpred_oracle() -> str:
     """
 
 
+# the rare-shingle pair graph feeds four plan branches (wedge e1/e2,
+# degrees, the anti-join) — persist once per (session, corpus) like the
+# other shared dedup indexes (same dfcache lifecycle)
+_RARE_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _rare_pairs_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    from spark_state_provider_spark.dfcache import get_or_build
+    from spark_state_provider_spark.operators.dedup import (
+        _trigrams_persisted,
+    )
+
+    def build() -> DataFrame:
+        tri = _trigrams_persisted(spark, sf_dir)
+        rare = (
+            tri.groupBy("tri")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= _LINKPRED_DF_CAP)
+            .select("tri")
+        )
+        rt = tri.join(rare, "tri")
+        ta = rt.select(F.col("doc_id").alias("id_a"), "tri")
+        tb = rt.select(F.col("doc_id").alias("id_b"), "tri")
+        return (
+            ta.join(tb, "tri")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("ns"))
+            .where(F.col("ns") >= _LINKPRED_MIN_SHARED)
+            .select("id_a", "id_b")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    return get_or_build(_RARE_PAIRS_CACHE, spark, (sf_dir,), build)
+
+
 @register("q216_link_prediction", oracle=_linkpred_oracle())
 def q216_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-edge doc pairs ranked by common-neighbor Jaccard over the
-    >={_LINKPRED_MIN_SHARED}-shared-trigram similarity graph.
+    >={_LINKPRED_MIN_SHARED}-shared-rare-trigram similarity graph\n    (df ≤ {_LINKPRED_DF_CAP} — identical on the testdata, linear-bounded\n    under adversarial duplication).
 
     Scale shape: edge generation is the shingle inverted-index join
     (linear in co-shingle pairs — q206's truth-side plan); wedges are
@@ -589,21 +636,7 @@ def q216_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is the re-verification queue an incremental dedup platform
     feeds back into the exact scorer.
     """
-    from spark_state_provider_spark.operators.dedup import (
-        _trigrams_persisted,
-    )
-
-    tri = _trigrams_persisted(spark, sf_dir)
-    ta = tri.select(F.col("doc_id").alias("id_a"), "tri")
-    tb = tri.select(F.col("doc_id").alias("id_b"), "tri")
-    pr = (
-        ta.join(tb, "tri")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("ns"))
-        .where(F.col("ns") >= _LINKPRED_MIN_SHARED)
-        .select("id_a", "id_b")
-    )
+    pr = _rare_pairs_persisted(spark, sf_dir)
     ed = pr.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).union(
         pr.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
     )
