@@ -1581,10 +1581,14 @@ def _register_q206() -> None:
             .select("id_a", "id_b")
             .distinct()
         )
+        # the shingle equality must be part of the equijoin KEY — joined
+        # on id_b alone with a post-filter, the intermediate is
+        # |cand| x |shingles(a)| x |shingles(b)| (measured: filled the
+        # disk at the 10x replica); as an (id_b, tri) equijoin it is the
+        # intersection itself
         allint = (
-            cand.join(ta.withColumnRenamed("tri", "t_a"), "id_a")
-            .join(tb.withColumnRenamed("tri", "t_b"), "id_b")
-            .where(F.col("t_a") == F.col("t_b"))
+            cand.join(ta, "id_a")
+            .join(tb, ["id_b", "tri"])
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("n_inter"))
         )
