@@ -237,6 +237,7 @@ HEADLINE = [
     "q214_knn_label_eval",
     "q215_proximity_search",
     "q216_link_prediction",
+    "q217_stream_cusum",
 ]
 
 

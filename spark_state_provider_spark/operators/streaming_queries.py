@@ -2638,3 +2638,45 @@ def _register_q203() -> None:
 
 
 _register_q203()
+
+
+# ---------------------------------------------------------------------------
+# q217 — STREAMING CUSUM: q212's drift detector with its state reduced
+# to the closed form's two running integers (prefix sum + prefix min)
+# per key, held in RocksDB across micro-batches. The identity
+# S_i = P_i − min_{j≤i} P_j is what makes the stream need O(1) state
+# where the batch form needs the key's history — the strongest argument
+# for the closed-form rewrite, demonstrated live and sharing q212's
+# oracle (integer cents: the streamed result is bit-equal by
+# construction, not approximately).
+# ---------------------------------------------------------------------------
+
+
+def _register_q217() -> None:
+    from spark_state_provider_spark.operators.registry import get as _get
+
+    @register("q217_stream_cusum", oracle=_get("q212_cusum_drift").oracle)
+    def q217_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-user running max-CUSUM across {N_BATCHES} micro-batches;
+        final upserted state equals the batch closed form (same oracle
+        as q212). State per key: four integers, however long the
+        history."""
+        from spark_state_provider_spark.operators.timeseries import (
+            _CUSUM_K_CENTS,
+        )
+        from spark_state_provider_spark.streaming.stateful import (
+            cusum_stream,
+        )
+
+        with _streaming_session(spark):
+            # reuses the q24s/q203 pre-materialized time-ordered slices
+            ev = stream_events(spark, sf_dir, N_BATCHES, tag="us")
+            out = cusum_stream(
+                ev.select("user_id", "ts", "event_id", "value"),
+                _CUSUM_K_CENTS,
+                100000,
+            )
+            return run_upsert_table(out, ["user_id"])
+
+
+_register_q217()

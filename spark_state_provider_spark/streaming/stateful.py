@@ -351,3 +351,62 @@ def ewma_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM — the drift detector (operators/timeseries.py q212)
+# maintained across micro-batches. The batch form's closed-form identity
+# (S_i = P_i − min prefix) is exactly what makes the STREAMING state two
+# integers per key: the running prefix sum and its running minimum; the
+# running max-CUSUM rides as a third. Integer cents — no float state.
+# ---------------------------------------------------------------------------
+
+CUSUM_OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, max_cusum_cents bigint, "
+    "drift_alarm boolean"
+)
+CUSUM_STATE_SCHEMA = "pref long, low long, peak long, n long"
+
+
+def make_cusum_handler(k_cents: int, alarm_cents: int):
+    def handler(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pref, low, peak, n = (
+            state.get if state.exists else (0, 0, 0, 0)
+        )
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for cents in (
+                (pdf["value"].astype("float64") * 100).round().astype("int64")
+            ):
+                pref += int(cents) - k_cents
+                low = min(low, pref)
+                peak = max(peak, pref - low)
+            n += len(pdf)
+        state.update((pref, low, peak, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_cusum_cents": [peak],
+                "drift_alarm": [peak >= alarm_cents],
+            }
+        )
+
+    return handler
+
+
+def cusum_stream(
+    events: DataFrame, k_cents: int, alarm_cents: int
+) -> DataFrame:
+    """Per-user running max-CUSUM over a streaming events DataFrame."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_cusum_handler(k_cents, alarm_cents),
+        outputStructType=CUSUM_OUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

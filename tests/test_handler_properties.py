@@ -109,3 +109,35 @@ def test_quota_admits_first_n_regardless_of_split(n_rows, cap, cut):
     assert list(out["quota_pos"]) == list(
         range(1, min(cap, n_rows) + 1)
     )
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0, max_value=500, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=39), max_size=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_cusum_state_batch_split_independent(vals, cuts):
+    from spark_state_provider_spark.streaming.stateful import (
+        make_cusum_handler,
+    )
+
+    handler = make_cusum_handler(6000, 100000)
+    rows = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(range(len(vals)), unit="s"),
+            "event_id": range(len(vals)),
+            "value": vals,
+        }
+    )
+    one_state, _ = _run_batches(handler, [[rows]])
+    points = sorted({c for c in cuts if 0 < c < len(vals)})
+    chunks, prev = [], 0
+    for c in points + [len(vals)]:
+        chunks.append([rows.iloc[prev:c]])
+        prev = c
+    split_state, _ = _run_batches(handler, chunks)
+    assert split_state.get == one_state.get

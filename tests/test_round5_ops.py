@@ -546,3 +546,17 @@ def test_link_prediction_non_edges_only(spark, sf_dir):
         assert r.common_neighbors >= 1
         assert 0.0 < r.neighbor_jaccard <= 1.0
         assert r.u < r.v
+
+
+def test_stream_cusum_equals_batch_closed_form(spark, sf_dir):
+    """The streamed CUSUM state (O(1) integers per key, through
+    RocksDB) equals the batch closed form for every user."""
+    batch = {
+        r.user_id: (r.n_events, r.max_cusum_cents, r.drift_alarm)
+        for r in _run(spark, sf_dir, "q212_cusum_drift").collect()
+    }
+    streamed = {
+        r.user_id: (r.n_events, r.max_cusum_cents, r.drift_alarm)
+        for r in _run(spark, sf_dir, "q217_stream_cusum").collect()
+    }
+    assert streamed == batch
