@@ -112,6 +112,46 @@ def q36_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+
+# warehouse fixture tables follow the scratch-dir convention
+# (``ssps_*_<pid>``): pid-scoped names mean concurrent processes (bench +
+# pytest + replica) can never clobber each other's table files mid-read
+# (measured: a concurrent replica's rmtree+rewrite failed two pytest
+# oracle checks with FILE_NOT_EXIST), and a once-per-process sweep
+# removes dirs whose owning pid is dead so the warehouse stays bounded.
+_WH_SWEPT = False
+
+
+def _warehouse_pid_dir(spark) -> str:
+    from urllib.parse import urlparse
+
+    return urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+
+def _sweep_warehouse(spark) -> None:
+    global _WH_SWEPT
+    if _WH_SWEPT:
+        return
+    _WH_SWEPT = True
+    import shutil
+
+    from spark_state_provider_spark.scratch import _PID_RE, _pid_alive
+
+    wh = _warehouse_pid_dir(spark)
+    try:
+        entries = os.listdir(wh)
+    except OSError:
+        return
+    for name in entries:
+        m = _PID_RE.match(name)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        if pid == os.getpid() or _pid_alive(pid):
+            continue
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+
+
 @register(
     "q68_bucketed_join",
     oracle="""
@@ -126,12 +166,16 @@ def q68_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join two pre-bucketed tables (8 buckets on the order key) and
     aggregate — the exchange-free repeated-join pattern, surfaced in the
     driver contract. Tables are (re)written once per session/sf."""
-    # Deterministic names, rebuilt per process: the warehouse DIRECTORY
-    # outlives the in-memory catalog, so a fresh process must clear the
-    # stale location (DROP alone is a no-op when the catalog is empty)
-    # before saveAsTable — and reusing one name means repeated runs no
-    # longer accumulate table copies in spark-warehouse.
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    # Pid-scoped names (ssps_*_<pid>, the scratch convention): stable
+    # WITHIN a process (one copy per query per sf), never shared ACROSS
+    # processes (a concurrent run rewriting a shared name yanks files
+    # out from under this process's lazy scans); dead-pid copies are
+    # swept once per process.
+    _sweep_warehouse(spark)
+    tag = (
+        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+        + f"_{os.getpid()}"
+    )
     to_name, tl_name = f"ssps_q68_orders_{tag}", f"ssps_q68_lineitem_{tag}"
 
     def build(name: str, table: str, key: str) -> None:
@@ -139,9 +183,8 @@ def q68_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             return  # this session already built it for this sf
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         import shutil
-        from urllib.parse import urlparse
 
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        wh = _warehouse_pid_dir(spark)
         shutil.rmtree(os.path.join(wh, name.lower()), ignore_errors=True)
         (
             load_table(spark, sf_dir, table)
@@ -285,14 +328,17 @@ def q76_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
     this query silently degrades to a full scan, which is exactly the
     regression the test exists to catch.
     """
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    _sweep_warehouse(spark)
+    tag = (
+        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+        + f"_{os.getpid()}"
+    )
     name = f"ssps_q76_events_{tag}"
     if not spark.catalog.tableExists(name):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         import shutil
-        from urllib.parse import urlparse
 
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        wh = _warehouse_pid_dir(spark)
         shutil.rmtree(os.path.join(wh, name.lower()), ignore_errors=True)
         (
             load_table(spark, sf_dir, "events")
