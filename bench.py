@@ -320,26 +320,40 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     print(f"# full detail written to {detail_path}", file=sys.stderr)
-    short = {n.split("_", 1)[0]: round(s, 2) for n, s in timings.items()}
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                # headline set GREW since round 1 (53 → 62+ queries), so
-                # compare per-query times or value/n_queries, not totals
-                "n_queries": len(timings),
-                "queries": short,
-                # shared-index build cost, priced once (not attributed to
-                # whichever consumer query happens to run first)
-                "memo": {k.split(":", 1)[1]: round(v, 2)
-                         for k, v in memo.items()},
-                "sf": float(sf),
-            },
-            separators=(",", ":"),
-        )
-    )
+    # The driver records only the LAST 2000 chars of stdout and json-parses
+    # what it finds there (BENCH_r05 went "parsed": null when the full
+    # 194-query map outgrew that window). So stdout carries EXACTLY ONE
+    # line, hard-budgeted under the window: the queries map keeps the
+    # slowest queries first (the ones perf comparisons care about) until
+    # the byte budget is hit; the full map is always in BENCH_DETAIL.json.
+    budget = 1900
+    base = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,  # total over ALL queries, not just the listed ones
+        "unit": "sec",
+        "n_queries": len(timings),
+        "n_listed": 0,
+        "queries": {},
+        # shared-index build cost, priced once (not attributed to
+        # whichever consumer query happens to run first)
+        "memo": {k.split(":", 1)[1]: round(v, 2) for k, v in memo.items()},
+        "sf": float(sf),
+        "detail": "BENCH_DETAIL.json",
+    }
+    by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+    listed: dict[str, float] = {}
+    for n, s in by_cost:
+        trial = dict(base)
+        trial["queries"] = {**listed, n.split("_", 1)[0]: round(s, 2)}
+        trial["n_listed"] = len(trial["queries"])
+        if len(json.dumps(trial, separators=(",", ":"))) > budget:
+            break
+        listed = trial["queries"]
+    base["queries"] = listed
+    base["n_listed"] = len(listed)
+    line = json.dumps(base, separators=(",", ":"))
+    assert len(line) <= budget, len(line)
+    print(line)
     spark.stop()
 
 

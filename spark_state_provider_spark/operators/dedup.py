@@ -1549,7 +1549,7 @@ def _register_q206() -> None:
              WHERE t.id_a IS NULL) AS n_lsh_only,
             CAST((SELECT count(*) FROM truth t JOIN lsh l
                   ON t.id_a = l.id_a AND t.id_b = l.id_b) AS DOUBLE)
-              / (SELECT count(*) FROM truth) AS recall
+              / NULLIF((SELECT count(*) FROM truth), 0) AS recall
         """,
     )
     def q206_lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1637,9 +1637,13 @@ def _register_q206() -> None:
             "n_lsh",
             "n_found",
             "n_lsh_only",
-            (F.col("n_found").cast("double") / F.col("n_true")).alias(
-                "recall"
-            ),
+            # NULL (both engines) on a duplicate-free corpus — unguarded,
+            # Spark's double 0/0 (NaN-ish NULL) and DuckDB's error/NULL
+            # semantics diverge when n_true = 0
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_found").cast("double") / F.col("n_true"),
+            ).alias("recall"),
         )
 
 
@@ -1669,8 +1673,8 @@ def _register_q213() -> None:
         SELECT l.cluster_id,
                CAST(count(*) AS BIGINT) AS n_members,
                min(d.doc_id) AS canonical_id,
-               CAST(min(10000000000 * (999999 - d.n_chars) + d.doc_id)
-                    % 10000000000 AS BIGINT) AS survivor_id,
+               CAST((min(struct_pack(neg := -d.n_chars, id := d.doc_id))).id
+                    AS BIGINT) AS survivor_id,
                CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
                string_agg(DISTINCT d.source, ',' ORDER BY d.source)
                    AS sources_csv
@@ -1680,29 +1684,32 @@ def _register_q213() -> None:
     )
     def q213_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         """One merged survivor row per near-dup cluster: canonical id,
-        longest-member survivor (exact argmax via the packed
-        (999999−n_chars, doc_id) key — no max_by tie ambiguity), source
-        union as an ordered CSV, member/char accounting.
+        longest-member survivor via an explicit lexicographic struct
+        argmin on (−n_chars, doc_id) — longest text wins, ties break to
+        the lowest id, with NO packed-integer range assumptions (the
+        earlier 10^10-packed form silently required n_chars ≤ 999 999
+        and doc_id < 10^10) — source union as an ordered CSV,
+        member/char accounting.
 
         Scale shape: the cluster labels are the memoized CC output
         (log-round, linear); the merge is ONE map-side-combined
-        aggregate over (cluster, doc) rows. The packed-integer argmax
-        keeps survivorship deterministic on both engines.
+        aggregate over (cluster, doc) rows. Struct min is combinable,
+        so survivorship stays a single map-side-partial aggregate.
         """
         labels = _clusters_persisted(spark, sf_dir)
         d = load_table(spark, sf_dir, "documents").select(
             "doc_id", "source", "n_chars"
         )
         j = labels.join(d, "doc_id")
-        packed = (
-            F.lit(10_000_000_000).cast("long")
-            * (F.lit(999_999) - F.col("n_chars"))
-            + F.col("doc_id")
+        survivor_key = F.struct(
+            (-F.col("n_chars")).alias("neg"),
+            F.col("doc_id").alias("id"),
         )
         return j.groupBy("cluster_id").agg(
             F.count("*").cast("bigint").alias("n_members"),
             F.min("doc_id").alias("canonical_id"),
-            (F.min(packed) % 10_000_000_000)
+            F.min(survivor_key)
+            .getField("id")
             .cast("bigint")
             .alias("survivor_id"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),

@@ -1333,7 +1333,12 @@ def q211_profile_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape with a per-class model.
     """
     langs = sorted(LANG_MARKERS)
-    d = load_table(spark, sf_dir, "documents").where(F.length("text") >= 3)
+    docs = load_table(spark, sf_dir, "documents")
+    # length filter applies ONLY to the trigram explode input; the scored
+    # output covers EVERY document (short docs score all-zero with the
+    # alphabetic-first argmax), matching the oracle's left join over the
+    # unfiltered table — previously a <3-char doc would diverge.
+    d = docs.where(F.length("text") >= 3)
     tri = d.select(
         "doc_id",
         "lang",
@@ -1357,7 +1362,7 @@ def q211_profile_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cov"))
     )
     scored = (
-        d.select("doc_id", F.col("lang").alias("labeled_lang"))
+        docs.select("doc_id", F.col("lang").alias("labeled_lang"))
         .join(cov, "doc_id", "left")
         .groupBy("doc_id", "labeled_lang")
         .agg(

@@ -16,10 +16,24 @@ def test_current_window_is_priority_and_ordered():
     qs = list(entry.queries().keys())
     oracles = entry.oracle_sql()
     assert qs == sorted(qs), "iteration order must equal sorted order"
-    first = qs[:CAP]
+    # Derive the pending count the same way the module does: the window is
+    # min(CAP, pending) wide — once the backlog shrinks below the cap the
+    # remainder of the sorted contract is green-prefixed, by design.
+    tiers = entry._compute_tiers()
+    pending = [n for n, d in tiers.items() if n == d]
+    n_window = min(CAP, len(pending))
+    first = qs[:n_window]
     assert all(not n.startswith(("y_", "z")) for n in first)
     # every windowed name must carry a hard hash-checkable oracle
     assert all(n in oracles for n in first)
+    if len(pending) < CAP:
+        # backlog fits in one window: EVERY pending name must be windowed
+        # and everything after the window must be rotated-out green (z-)
+        # or rows-only names — no y_ (still-waiting) names may remain.
+        assert set(first) == set(pending)
+        assert all(n.startswith("z") for n in qs[n_window:]), (
+            "with backlog < cap nothing should be left waiting (y_)"
+        )
     # prefixed names resolve back to registered canonical queries
     for n in qs:
         canon = entry._PREFIX_RE.sub("", n)
