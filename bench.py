@@ -238,6 +238,9 @@ HEADLINE = [
     "q215_proximity_search",
     "q216_link_prediction",
     "q217_stream_cusum",
+    # round-6 addition: the composed curation funnel over the round-5
+    # gates (lang QA -> LM filter -> repetition -> classifier -> dedup)
+    "q218_curation_pipeline",
 ]
 
 
@@ -270,6 +273,7 @@ def main() -> None:
         ("memo:trigrams", lambda: _dedup._trigrams_persisted(spark, SF_DIR)),
         ("memo:pairs", lambda: _dedup._pairs_persisted(spark, SF_DIR)),
         ("memo:clusters", lambda: _dedup._clusters_persisted(spark, SF_DIR)),
+        ("memo:truth", lambda: _dedup._truth_persisted(spark, SF_DIR)),
     ):
         t0 = time.perf_counter()
         builder().count()

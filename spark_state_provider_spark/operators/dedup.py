@@ -1499,6 +1499,83 @@ _register_q113()
 
 _TRUTH_DF_CAP = 100  # stop-shingle bound for truth candidates
 
+# exact ground-truth near-dup pairs per (session, corpus) — like the
+# pair/cluster memos this is a corpus-snapshot materialization: the
+# recall certificate (q206) and any future eval consumer read the same
+# persisted frame, and bench prices the build once as its own labeled
+# line (memo:truth) instead of attributing it to whichever consumer
+# happens to run first.
+_TRUTH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _truth_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    from spark_state_provider_spark.dfcache import get_or_build
+
+    return get_or_build(
+        _TRUTH_CACHE,
+        spark,
+        (sf_dir,),
+        lambda: _truth_pairs_build(spark, sf_dir).persist(
+            StorageLevel.MEMORY_AND_DISK
+        ),
+    )
+
+
+def _truth_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard-≥-{JACCARD_THRESHOLD} ground-truth pairs, candidates
+    anchored on df≤{_TRUTH_DF_CAP} shingles (the stop-shingle cap that
+    bounds the inverted-index walk — see SCALE.md exact-truth story)."""
+    tri = _trigrams_persisted(spark, sf_dir)
+    sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = (
+        tri.groupBy("tri")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= _TRUTH_DF_CAP)
+        .select("tri")
+    )
+    ta = tri.select(F.col("doc_id").alias("id_a"), "tri")
+    tb = tri.select(F.col("doc_id").alias("id_b"), "tri")
+    cand = (
+        ta.join(rare, "tri")
+        .join(tb, "tri")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # the shingle equality must be part of the equijoin KEY — joined
+    # on id_b alone with a post-filter, the intermediate is
+    # |cand| x |shingles(a)| x |shingles(b)| (measured: filled the
+    # disk at the 10x replica); as an (id_b, tri) equijoin it is the
+    # intersection itself
+    allint = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tri"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        allint.join(
+            sizes.select(
+                F.col("doc_id").alias("id_a"), F.col("n").alias("na")
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("id_b"), F.col("n").alias("nb")
+            ),
+            "id_b",
+        )
+        .where(
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("id_a", "id_b")
+    )
+
 
 def _register_q206() -> None:
     from spark_state_provider_spark.operators.registry import get as _get
@@ -1558,60 +1635,14 @@ def _register_q206() -> None:
         (candidates anchored on df≤{_TRUTH_DF_CAP} shingles; exact
         full-set Jaccard for every candidate).
 
-        Scale shape: ground truth is a self-equijoin of the persisted
-        shingle index on the shingle key (bounded by co-shingle pair
-        count — an inverted-index walk, never all-pairs); the LSH side is
-        the memoized verified-pair frame. At 100 TB the exact side runs
+        Scale shape: ground truth is the memoized `_truth_persisted`
+        frame (self-equijoin of the persisted shingle index on the
+        shingle key — bounded by co-shingle pair count, an
+        inverted-index walk, never all-pairs); the LSH side is the
+        memoized verified-pair frame. At 100 TB the exact side runs
         on a sampled eval slice with the identical plan.
         """
-        tri = _trigrams_persisted(spark, sf_dir)
-        sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n"))
-        rare = (
-            tri.groupBy("tri")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") <= _TRUTH_DF_CAP)
-            .select("tri")
-        )
-        ta = tri.select(F.col("doc_id").alias("id_a"), "tri")
-        tb = tri.select(F.col("doc_id").alias("id_b"), "tri")
-        cand = (
-            ta.join(rare, "tri")
-            .join(tb, "tri")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
-        # the shingle equality must be part of the equijoin KEY — joined
-        # on id_b alone with a post-filter, the intermediate is
-        # |cand| x |shingles(a)| x |shingles(b)| (measured: filled the
-        # disk at the 10x replica); as an (id_b, tri) equijoin it is the
-        # intersection itself
-        allint = (
-            cand.join(ta, "id_a")
-            .join(tb, ["id_b", "tri"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("n_inter"))
-        )
-        truth = (
-            allint.join(
-                sizes.select(
-                    F.col("doc_id").alias("id_a"), F.col("n").alias("na")
-                ),
-                "id_a",
-            )
-            .join(
-                sizes.select(
-                    F.col("doc_id").alias("id_b"), F.col("n").alias("nb")
-                ),
-                "id_b",
-            )
-            .where(
-                F.col("n_inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("n_inter"))
-                >= JACCARD_THRESHOLD
-            )
-            .select("id_a", "id_b")
-        )
+        truth = _truth_persisted(spark, sf_dir)
         lsh = _pairs_persisted(spark, sf_dir)
         # ONE full-outer membership join + ONE aggregate: the expensive
         # truth chain is evaluated once (four separate scalar counts

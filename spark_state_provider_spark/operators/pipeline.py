@@ -2683,3 +2683,351 @@ def q191_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dropped_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q218 — the composed CURATION pipeline over the round-5 gates: language-
+# label QA (q198's marker predictor) → corpus-LM in-distribution filter
+# (q188's char-trigram score) → repetition-span gate (q210) → linear
+# quality classifier (q187) → near-dup dedup against the memoized cluster
+# index (q28e), reported as a six-stage funnel (docs + token budget per
+# stage) from ONE lazy plan. q90 proved the round-1 stages compose; this
+# proves the round-5 curation ops integrate as a chain, not just solo —
+# same oracle discipline: DuckDB replays the full chain, so the whole
+# funnel is hash-verified end to end.
+#
+# Gate constants are pipeline parameters (tuned so each stage bites on the
+# synthetic corpus): every gate is INTEGER arithmetic (cross-multiplied
+# thresholds — never a float compare), so the funnel is exact on both
+# engines.
+# ---------------------------------------------------------------------------
+
+_CUR_LM_K = 172  # keep iff freq_sum * K >= n_tris * total  (score >= 1/K)
+_CUR_REP_MAX = 2  # keep iff most-repeated word-5-gram occurs <= this
+_CUR_QC_MILLI = 115  # keep iff logit_milli > -QC_MILLI * n_tokens
+
+
+def _register_q218() -> None:
+    from spark_state_provider_spark.operators.registry import get as _get
+    from spark_state_provider_spark.operators.text import (
+        LANG_MARKERS,
+        _count_sql,
+    )
+
+    cluster_oracle = _get("q28e_dedup_clusters").oracle
+
+    langs = sorted(LANG_MARKERS)
+    lang_scores = ", ".join(
+        f"CAST({' + '.join(_count_sql('p', m) for m in LANG_MARKERS[lg])}"
+        f" AS BIGINT) AS score_{lg}"
+        for lg in langs
+    )
+    greatest = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    lang_case = "CASE " + " ".join(
+        f"WHEN score_{lg} = {greatest} THEN '{lg}'" for lg in langs
+    ) + " END"
+
+    stage_rows = "\n UNION ALL ".join(
+        f"SELECT {i} AS stage, '{nm}' AS stage_name,"
+        f" n{i} AS n_docs, t{i} AS n_tokens FROM funnel"
+        for i, nm in enumerate(
+            ("all", "lang_qa", "lm_filter", "repetition", "classifier",
+             "dedup")
+        )
+    )
+
+    @register(
+        "q218_curation_pipeline",
+        oracle=f"""
+        WITH base AS (
+            SELECT doc_id, text, lang,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens,
+                   (' ' || text || ' ') AS p
+            FROM documents
+        ),
+        lang_pred AS (
+            SELECT doc_id, lang = {lang_case} AS f_lang
+            FROM (SELECT doc_id, lang, {lang_scores} FROM base)
+        ),
+        tri AS (
+            SELECT doc_id, t.tri
+            FROM documents, unnest(list_transform(
+                generate_series(1, length(text) - 2),
+                i -> substr(text, i, 3)
+            )) AS t(tri)
+            WHERE length(text) >= 3
+        ),
+        model AS (SELECT tri, count(*) AS n FROM tri GROUP BY tri),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM model),
+        lm AS (
+            SELECT d.doc_id,
+                   CAST(sum(m.n) AS BIGINT) * {_CUR_LM_K}
+                       >= count(*) * max(t.total) AS f_lm
+            FROM tri d JOIN model m USING (tri) CROSS JOIN tot t
+            GROUP BY d.doc_id
+        ),
+        tok AS (
+            SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            WHERE len(string_split(text, ' ')) >= 5
+        ),
+        grams AS (
+            SELECT doc_id, g.g
+            FROM tok, unnest(list_transform(
+                generate_series(1, len(l) - 4),
+                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' '
+                     || l[i+3] || ' ' || l[i+4]
+            )) AS g(g)
+        ),
+        rep AS (
+            SELECT doc_id, max(c) <= {_CUR_REP_MAX} AS f_rep
+            FROM (SELECT doc_id, g, count(*) AS c
+                  FROM grams GROUP BY doc_id, g)
+            GROUP BY doc_id
+        ),
+        wtok AS (
+            SELECT doc_id, t.tok
+            FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+        ),
+        clf AS (
+            SELECT doc_id,
+                   CAST(sum(((('0x' || substr(md5(tok), 1, 8))::BIGINT
+                              % {_QC_BUCKETS}) * {_QC_MULT}) % 2001 - 1000)
+                        AS BIGINT)
+                       > -{_CUR_QC_MILLI} * count(*) AS f_clf
+            FROM wtok GROUP BY doc_id
+        ),
+        labels AS ({cluster_oracle}),
+        flags AS (
+            SELECT b.doc_id, b.est_tokens,
+                   coalesce(lp.f_lang, FALSE) AS f_lang,
+                   coalesce(lm.f_lm, FALSE) AS f_lm,
+                   coalesce(r.f_rep, FALSE) AS f_rep,
+                   coalesce(c.f_clf, FALSE) AS f_clf,
+                   l.cluster_id
+            FROM base b
+            LEFT JOIN lang_pred lp ON lp.doc_id = b.doc_id
+            LEFT JOIN lm ON lm.doc_id = b.doc_id
+            LEFT JOIN rep r ON r.doc_id = b.doc_id
+            LEFT JOIN clf c ON c.doc_id = b.doc_id
+            LEFT JOIN labels l ON l.doc_id = b.doc_id
+        ),
+        staged AS (
+            SELECT *,
+                   f_lang AND f_lm AND f_rep AND f_clf AS s4,
+                   f_lang AND f_lm AND f_rep AND f_clf AND (
+                       cluster_id IS NULL OR doc_id = min(
+                           CASE WHEN f_lang AND f_lm AND f_rep AND f_clf
+                                THEN doc_id END
+                       ) OVER (PARTITION BY coalesce(cluster_id, -doc_id))
+                   ) AS s5
+            FROM flags
+        ),
+        funnel AS (
+            SELECT
+                CAST(count(*) AS BIGINT) AS n0,
+                CAST(sum(est_tokens) AS BIGINT) AS t0,
+                CAST(count(*) FILTER (f_lang) AS BIGINT) AS n1,
+                CAST(coalesce(sum(est_tokens) FILTER (f_lang), 0)
+                     AS BIGINT) AS t1,
+                CAST(count(*) FILTER (f_lang AND f_lm) AS BIGINT) AS n2,
+                CAST(coalesce(sum(est_tokens) FILTER (f_lang AND f_lm), 0)
+                     AS BIGINT) AS t2,
+                CAST(count(*) FILTER (f_lang AND f_lm AND f_rep)
+                     AS BIGINT) AS n3,
+                CAST(coalesce(
+                     sum(est_tokens) FILTER (f_lang AND f_lm AND f_rep), 0)
+                     AS BIGINT) AS t3,
+                CAST(count(*) FILTER (s4) AS BIGINT) AS n4,
+                CAST(coalesce(sum(est_tokens) FILTER (s4), 0)
+                     AS BIGINT) AS t4,
+                CAST(count(*) FILTER (s5) AS BIGINT) AS n5,
+                CAST(coalesce(sum(est_tokens) FILTER (s5), 0)
+                     AS BIGINT) AS t5
+            FROM staged
+        )
+        {stage_rows}
+        """,
+    )
+    def q218_curation_pipeline(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Six-stage curation funnel chaining the round-5 gates: (stage,
+        stage_name, n_docs, n_tokens) after each of — nothing, language
+        QA (predicted == labeled, q198's predictor), corpus-LM filter
+        (q188's score ≥ 1/{_CUR_LM_K}, cross-multiplied), repetition gate
+        (q210's max span repeat ≤ {_CUR_REP_MAX}; <5-word docs fail),
+        quality classifier (q187's logit > −{_CUR_QC_MILLI}·n_tokens
+        milli), and near-dup dedup (survivor = lowest surviving doc_id of
+        its q28e cluster; unclustered docs pass).
+
+        Scale shape of the composed plan: the lang gate is pure column
+        expressions on the scan; the LM and classifier gates are each
+        explode → broadcast-model probe → map-side-combined per-doc agg
+        (models are charset³- and {_QC_BUCKETS}-bounded); the repetition
+        gate never leaves the document; the cluster index is the memoized
+        corpus-snapshot materialization; the dedup window partitions by
+        cluster (bounded by dup-family size). The funnel itself is ONE
+        wide combinable aggregate + a constant 6-row stack — adding a
+        stage costs two agg columns, not a pass.
+        """
+        from spark_state_provider_spark.operators.dedup import (
+            _clusters_persisted,
+        )
+
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "text",
+            "lang",
+            F.ceil(F.length("text") / 4.0).cast("long").alias("est_tokens"),
+            F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("p"),
+        )
+        # stage 1: language QA — marker-count argmax equals the label
+        scored = d
+        for lg in langs:
+            expr = " + ".join(_count_sql("p", m) for m in LANG_MARKERS[lg])
+            scored = scored.withColumn(
+                f"score_{lg}", F.expr(f"CAST({expr} AS BIGINT)")
+            )
+        g = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+        pred = F.lit(None).cast("string")
+        for lg in reversed(langs):
+            pred = F.when(F.col(f"score_{lg}") == g, lg).otherwise(pred)
+        base = scored.select(
+            "doc_id",
+            "est_tokens",
+            (pred == F.col("lang")).alias("f_lang"),
+            "text",
+        )
+        # stage 2: corpus-LM in-distribution (q188's model, integer gate)
+        tri = (
+            d.where(F.length("text") >= 3)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(text) - 2),"
+                        " i -> substring(text, i, 3))"
+                    )
+                ).alias("tri"),
+            )
+        )
+        model = tri.groupBy("tri").agg(F.count("*").alias("n"))
+        tot = model.agg(F.sum("n").cast("bigint").alias("total"))
+        lm = (
+            tri.join(F.broadcast(model), "tri")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("doc_id")
+            .agg(
+                (
+                    F.sum("n").cast("bigint") * _CUR_LM_K
+                    >= F.count("*") * F.max("total")
+                ).alias("f_lm")
+            )
+        )
+        # stage 3: repetition spans (q210's per-doc 5-gram profile)
+        toks = d.select(
+            "doc_id", F.split("text", " ").alias("l")
+        ).where(F.size("l") >= 5)
+        join5 = " || ' ' || ".join(f"l[i + {j}]" for j in range(5))
+        grams = toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"transform(sequence(0, size(l) - 5), i -> {join5})")
+            ).alias("g"),
+        )
+        rep = (
+            grams.groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg((F.max("c") <= _CUR_REP_MAX).alias("f_rep"))
+        )
+        # stage 4: linear quality classifier (q187's hashed features)
+        clf = (
+            d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+            .select(
+                "doc_id",
+                (
+                    F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+                    .cast("long")
+                    % _QC_BUCKETS
+                ).alias("bucket"),
+            )
+            .groupBy("doc_id")
+            .agg(
+                (
+                    F.sum((F.col("bucket") * F.lit(_QC_MULT)) % 2001 - 1000)
+                    .cast("long")
+                    > F.lit(-_CUR_QC_MILLI) * F.count("*")
+                ).alias("f_clf")
+            )
+        )
+        labels = _clusters_persisted(spark, sf_dir)
+        flags = (
+            base.join(lm, "doc_id", "left")
+            .join(rep, "doc_id", "left")
+            .join(clf, "doc_id", "left")
+            .join(labels, "doc_id", "left")
+            .select(
+                "doc_id",
+                "est_tokens",
+                F.coalesce("f_lang", F.lit(False)).alias("f_lang"),
+                F.coalesce("f_lm", F.lit(False)).alias("f_lm"),
+                F.coalesce("f_rep", F.lit(False)).alias("f_rep"),
+                F.coalesce("f_clf", F.lit(False)).alias("f_clf"),
+                "cluster_id",
+            )
+        )
+        s4 = (
+            F.col("f_lang") & F.col("f_lm") & F.col("f_rep") & F.col("f_clf")
+        )
+        wc = Window.partitionBy(
+            F.coalesce(F.col("cluster_id"), -F.col("doc_id"))
+        )
+        s5 = s4 & (
+            F.col("cluster_id").isNull()
+            | (
+                F.col("doc_id")
+                == F.min(F.when(s4, F.col("doc_id"))).over(wc)
+            )
+        )
+        staged = flags.withColumn("s4", s4).withColumn("s5", s5)
+        conds = [
+            F.lit(True),
+            F.col("f_lang"),
+            F.col("f_lang") & F.col("f_lm"),
+            F.col("f_lang") & F.col("f_lm") & F.col("f_rep"),
+            F.col("s4"),
+            F.col("s5"),
+        ]
+        aggs = []
+        for i, c in enumerate(conds):
+            aggs.append(
+                F.sum(F.when(c, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n{i}")
+            )
+            aggs.append(
+                F.sum(F.when(c, F.col("est_tokens")).otherwise(0))
+                .cast("bigint")
+                .alias(f"t{i}")
+            )
+        funnel = staged.agg(*aggs)
+        names = ("all", "lang_qa", "lm_filter", "repetition", "classifier",
+                 "dedup")
+        stack_args = ", ".join(
+            f"{i}, '{nm}', n{i}, t{i}" for i, nm in enumerate(names)
+        )
+        return funnel.select(
+            F.expr(
+                f"stack({len(names)}, {stack_args}) AS "
+                "(stage, stage_name, n_docs, n_tokens)"
+            )
+        ).select(
+            F.col("stage").cast("int").alias("stage"),
+            "stage_name",
+            "n_docs",
+            "n_tokens",
+        )
+
+
+_register_q218()

@@ -332,6 +332,11 @@ def ewma_handler(
     if chunks:
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
         pdf = pdf.sort_values(["ts", "event_id"])
+        # Deliberately a sequential loop: the EWMA recurrence has a true
+        # step dependence, and re-associating it as the Σ x_i·0.5^(n−i)
+        # weighted form changes rounding — the batch twin (q197) and the
+        # restart proof both demand the exact per-step acc·0.5 + x·0.5
+        # fold, so bit-exactness wins over vectorization here.
         for x in pdf["value"].astype("float64"):
             x = float(x)
             acc = x if acc is None else acc * 0.5 + x * 0.5
@@ -377,14 +382,27 @@ def make_cusum_handler(k_cents: int, alarm_cents: int):
         )
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
+            import numpy as np
+
             pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
             pdf = pdf.sort_values(["ts", "event_id"])
-            for cents in (
+            cents = (
                 (pdf["value"].astype("float64") * 100).round().astype("int64")
-            ):
-                pref += int(cents) - k_cents
-                low = min(low, pref)
-                peak = max(peak, pref - low)
+            ).to_numpy()
+            # CUSUM's closed form (same identity as batch q212) vectorizes
+            # the whole per-key slice: S_i = P_i − min prefix, so
+            #   prefs_i = pref0 + cumsum(cents − k)
+            #   lows_i  = min(low0, running_min(prefs))   [low updates
+            #             BEFORE peak at each step, exactly as the scalar
+            #             fold did]
+            #   peak    = max(peak0, max(prefs − lows))
+            # Integer cents throughout — no float reassociation to worry
+            # about; int64 headroom is ~9.2e18 cent-steps per key.
+            prefs = pref + np.cumsum(cents - k_cents)
+            lows = np.minimum(low, np.minimum.accumulate(prefs))
+            peak = max(peak, int(np.max(prefs - lows)))
+            pref = int(prefs[-1])
+            low = int(lows[-1])
             n += len(pdf)
         state.update((pref, low, peak, n))
         yield pd.DataFrame(
