@@ -137,6 +137,9 @@ QUERIES = [
     "q213_golden_record",
     "q215_proximity_search",
     "q216_link_prediction",
+    # round-6: the composed curation funnel (all four gates + dedup in one
+    # lazy plan — the probe measures the CHAIN, not the solo stages)
+    "q218_curation_pipeline",
 ]
 
 
