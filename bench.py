@@ -238,9 +238,11 @@ HEADLINE = [
     "q215_proximity_search",
     "q216_link_prediction",
     "q217_stream_cusum",
-    # round-6 addition: the composed curation funnel over the round-5
+    # round-6 additions: the composed curation funnel over the round-5
     # gates (lang QA -> LM filter -> repetition -> classifier -> dedup)
+    # and the composed IVF-PQ retrieval (routing x code-scan x rerank)
     "q218_curation_pipeline",
+    "q219_ivfpq_ann",
 ]
 
 

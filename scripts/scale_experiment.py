@@ -138,8 +138,10 @@ QUERIES = [
     "q215_proximity_search",
     "q216_link_prediction",
     # round-6: the composed curation funnel (all four gates + dedup in one
-    # lazy plan — the probe measures the CHAIN, not the solo stages)
+    # lazy plan — the probe measures the CHAIN, not the solo stages) and
+    # the composed IVF-PQ retrieval
     "q218_curation_pipeline",
+    "q219_ivfpq_ann",
 ]
 
 

@@ -1719,3 +1719,254 @@ def _register_q214() -> None:
 
 
 _register_q214()
+
+
+# ---------------------------------------------------------------------------
+# q219 — IVF-PQ composed ANN (the FAISS-production retrieval shape): IVF
+# coarse routing (q29d's deterministic centroid rule + NPROBE cluster
+# probe) restricts the candidate set, PQ-ADC integer scoring (q29f's
+# codebooks) ranks candidates WITHOUT touching raw vectors, and only the
+# shortlist is exact-cosine re-ranked. q29d and q29f each prove one tier
+# solo; this proves they compose — at 100 TB the ADC scan reads ~8 bytes
+# of code for only NPROBE/K of the corpus, the multiplicative memory-
+# bandwidth × selectivity win that makes billion-scale ANN serveable.
+# Both quantizers keep the fixed-id codebook rule, so the DuckDB oracle
+# replays the identical chain end to end.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q219_ivfpq_ann",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id AS ccid, v AS cv FROM e
+        WHERE vec_id % {CENTROID_MOD} = 0 AND vec_id < {_IVF_CENT_MAX}
+    ),
+    coarse AS (
+        SELECT e.vec_id, c.ccid, row_number() OVER (
+                   PARTITION BY e.vec_id ORDER BY {_DUCK_COS_AV} DESC, c.ccid
+               ) AS crn
+        FROM e, c
+    ),
+    assign AS (SELECT vec_id, ccid FROM coarse WHERE crn = 1),
+    probe AS (
+        SELECT vec_id AS query_id, ccid
+        FROM coarse WHERE crn <= {NPROBE} AND vec_id < {N_QUERIES}
+    ),
+    routed AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probe p JOIN assign a
+          ON a.ccid = p.ccid AND a.vec_id <> p.query_id
+    ),
+    s AS (
+        SELECT vec_id,
+               list_transform(v, x ->
+                   CAST(floor(x * {_PQ_SCALE}.0 + 0.5) AS BIGINT)) AS sv
+        FROM e
+    ),
+    sub AS (
+        SELECT vec_id, mm.m AS m,
+               sv[mm.m * {_PQ_D} + 1 : mm.m * {_PQ_D} + {_PQ_D}] AS subv
+        FROM s, unnest(generate_series(0, {_PQ_M - 1})) AS mm(m)
+    ),
+    csub AS (
+        SELECT vec_id AS cid, m, subv AS cs
+        FROM sub
+        WHERE vec_id % {_PQ_CENT_MOD} = 0 AND vec_id < {_PQ_CENT_MAX}
+    ),
+    dist AS (
+        SELECT sub.vec_id, sub.m, csub.cid, {_DUCK_PQ_D2} AS d2
+        FROM sub JOIN csub ON csub.m = sub.m
+    ),
+    enc AS (
+        SELECT vec_id, m, cid AS code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY d2, cid
+            ) AS rn FROM dist
+        ) WHERE rn = 1
+    ),
+    adist AS (
+        SELECT r.query_id, r.neighbor_id,
+               CAST(sum(d.d2) AS BIGINT) AS adist
+        FROM routed r
+        JOIN enc ON enc.vec_id = r.neighbor_id
+        JOIN dist d ON d.m = enc.m AND d.cid = enc.code
+                   AND d.vec_id = r.query_id
+        GROUP BY 1, 2
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adist, neighbor_id
+            ) AS srn FROM adist
+        ) WHERE srn <= {_PQ_SHORTLIST}
+    ),
+    rer AS (
+        SELECT sh.query_id, sh.neighbor_id, {_DUCK_COS} AS sim
+        FROM short sh
+        JOIN (SELECT vec_id, v AS qv FROM e) q ON q.vec_id = sh.query_id
+        JOIN (SELECT vec_id, v AS nv FROM e) n ON n.vec_id = sh.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rn FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+        ) AS rn FROM rer
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def q219_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed top-{TOP_K}: IVF routing (NPROBE={NPROBE} of
+    n/{CENTROID_MOD} coarse clusters) bounds the candidate set, PQ-ADC
+    integer scoring ({_PQ_M}×{_PQ_D} codes) ranks candidates without raw
+    vectors, exact-cosine re-rank on the {_PQ_SHORTLIST}-deep shortlist.
+
+    Scale shape: both codebooks broadcast (fixed-id rule keeps the oracle
+    exact; production swaps in sampled k-means with identical plumbing).
+    The routing pair set is (queries × probed-cluster members) — it
+    broadcasts onto the code table, so the ADC scan touches only
+    NPROBE/K of the corpus AND reads ~{_PQ_M} bytes of code per hit
+    instead of the vector: the composed win neither tier gets alone.
+    Raw vectors appear only in the shortlist re-rank.
+    """
+    from spark_state_provider_spark.functions.vector import dot, idot
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("nrm", norm(F.col("v")))
+    )
+    # --- IVF tier: coarse assignment + query probes (q29d's plan) ---
+    cent = emb.where(
+        (F.col("vec_id") % CENTROID_MOD == 0)
+        & (F.col("vec_id") < _IVF_CENT_MAX)
+    ).select(
+        F.col("vec_id").alias("ccid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    coarse = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "ccid",
+        cosine_prenormed(
+            F.col("cv"), F.col("v"), F.col("cnrm"), F.col("nrm")
+        ).alias("csim"),
+    )
+    assign = (
+        coarse.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(F.expr("-csim").alias("ns"), F.col("ccid").alias("ccid"))
+            ).alias("mb")
+        )
+        .select("vec_id", F.col("mb.ccid").alias("ccid"))
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("ccid")
+    )
+    probe = (
+        coarse.where(F.col("vec_id") < N_QUERIES)
+        .withColumn("prn", F.row_number().over(w_probe))
+        .where(F.col("prn") <= NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "ccid")
+    )
+    # --- PQ tier: integer codes + per-query ADC tables (q29f's plan) ---
+    s = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("v"), lambda x: F.floor(x * _PQ_SCALE + F.lit(0.5))
+        ).alias("sv"),
+    )
+    sub = s.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[F.slice("sv", m * _PQ_D + 1, _PQ_D) for m in range(_PQ_M)]
+            )
+        ).alias("m", "subv"),
+    )
+    csub = sub.where(
+        (F.col("vec_id") % _PQ_CENT_MOD == 0)
+        & (F.col("vec_id") < _PQ_CENT_MAX)
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("m").alias("cm"),
+        F.col("subv").alias("cs"),
+    )
+    sv_, cs_ = F.col("subv"), F.col("cs")
+    dist = sub.join(F.broadcast(csub), F.col("m") == F.col("cm")).select(
+        "vec_id",
+        "m",
+        "cid",
+        (
+            idot(sv_, cs_) * F.lit(-2) + idot(sv_, sv_) + idot(cs_, cs_)
+        ).alias("d2"),
+    )
+    enc = (
+        dist.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "cid")).alias("best"))
+        .select("vec_id", "m", F.col("best.cid").alias("code"))
+    )
+    dt = dist.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("dt_qid"),
+        F.col("m").alias("qm"),
+        F.col("cid").alias("qcid"),
+        "d2",
+    )
+    # --- compose: ADC-score ONLY vectors in the probed clusters ---
+    # routing pairs are bounded (N_QUERIES × NPROBE clusters' members), so
+    # they broadcast onto the code table; the ADC lookup then joins the
+    # per-query distance table (queries × M × K entries — tiny, broadcast)
+    routed = probe.join(
+        assign,
+        (probe.ccid == assign.ccid) & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+    adist = (
+        enc.join(
+            F.broadcast(routed),
+            enc.vec_id == routed.neighbor_id,
+        )
+        .join(
+            F.broadcast(dt),
+            (F.col("m") == F.col("qm"))
+            & (F.col("code") == F.col("qcid"))
+            & (F.col("query_id") == F.col("dt_qid")),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adist"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    short = (
+        adist.withColumn("srn", F.row_number().over(ws))
+        .where(F.col("srn") <= _PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qside = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rer = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
+        )
+        .join(F.broadcast(short.join(qside, "query_id")), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("qv"), F.col("nv"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("nv"), F.col("nv")))
+                )
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return rer.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= TOP_K
+    )
