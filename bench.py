@@ -326,13 +326,26 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     print(f"# full detail written to {detail_path}", file=sys.stderr)
-    # The driver records only the LAST 2000 chars of stdout and json-parses
-    # what it finds there (BENCH_r05 went "parsed": null when the full
-    # 194-query map outgrew that window). So stdout carries EXACTLY ONE
-    # line, hard-budgeted under the window: the queries map keeps the
-    # slowest queries first (the ones perf comparisons care about) until
-    # the byte budget is hit; the full map is always in BENCH_DETAIL.json.
-    budget = 1900
+    line = budgeted_stdout_line(timings, memo, total, float(sf))
+    print(line)
+    spark.stop()
+
+
+# The driver records only the LAST 2000 chars of stdout and json-parses
+# what it finds there (BENCH_r05 went "parsed": null when the full
+# 194-query map outgrew that window). So stdout carries EXACTLY ONE
+# line, hard-budgeted under the window: the queries map keeps the
+# slowest queries first (the ones perf comparisons care about) until
+# the byte budget is hit; the full map is always in BENCH_DETAIL.json.
+STDOUT_BUDGET = 1900
+
+
+def budgeted_stdout_line(
+    timings: dict[str, float],
+    memo: dict[str, float],
+    total: float,
+    sf: float,
+) -> str:
     base = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,  # total over ALL queries, not just the listed ones
@@ -343,7 +356,7 @@ def main() -> None:
         # shared-index build cost, priced once (not attributed to
         # whichever consumer query happens to run first)
         "memo": {k.split(":", 1)[1]: round(v, 2) for k, v in memo.items()},
-        "sf": float(sf),
+        "sf": sf,
         "detail": "BENCH_DETAIL.json",
     }
     by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
@@ -352,15 +365,14 @@ def main() -> None:
         trial = dict(base)
         trial["queries"] = {**listed, n.split("_", 1)[0]: round(s, 2)}
         trial["n_listed"] = len(trial["queries"])
-        if len(json.dumps(trial, separators=(",", ":"))) > budget:
+        if len(json.dumps(trial, separators=(",", ":"))) > STDOUT_BUDGET:
             break
         listed = trial["queries"]
     base["queries"] = listed
     base["n_listed"] = len(listed)
     line = json.dumps(base, separators=(",", ":"))
-    assert len(line) <= budget, len(line)
-    print(line)
-    spark.stop()
+    assert len(line) <= STDOUT_BUDGET, len(line)
+    return line
 
 
 if __name__ == "__main__":
