@@ -106,3 +106,33 @@ def test_q213_survivor_beyond_packed_bounds(spark, tmp_path):
     by_members = {r.n_members: r for r in rows}
     assert by_members[3].survivor_id == 20_000_000_001
     assert by_members[3].canonical_id == 10_000_000_007
+
+
+def test_q218_funnel_zero_tail_agrees(spark, tmp_path):
+    """A corpus where every document dies at the LM gate (too short for
+    trigrams, or out-of-distribution): the funnel's tail stages are all
+    zero and the conditional token sums must not go NULL on either
+    engine."""
+    docs = _docs(
+        [
+            # 'de'-labeled empty/short docs: the zero-score argmax predicts
+            # 'de' (alphabetic first), so lang QA PASSES them — then the
+            # LM gate must kill them (no trigrams -> left-join null)
+            (1, "", "de", "web"),
+            (2, "xy", "de", "web"),
+            # a marker-bearing doc whose label disagrees dies at lang QA
+            (3, "the cat and the dog and the bird went over there", "fr", "web"),
+        ]
+    )
+    sf = _fixture_dir(tmp_path, docs)
+    compare_query(spark, sf, "q218_curation_pipeline")
+    from spark_state_provider_spark.operators import registry
+
+    rows = {
+        r.stage_name: r
+        for r in registry.get("q218_curation_pipeline").fn(spark, sf).collect()
+    }
+    assert rows["all"].n_docs == 3
+    assert rows["lang_qa"].n_docs == 2  # the two 'de' zero-score docs
+    for st in ("lm_filter", "repetition", "classifier", "dedup"):
+        assert rows[st].n_docs == 0 and rows[st].n_tokens == 0
