@@ -243,6 +243,7 @@ HEADLINE = [
     # and the composed IVF-PQ retrieval (routing x code-scan x rerank)
     "q218_curation_pipeline",
     "q219_ivfpq_ann",
+    "q220_stream_curation_funnel",
 ]
 
 

@@ -2706,6 +2706,184 @@ _CUR_LM_K = 172  # keep iff freq_sum * K >= n_tris * total  (score >= 1/K)
 _CUR_REP_MAX = 2  # keep iff most-repeated word-5-gram occurs <= this
 _CUR_QC_MILLI = 115  # keep iff logit_milli > -QC_MILLI * n_tokens
 
+_FUNNEL_STAGES = (
+    "all", "lang_qa", "lm_filter", "repetition", "classifier", "dedup",
+)
+
+
+def _curation_lm_model(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(model, total) of the q188 char-trigram LM over ``docs`` — built
+    once per corpus snapshot; the streaming twin applies the same static
+    model per batch (models are trained offline, applied in-stream)."""
+    tri = docs.where(F.length("text") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("tri"),
+    )
+    model = tri.groupBy("tri").agg(F.count("*").alias("n"))
+    tot = model.agg(F.sum("n").cast("bigint").alias("total"))
+    return model, tot
+
+
+def _curation_flags(
+    docs: DataFrame, model: DataFrame, tot: DataFrame
+) -> DataFrame:
+    """Per-document gate flags (doc_id, est_tokens, f_lang, f_lm, f_rep,
+    f_clf) over any documents-shaped frame (doc_id, text, lang). All four
+    gates are per-doc with broadcast/static models, so the flags of a
+    document are identical whether it arrives in a batch table or a
+    micro-batch slice — the invariant the streaming twin's shared oracle
+    rests on."""
+    from spark_state_provider_spark.operators.text import (
+        LANG_MARKERS,
+        _count_sql,
+    )
+
+    langs = sorted(LANG_MARKERS)
+    d = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.ceil(F.length("text") / 4.0).cast("long").alias("est_tokens"),
+        F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("p"),
+    )
+    # lang QA — marker-count argmax equals the label (pure expressions)
+    scored = d
+    for lg in langs:
+        expr = " + ".join(_count_sql("p", m) for m in LANG_MARKERS[lg])
+        scored = scored.withColumn(
+            f"score_{lg}", F.expr(f"CAST({expr} AS BIGINT)")
+        )
+    g = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit(None).cast("string")
+    for lg in reversed(langs):
+        pred = F.when(F.col(f"score_{lg}") == g, lg).otherwise(pred)
+    base = scored.select(
+        "doc_id",
+        "est_tokens",
+        (pred == F.col("lang")).alias("f_lang"),
+        "text",
+    )
+    # corpus-LM in-distribution (q188's model, integer cross-multiplied)
+    tri = d.where(F.length("text") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("tri"),
+    )
+    lm = (
+        tri.join(F.broadcast(model), "tri")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum("n").cast("bigint") * _CUR_LM_K
+                >= F.count("*") * F.max("total")
+            ).alias("f_lm")
+        )
+    )
+    # repetition spans (q210's per-doc 5-gram profile)
+    toks = d.select("doc_id", F.split("text", " ").alias("l")).where(
+        F.size("l") >= 5
+    )
+    join5 = " || ' ' || ".join(f"l[i + {j}]" for j in range(5))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform(sequence(0, size(l) - 5), i -> {join5})")
+        ).alias("g"),
+    )
+    rep = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c") <= _CUR_REP_MAX).alias("f_rep"))
+    )
+    # linear quality classifier (q187's hashed features)
+    clf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+                .cast("long")
+                % _QC_BUCKETS
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum((F.col("bucket") * F.lit(_QC_MULT)) % 2001 - 1000)
+                .cast("long")
+                > F.lit(-_CUR_QC_MILLI) * F.count("*")
+            ).alias("f_clf")
+        )
+    )
+    return (
+        base.join(lm, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(clf, "doc_id", "left")
+        .select(
+            "doc_id",
+            "est_tokens",
+            F.coalesce("f_lang", F.lit(False)).alias("f_lang"),
+            F.coalesce("f_lm", F.lit(False)).alias("f_lm"),
+            F.coalesce("f_rep", F.lit(False)).alias("f_rep"),
+            F.coalesce("f_clf", F.lit(False)).alias("f_clf"),
+        )
+    )
+
+
+def _funnel_counts(staged: DataFrame) -> DataFrame:
+    """ONE wide combinable aggregate (n0..n5, t0..t5) over a frame with
+    the flag columns plus s4/s5 — adding a stage costs two agg columns,
+    not a pass."""
+    conds = [
+        F.lit(True),
+        F.col("f_lang"),
+        F.col("f_lang") & F.col("f_lm"),
+        F.col("f_lang") & F.col("f_lm") & F.col("f_rep"),
+        F.col("s4"),
+        F.col("s5"),
+    ]
+    aggs = []
+    for i, c in enumerate(conds):
+        aggs.append(
+            F.sum(F.when(c, 1).otherwise(0)).cast("bigint").alias(f"n{i}")
+        )
+        aggs.append(
+            F.sum(F.when(c, F.col("est_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias(f"t{i}")
+        )
+    return staged.agg(*aggs)
+
+
+def _funnel_stack(funnel: DataFrame) -> DataFrame:
+    """Wide one-row funnel → the 6-row (stage, stage_name, n_docs,
+    n_tokens) long format the oracle emits."""
+    stack_args = ", ".join(
+        f"{i}, '{nm}', n{i}, t{i}" for i, nm in enumerate(_FUNNEL_STAGES)
+    )
+    return funnel.select(
+        F.expr(
+            f"stack({len(_FUNNEL_STAGES)}, {stack_args}) AS "
+            "(stage, stage_name, n_docs, n_tokens)"
+        )
+    ).select(
+        F.col("stage").cast("int").alias("stage"),
+        "stage_name",
+        "n_docs",
+        "n_tokens",
+    )
+
 
 def _register_q218() -> None:
     from spark_state_provider_spark.operators.registry import get as _get
@@ -2875,107 +3053,12 @@ def _register_q218() -> None:
         )
 
         d = load_table(spark, sf_dir, "documents").select(
-            "doc_id",
-            "text",
-            "lang",
-            F.ceil(F.length("text") / 4.0).cast("long").alias("est_tokens"),
-            F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("p"),
+            "doc_id", "text", "lang"
         )
-        # stage 1: language QA — marker-count argmax equals the label
-        scored = d
-        for lg in langs:
-            expr = " + ".join(_count_sql("p", m) for m in LANG_MARKERS[lg])
-            scored = scored.withColumn(
-                f"score_{lg}", F.expr(f"CAST({expr} AS BIGINT)")
-            )
-        g = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
-        pred = F.lit(None).cast("string")
-        for lg in reversed(langs):
-            pred = F.when(F.col(f"score_{lg}") == g, lg).otherwise(pred)
-        base = scored.select(
-            "doc_id",
-            "est_tokens",
-            (pred == F.col("lang")).alias("f_lang"),
-            "text",
-        )
-        # stage 2: corpus-LM in-distribution (q188's model, integer gate)
-        tri = (
-            d.where(F.length("text") >= 3)
-            .select(
-                "doc_id",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, length(text) - 2),"
-                        " i -> substring(text, i, 3))"
-                    )
-                ).alias("tri"),
-            )
-        )
-        model = tri.groupBy("tri").agg(F.count("*").alias("n"))
-        tot = model.agg(F.sum("n").cast("bigint").alias("total"))
-        lm = (
-            tri.join(F.broadcast(model), "tri")
-            .crossJoin(F.broadcast(tot))
-            .groupBy("doc_id")
-            .agg(
-                (
-                    F.sum("n").cast("bigint") * _CUR_LM_K
-                    >= F.count("*") * F.max("total")
-                ).alias("f_lm")
-            )
-        )
-        # stage 3: repetition spans (q210's per-doc 5-gram profile)
-        toks = d.select(
-            "doc_id", F.split("text", " ").alias("l")
-        ).where(F.size("l") >= 5)
-        join5 = " || ' ' || ".join(f"l[i + {j}]" for j in range(5))
-        grams = toks.select(
-            "doc_id",
-            F.explode(
-                F.expr(f"transform(sequence(0, size(l) - 5), i -> {join5})")
-            ).alias("g"),
-        )
-        rep = (
-            grams.groupBy("doc_id", "g")
-            .agg(F.count("*").alias("c"))
-            .groupBy("doc_id")
-            .agg((F.max("c") <= _CUR_REP_MAX).alias("f_rep"))
-        )
-        # stage 4: linear quality classifier (q187's hashed features)
-        clf = (
-            d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-            .select(
-                "doc_id",
-                (
-                    F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
-                    .cast("long")
-                    % _QC_BUCKETS
-                ).alias("bucket"),
-            )
-            .groupBy("doc_id")
-            .agg(
-                (
-                    F.sum((F.col("bucket") * F.lit(_QC_MULT)) % 2001 - 1000)
-                    .cast("long")
-                    > F.lit(-_CUR_QC_MILLI) * F.count("*")
-                ).alias("f_clf")
-            )
-        )
+        model, tot = _curation_lm_model(d)
         labels = _clusters_persisted(spark, sf_dir)
-        flags = (
-            base.join(lm, "doc_id", "left")
-            .join(rep, "doc_id", "left")
-            .join(clf, "doc_id", "left")
-            .join(labels, "doc_id", "left")
-            .select(
-                "doc_id",
-                "est_tokens",
-                F.coalesce("f_lang", F.lit(False)).alias("f_lang"),
-                F.coalesce("f_lm", F.lit(False)).alias("f_lm"),
-                F.coalesce("f_rep", F.lit(False)).alias("f_rep"),
-                F.coalesce("f_clf", F.lit(False)).alias("f_clf"),
-                "cluster_id",
-            )
+        flags = _curation_flags(d, model, tot).join(
+            labels, "doc_id", "left"
         )
         s4 = (
             F.col("f_lang") & F.col("f_lm") & F.col("f_rep") & F.col("f_clf")
@@ -2991,43 +3074,7 @@ def _register_q218() -> None:
             )
         )
         staged = flags.withColumn("s4", s4).withColumn("s5", s5)
-        conds = [
-            F.lit(True),
-            F.col("f_lang"),
-            F.col("f_lang") & F.col("f_lm"),
-            F.col("f_lang") & F.col("f_lm") & F.col("f_rep"),
-            F.col("s4"),
-            F.col("s5"),
-        ]
-        aggs = []
-        for i, c in enumerate(conds):
-            aggs.append(
-                F.sum(F.when(c, 1).otherwise(0))
-                .cast("bigint")
-                .alias(f"n{i}")
-            )
-            aggs.append(
-                F.sum(F.when(c, F.col("est_tokens")).otherwise(0))
-                .cast("bigint")
-                .alias(f"t{i}")
-            )
-        funnel = staged.agg(*aggs)
-        names = ("all", "lang_qa", "lm_filter", "repetition", "classifier",
-                 "dedup")
-        stack_args = ", ".join(
-            f"{i}, '{nm}', n{i}, t{i}" for i, nm in enumerate(names)
-        )
-        return funnel.select(
-            F.expr(
-                f"stack({len(names)}, {stack_args}) AS "
-                "(stage, stage_name, n_docs, n_tokens)"
-            )
-        ).select(
-            F.col("stage").cast("int").alias("stage"),
-            "stage_name",
-            "n_docs",
-            "n_tokens",
-        )
+        return _funnel_stack(_funnel_counts(staged))
 
 
 _register_q218()

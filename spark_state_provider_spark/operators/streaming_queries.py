@@ -2680,3 +2680,155 @@ def _register_q217() -> None:
 
 
 _register_q217()
+
+
+# ---------------------------------------------------------------------------
+# q220 — STREAMING twin of the q218 curation funnel: the four round-5
+# gates applied per arriving document micro-batch against STATIC models
+# (trained once offline, broadcast in-stream — exactly how production
+# curation scores a crawl drop), with cross-batch near-dup dedup via a
+# persisted seen-cluster set. Every gate is per-doc, the replay is
+# doc_id-ordered, and "first surviving cluster member takes the cluster"
+# equals the batch form's min-surviving-doc_id-per-cluster — so the
+# summed per-batch funnel equals the one-shot q218 computation and the
+# SAME oracle hash-checks the streamed result.
+# ---------------------------------------------------------------------------
+
+
+def _register_q220() -> None:
+    from spark_state_provider_spark.operators.registry import get as _get
+
+    oracle = _get("q218_curation_pipeline").oracle
+
+    @register("q220_stream_curation_funnel", oracle=oracle)
+    def q220_stream_curation_funnel(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Lang QA → LM filter → repetition → classifier → cross-batch
+        near-dup dedup, maintained across {N_BATCHES} document
+        micro-batches; per-batch funnel partials summed at the end.
+
+        Scale shape: the LM model and cluster index are corpus-snapshot
+        materializations built BEFORE the stream (at 100 TB: maintained
+        at ingest); per-batch cost is O(batch) gate scoring + a
+        broadcast probe into the bounded seen-cluster set. State
+        grows with |clusters touched|, not corpus size.
+        """
+        import os
+
+        from pyspark.sql.window import Window
+        from pyspark.storagelevel import StorageLevel
+
+        from spark_state_provider_spark.operators.dedup import (
+            _clusters_persisted,
+        )
+        from spark_state_provider_spark.operators.pipeline import (
+            _curation_flags,
+            _curation_lm_model,
+            _funnel_counts,
+            _funnel_stack,
+        )
+        from spark_state_provider_spark.streaming.sources import stream_docs
+        from spark_state_provider_spark.tables import load_table
+
+        docs_all = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        model, tot = _curation_lm_model(docs_all)
+        model = model.persist(StorageLevel.MEMORY_AND_DISK)
+        model.count()  # the static LM, trained once before the stream
+        labels = _clusters_persisted(spark, sf_dir)
+
+        seen_dir, part_dir, ckpt = _fresh_run_dirs(
+            "q220", sf_dir, "seen", "parts", "ckpt"
+        )
+
+        def step(batch_df: DataFrame, batch_id: int) -> None:
+            flags = _curation_flags(
+                batch_df.select("doc_id", "text", "lang"), model, tot
+            ).join(F.broadcast(labels), "doc_id", "left")
+            s4 = (
+                F.col("f_lang")
+                & F.col("f_lm")
+                & F.col("f_rep")
+                & F.col("f_clf")
+            )
+            wc = Window.partitionBy(
+                F.coalesce(F.col("cluster_id"), -F.col("doc_id"))
+            )
+            first_in_batch = F.col("doc_id") == F.min(
+                F.when(s4, F.col("doc_id"))
+            ).over(wc)
+            # snapshot the seen-set FILE LIST before this batch appends
+            # (the q103 lesson: a directory read after our own append
+            # would see this batch's clusters and drop everything)
+            seen_files = [
+                os.path.join(seen_dir, f)
+                for f in os.listdir(seen_dir)
+                if f.endswith(".parquet")
+            ]
+            staged = flags
+            if seen_files:
+                seen = (
+                    spark.read.schema("cluster_id bigint")
+                    .parquet(*seen_files)
+                    .distinct()
+                    .withColumn("prev", F.lit(True))
+                )
+                staged = staged.join(F.broadcast(seen), "cluster_id", "left")
+                prev_seen = F.col("prev").isNotNull()
+            else:
+                prev_seen = F.lit(False)
+            s5 = s4 & (
+                F.col("cluster_id").isNull()
+                | (first_in_batch & ~prev_seen)
+            )
+            staged = staged.withColumn("s4", s4).withColumn(
+                "s5", s5
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            _funnel_stack(_funnel_counts(staged)).write.mode(
+                "overwrite"
+            ).parquet(_batch_subdir(part_dir, batch_id))
+            # clusters taken THIS batch extend the seen-set (append-mode:
+            # a retried batch re-appends the same ids — harmless to the
+            # distinct + anti semantics above)
+            staged.where(
+                F.col("s5") & F.col("cluster_id").isNotNull()
+            ).select("cluster_id").write.mode("append").parquet(seen_dir)
+            staged.unpersist()
+
+        with _streaming_session(spark):
+            docs = stream_docs(spark, sf_dir, N_BATCHES, tag="cur220")
+            q = (
+                docs.writeStream.foreachBatch(step)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                finished = q.awaitTermination(180)
+            finally:
+                q.stop()
+                import shutil
+
+                shutil.rmtree(ckpt, ignore_errors=True)
+            if not finished:
+                raise TimeoutError("q220 stream did not drain within 180s")
+        model.unpersist()
+        partials = (
+            spark.read.schema(
+                "stage int, stage_name string,"
+                " n_docs bigint, n_tokens bigint"
+            )
+            .option("recursiveFileLookup", "true")
+            .parquet(part_dir)
+        )
+        return _pinned(
+            partials.groupBy("stage", "stage_name").agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            )
+        )
+
+
+_register_q220()

@@ -60,3 +60,55 @@ def test_q219_recall_against_brute_force(spark, sf_dir):
     # tunes NPROBE/shortlist upward for a recall target); the floor here
     # guards against junk, not against the quantization trade itself
     assert recall >= 0.4, f"IVF-PQ recall {recall:.2f} vs brute-force top-k"
+
+
+def _mk_text(seed: int, vocab: str, n: int = 50) -> str:
+    import random
+
+    r = random.Random(seed)
+    words = []
+    for i in range(n):
+        words.append(r.choice(vocab.split()))
+        if i % 7 == 3:
+            words.append("the")  # en marker keeps lang QA green
+    return " ".join(words)
+
+
+def test_q220_cross_batch_dedup_fires(spark, tmp_path):
+    """A gate-passing duplicate pair whose members land in DIFFERENT
+    micro-batches: the streamed funnel must drop the later twin via the
+    persisted seen-cluster set and still hash-match the batch oracle.
+    (On the stock fixtures the dedup stage drops 0, so this is the only
+    coverage of the cross-batch path.)"""
+    from tests.test_advice_edges import _docs, _fixture_dir
+
+    vocab = (
+        "big value scan part hash filter spark fast join group slow "
+        "stream vector table agg query column line batch data merge "
+        "order small window"
+    )
+    twin = _mk_text(99, vocab)
+    rows = [(1, twin, "en", "web"), (800, twin, "en", "crawl")] + [
+        (i, _mk_text(i, vocab), "en", "web") for i in range(2, 9)
+    ]
+    sf = _fixture_dir(tmp_path, _docs(rows))
+    # batch form first: the funnel's dedup stage must drop exactly the
+    # later twin (9 docs, all gates pass, one 2-member cluster)
+    batch = {
+        r.stage_name: r
+        for r in registry.get("q218_curation_pipeline").fn(spark, sf).collect()
+    }
+    assert batch["classifier"].n_docs == 9
+    assert batch["dedup"].n_docs == 8
+    # streaming twin over doc_id-ordered 2-slice replay: twin doc 1 is in
+    # batch 0, twin doc 800 in batch 1 -> the seen-set must carry the
+    # cluster across the batch boundary
+    compare_query(spark, sf, "q220_stream_curation_funnel")
+    stream = {
+        r.stage_name: r
+        for r in registry.get("q220_stream_curation_funnel")
+        .fn(spark, sf)
+        .collect()
+    }
+    assert stream["dedup"].n_docs == 8
+    assert stream["dedup"].n_tokens == batch["dedup"].n_tokens
