@@ -139,9 +139,10 @@ QUERIES = [
     "q216_link_prediction",
     # round-6: the composed curation funnel (all four gates + dedup in one
     # lazy plan — the probe measures the CHAIN, not the solo stages) and
-    # the composed IVF-PQ retrieval
+    # the composed IVF-PQ retrieval and the streaming funnel twin
     "q218_curation_pipeline",
     "q219_ivfpq_ann",
+    "q220_stream_curation_funnel",
 ]
 
 
