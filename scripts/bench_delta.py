@@ -32,6 +32,19 @@ def main() -> int:
     cur = {k.split("_")[0]: v for k, v in cur_full.items()}
     prev_doc = json.load(open(prev_path))
     prev = (prev_doc.get("parsed") or prev_doc).get("queries", {})
+    if not prev and "tail" in prev_doc:
+        # tail-truncated capture (BENCH_r05 era): recover per-query pairs
+        # from the raw tail text — the map entries are intact even when
+        # the JSON line's head was cut off
+        import re
+
+        prev = {
+            m.group(1): float(m.group(2))
+            for m in re.finditer(
+                r'\\?"(q\w+?)\\?":([0-9.]+)', prev_doc["tail"]
+            )
+        }
+        prev.pop("queries", None)
     common = [k for k in cur if k in prev and prev[k] > 0]
     tp, tc = sum(prev[k] for k in common), sum(cur[k] for k in common)
     print(
