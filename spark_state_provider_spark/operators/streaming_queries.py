@@ -2745,7 +2745,12 @@ def _register_q220() -> None:
 
         def step(batch_df: DataFrame, batch_id: int) -> None:
             flags = _curation_flags(
-                batch_df.select("doc_id", "text", "lang"), model, tot
+                batch_df.select("doc_id", "text", "lang"),
+                model,
+                tot,
+                # micro-batch slices: the shuffle-free occurrence probe
+                # beats a per-batch (doc, tri) exchange
+                preagg_lm=False,
             ).join(F.broadcast(labels), "doc_id", "left")
             s4 = (
                 F.col("f_lang")
