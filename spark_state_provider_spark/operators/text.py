@@ -1449,34 +1449,48 @@ def q215_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs where '{_PROX_A}' and '{_PROX_B}' occur within
     {_PROX_WIN} tokens, with occurrence counts and the min distance.
 
-    Scale shape: one narrow pass per doc — tokenize once, two position
-    filters, one nested min-fold whose cost is |pa|·|pb| per doc
-    (query-term occurrence counts, not doc length). At index scale the
-    same computation runs over q51's posting lists (positions per
-    (term, doc)) so only the two terms' postings are ever read.
+    Scale shape: ONE `aggregate` fold over the token array computes
+    counts and the running min-distance together (the classic two-pointer
+    merge: carry each term's last position, update best on every hit) —
+    O(doc length) per doc, surfaced through `inline` so the struct is
+    evaluated exactly once. The earlier two-position-array form was
+    algorithmically fine but CollapseProject re-evaluated the O(n)
+    position filters once per referencing expression (sizes, fold,
+    filters — measured 6.1s vs 0.5s at sf0.1, a 13× tax for identical
+    semantics); generators are the documented barrier Catalyst will not
+    duplicate. At index scale the same fold runs over q51's posting
+    lists so only the two terms' postings are ever read.
     """
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.split("text", " ").alias("l"))
-    pos = t.select(
-        "doc_id",
-        F.expr(
-            f"filter(sequence(1, size(l)), i -> l[i - 1] = '{_PROX_A}')"
-        ).alias("pa"),
-        F.expr(
-            f"filter(sequence(1, size(l)), i -> l[i - 1] = '{_PROX_B}')"
-        ).alias("pb"),
-    )
-    min_dist = F.expr(
-        "array_min(transform(pa, a -> "
-        "array_min(transform(pb, b -> abs(a - b)))))"
-    )
+    one_pass = f"""
+    aggregate(
+      l,
+      named_struct('pos', 0, 'la', -1, 'lb', -1,
+                   'na', 0L, 'nb', 0L, 'best', 2147483647),
+      (acc, x) -> named_struct(
+        'pos', acc.pos + 1,
+        'la', IF(x = '{_PROX_A}', acc.pos + 1, acc.la),
+        'lb', IF(x = '{_PROX_B}', acc.pos + 1, acc.lb),
+        'na', acc.na + IF(x = '{_PROX_A}', 1L, 0L),
+        'nb', acc.nb + IF(x = '{_PROX_B}', 1L, 0L),
+        'best', LEAST(acc.best,
+            IF(x = '{_PROX_A}' AND acc.lb >= 0, acc.pos + 1 - acc.lb,
+            IF(x = '{_PROX_B}' AND acc.la >= 0, acc.pos + 1 - acc.la,
+               2147483647)))),
+      acc -> acc)
+    """
     return (
-        pos.where((F.size("pa") > 0) & (F.size("pb") > 0))
+        t.select("doc_id", F.inline(F.array(F.expr(one_pass))))
+        .where(
+            (F.col("na") > 0)
+            & (F.col("nb") > 0)
+            & (F.col("best") <= _PROX_WIN)
+        )
         .select(
             "doc_id",
-            F.size("pa").cast("bigint").alias("n_a"),
-            F.size("pb").cast("bigint").alias("n_b"),
-            min_dist.cast("bigint").alias("min_dist"),
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.col("best").cast("bigint").alias("min_dist"),
         )
-        .where(F.col("min_dist") <= _PROX_WIN)
     )
