@@ -700,9 +700,13 @@ def q201_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                CASE WHEN user_id % 5 <> 0
                     THEN CAST(value AS DOUBLE) / (user_id % 5) END AS d1,
-               CASE WHEN event_id > 0 THEN NULL
-                    ELSE 0 END AS ov,           -- i64max + event_id overflows
-               TRY_CAST(event_type AS BIGINT) AS bad_cast,
+               CASE WHEN event_id % 10 = 0
+                    THEN CASE WHEN event_id > 0 THEN NULL
+                              ELSE 9223372036854775807 END
+                    ELSE event_id END AS ov,  -- i64max + id overflows
+               TRY_CAST(CASE WHEN event_id % 5 = 0 THEN event_type
+                             ELSE CAST(event_id AS VARCHAR) END
+                        AS BIGINT) AS bad_cast,
                TRY_CAST(CAST(user_id AS VARCHAR) AS BIGINT) AS good_cast
         FROM events
     )
@@ -722,12 +726,20 @@ def q201_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q208_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL accounting of try_divide (by zero), try_add (i64 overflow),
-    and try_cast (non-numeric string / round-trip) per event type.
+    and try_cast (non-numeric string / round-trip) per event type —
+    failing populations are MINORITIES (10% overflow, 20% bad cast), the
+    realistic dirty-data shape.
 
     Scale shape: pure narrow column expressions + one combinable
-    aggregate — the point is semantics, not plan. Only min/max of the
-    division ride the compare (a float SUM would be summation-order
-    sensitive across engines; counts and integer sums are exact).
+    aggregate. The failure rates matter at scale: Spark's try_* error
+    path is exception-driven (~17µs per firing row, measured — try_add
+    over 100k all-overflowing rows cost 1.81s vs 0.07s non-overflowing),
+    so a try_ expression that fails on MOST rows costs orders of
+    magnitude more than the arithmetic it guards. Keep try_ failure
+    rates low by construction, or pre-filter the known-bad stratum with
+    a cheap predicate first. Only min/max of the division ride the
+    compare (a float SUM would be summation-order sensitive across
+    engines; counts and integer sums are exact).
     """
     _view(spark, sf_dir, "events", "q208_events")
     return spark.sql(
@@ -735,8 +747,12 @@ def q208_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH t AS (
             SELECT event_type,
                    try_divide(CAST(value AS DOUBLE), user_id % 5) AS d1,
-                   try_add(9223372036854775807, event_id) AS ov,
-                   try_cast(event_type AS BIGINT) AS bad_cast,
+                   try_add(CASE WHEN event_id % 10 = 0
+                                THEN 9223372036854775807 ELSE 0 END,
+                           event_id) AS ov,
+                   try_cast(CASE WHEN event_id % 5 = 0 THEN event_type
+                                 ELSE CAST(event_id AS STRING) END
+                            AS BIGINT) AS bad_cast,
                    try_cast(CAST(user_id AS STRING) AS BIGINT) AS good_cast
             FROM q208_events
         )
