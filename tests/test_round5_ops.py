@@ -375,14 +375,19 @@ def test_twap_within_value_range_and_span(spark, sf_dir):
 
 
 def test_try_arithmetic_null_pattern(spark, sf_dir):
-    """Division nulls exactly when user_id%5==0; every positive event_id
-    overflows; bad casts are all-null; good casts round-trip."""
-    for r in _run(spark, sf_dir, "q208_try_arithmetic").collect():
-        assert r.bad_cast_nulls == r.n
-        assert r.overflow_nulls <= r.n
+    """Failure populations are deliberate MINORITIES (the exception-cost
+    lesson — try_* throws per firing row): overflow fires on the
+    event_id%10==0 stratum, bad casts on the event_id%5==0 stratum, and
+    both branches must actually fire somewhere in the corpus."""
+    rows = _run(spark, sf_dir, "q208_try_arithmetic").collect()
+    for r in rows:
+        assert 0 <= r.bad_cast_nulls < r.n  # minority, never all rows
+        assert 0 <= r.overflow_nulls <= r.bad_cast_nulls  # %10 ⊂ %5
         assert 0 <= r.div_by_zero_nulls <= r.n
         if r.min_ratio is not None:
             assert r.min_ratio <= r.max_ratio
+    assert sum(r.overflow_nulls for r in rows) > 0
+    assert sum(r.bad_cast_nulls for r in rows) > 0
 
 
 def test_grouping_id_structure(spark, sf_dir):
