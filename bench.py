@@ -277,6 +277,10 @@ def main() -> None:
         ("memo:pairs", lambda: _dedup._pairs_persisted(spark, SF_DIR)),
         ("memo:clusters", lambda: _dedup._clusters_persisted(spark, SF_DIR)),
         ("memo:truth", lambda: _dedup._truth_persisted(spark, SF_DIR)),
+        ("memo:chartri", lambda: __import__(
+            "spark_state_provider_spark.operators.text",
+            fromlist=["_chartri_counts_persisted"],
+        )._chartri_counts_persisted(spark, SF_DIR)),
     ):
         t0 = time.perf_counter()
         builder().count()

@@ -2711,20 +2711,20 @@ _FUNNEL_STAGES = (
 )
 
 
-def _curation_lm_model(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(model, total) of the q188 char-trigram LM over ``docs`` — built
-    once per corpus snapshot; the streaming twin applies the same static
-    model per batch (models are trained offline, applied in-stream)."""
-    tri = docs.where(F.length("text") >= 3).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(text) - 2),"
-                " i -> substring(text, i, 3))"
-            )
-        ).alias("tri"),
+def _curation_lm_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(model, total) of the q188 char-trigram LM over the corpus —
+    re-aggregated from the memoized per-doc trigram-count frame (one
+    corpus explode per snapshot, shared with q188/q211); the streaming
+    twin applies the same static model per batch (models are trained
+    offline, applied in-stream)."""
+    from spark_state_provider_spark.operators.text import (
+        _chartri_counts_persisted,
     )
-    model = tri.groupBy("tri").agg(F.count("*").alias("n"))
+
+    dtc = _chartri_counts_persisted(spark, sf_dir)
+    model = dtc.groupBy("tri").agg(F.sum("c").alias("n"))
     tot = model.agg(F.sum("n").cast("bigint").alias("total"))
     return model, tot
 
@@ -2734,6 +2734,7 @@ def _curation_flags(
     model: DataFrame,
     tot: DataFrame,
     preagg_lm: bool = True,
+    dtc: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document gate flags (doc_id, est_tokens, f_lang, f_lm, f_rep,
     f_clf) over any documents-shaped frame (doc_id, text, lang). All four
@@ -2749,7 +2750,9 @@ def _curation_flags(
     — right for micro-batch slices, where a per-batch exchange costs
     more than the handful of duplicate probes saves (measured: the
     streaming twin regressed 7.0 → 9.6s at sf0.1 under the pre-agg
-    plan). Both produce bit-identical flags."""
+    plan). Both produce bit-identical flags. ``dtc`` optionally supplies
+    an already-materialized (doc_id, tri, c) frame (the corpus memo) so
+    a full-corpus caller skips the explode entirely."""
     from spark_state_provider_spark.operators.text import (
         LANG_MARKERS,
         _count_sql,
@@ -2781,17 +2784,22 @@ def _curation_flags(
         "text",
     )
     # corpus-LM in-distribution (q188's model, integer cross-multiplied)
-    tri = d.where(F.length("text") >= 3).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(text) - 2),"
-                " i -> substring(text, i, 3))"
-            )
-        ).alias("tri"),
-    )
     if preagg_lm:
-        dtc = tri.groupBy("doc_id", "tri").agg(F.count("*").alias("c"))
+        if dtc is None:
+            dtc = (
+                d.where(F.length("text") >= 3)
+                .select(
+                    "doc_id",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, length(text) - 2),"
+                            " i -> substring(text, i, 3))"
+                        )
+                    ).alias("tri"),
+                )
+                .groupBy("doc_id", "tri")
+                .agg(F.count("*").alias("c"))
+            )
         lm = (
             dtc.join(F.broadcast(model), "tri")
             .crossJoin(F.broadcast(tot))
@@ -2805,6 +2813,15 @@ def _curation_flags(
             )
         )
     else:
+        tri = d.where(F.length("text") >= 3).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2),"
+                    " i -> substring(text, i, 3))"
+                )
+            ).alias("tri"),
+        )
         lm = (
             tri.join(F.broadcast(model), "tri")
             .crossJoin(F.broadcast(tot))
@@ -3079,12 +3096,19 @@ def _register_q218() -> None:
             _clusters_persisted,
         )
 
+        from spark_state_provider_spark.operators.text import (
+            _chartri_counts_persisted,
+        )
+
         d = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text", "lang"
         )
-        model, tot = _curation_lm_model(d)
+        model, tot = _curation_lm_model(spark, sf_dir)
         labels = _clusters_persisted(spark, sf_dir)
-        flags = _curation_flags(d, model, tot).join(
+        memo_dtc = _chartri_counts_persisted(spark, sf_dir).select(
+            "doc_id", "tri", "c"
+        )
+        flags = _curation_flags(d, model, tot, dtc=memo_dtc).join(
             labels, "doc_id", "left"
         )
         s4 = (

@@ -2729,12 +2729,8 @@ def _register_q220() -> None:
             _funnel_stack,
         )
         from spark_state_provider_spark.streaming.sources import stream_docs
-        from spark_state_provider_spark.tables import load_table
 
-        docs_all = load_table(spark, sf_dir, "documents").select(
-            "doc_id", "text", "lang"
-        )
-        model, tot = _curation_lm_model(docs_all)
+        model, tot = _curation_lm_model(spark, sf_dir)
         model = model.persist(StorageLevel.MEMORY_AND_DISK)
         model.count()  # the static LM, trained once before the stream
         labels = _clusters_persisted(spark, sf_dir)

@@ -960,6 +960,43 @@ def q171_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("lift").desc(), "w1", "w2").limit(_COLLOC_TOP)
 
 
+# per-document CHARACTER-trigram counts per (session, corpus) — the
+# shared upstream of every char-3-gram consumer (q188's LM, q211's
+# language profiles, q218/q220's LM gate model): one corpus explode +
+# (doc, tri) count, materialized once per corpus snapshot exactly like
+# the word-shingle/pair/cluster memos. Consumers re-aggregate this frame
+# instead of re-exploding the corpus.
+_CHARTRI_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _chartri_counts_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    from spark_state_provider_spark.dfcache import get_or_build
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents").where(
+            F.length("text") >= 3
+        )
+        return (
+            d.select(
+                "doc_id",
+                "lang",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(text) - 2),"
+                        " i -> substring(text, i, 3))"
+                    )
+                ).alias("tri"),
+            )
+            .groupBy("doc_id", "lang", "tri")
+            .agg(F.count("*").alias("c"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    return get_or_build(_CHARTRI_CACHE, spark, (sf_dir,), build)
+
+
 # ---------------------------------------------------------------------------
 # q188 — character-trigram corpus LM scoring (the CCNet-style "does this
 # document look like the corpus" filter, without the transcendental):
@@ -999,30 +1036,17 @@ def q188_char_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (self-trained 3-gram LM filter score).
 
     Scale shape: the MODEL is bounded by the charset cubed (tens of
-    thousands of rows however big the corpus — it broadcasts). The corpus
-    is exploded ONCE into per-document trigram counts (doc_id, tri, c);
-    the model re-aggregates that frame and the scoring join probes it —
-    |distinct (doc, tri)| rows instead of every occurrence, and a single
-    explode pass instead of two (measured 4.1 → ~2.5s at sf0.1; at 100 TB
-    the probe-side shrink is the bigger win). Occurrence weights ride the
-    integer `c` column, so all sums are the same BIGINTs as the
+    thousands of rows however big the corpus — it broadcasts). Reads the
+    MEMOIZED per-document trigram-count frame (one corpus explode per
+    snapshot, shared with q211/q218); the model re-aggregates it and the
+    scoring join probes it — |distinct (doc, tri)| rows instead of every
+    occurrence (measured 4.1 → ~2.5s at sf0.1 for the pre-agg alone; at
+    100 TB the probe-side shrink is the bigger win). Occurrence weights
+    ride the integer `c` column, so all sums are the same BIGINTs as the
     per-occurrence form and the one final division is bit-identical.
     """
-    d = load_table(spark, sf_dir, "documents").where(
-        F.length("text") >= 3
-    )
-    dtc = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(text) - 2),"
-                    " i -> substring(text, i, 3))"
-                )
-            ).alias("tri"),
-        )
-        .groupBy("doc_id", "tri")
-        .agg(F.count("*").alias("c"))
+    dtc = _chartri_counts_persisted(spark, sf_dir).select(
+        "doc_id", "tri", "c"
     )
     model = dtc.groupBy("tri").agg(F.sum("c").alias("n"))
     tot = model.agg(F.sum("n").cast("bigint").alias("total"))
@@ -1341,29 +1365,15 @@ def q211_profile_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     langs = sorted(LANG_MARKERS)
     docs = load_table(spark, sf_dir, "documents")
-    # length filter applies ONLY to the trigram explode input; the scored
-    # output covers EVERY document (short docs score all-zero with the
-    # alphabetic-first argmax), matching the oracle's left join over the
-    # unfiltered table — previously a <3-char doc would diverge.
-    d = docs.where(F.length("text") >= 3)
-    # ONE explode pass into per-doc trigram counts; both the profile
-    # build and the coverage probe re-aggregate this frame, so the
-    # broadcast probe touches |distinct (doc, tri)| rows instead of
-    # every occurrence (the q188 plan shape).
-    dtc = (
-        d.select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(text) - 2),"
-                    " i -> substring(text, i, 3))"
-                )
-            ).alias("tri"),
-        )
-        .groupBy("doc_id", "lang", "tri")
-        .agg(F.count("*").alias("c"))
-    )
+    # The memo applies the length≥3 filter ONLY to the trigram explode
+    # input; the scored output covers EVERY document (short docs score
+    # all-zero with the alphabetic-first argmax), matching the oracle's
+    # left join over the unfiltered table.
+    # The MEMOIZED per-doc trigram-count frame (shared with q188/q218):
+    # both the profile build and the coverage probe re-aggregate it, so
+    # the broadcast probe touches |distinct (doc, tri)| rows instead of
+    # every occurrence and the corpus is exploded once per snapshot.
+    dtc = _chartri_counts_persisted(spark, sf_dir)
     lang_tri = dtc.groupBy("lang", "tri").agg(F.sum("c").alias("c"))
     wl = Window.partitionBy("lang").orderBy(F.col("c").desc(), "tri")
     profile = (
