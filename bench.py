@@ -244,6 +244,12 @@ HEADLINE = [
     "q218_curation_pipeline",
     "q219_ivfpq_ann",
     "q220_stream_curation_funnel",
+    # round-6 second tranche: DSIR data selection, the Gopher rule
+    # battery, embedding-norm QA, MinHash estimator calibration
+    "q221_dsir_importance",
+    "q222_gopher_rules",
+    "q223_embedding_norm_qa",
+    "q224_minhash_calibration",
 ]
 
 

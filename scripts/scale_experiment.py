@@ -143,6 +143,13 @@ QUERIES = [
     "q218_curation_pipeline",
     "q219_ivfpq_ann",
     "q220_stream_curation_funnel",
+    # round-6 second tranche: DSIR bigram selection (two corpus passes),
+    # Gopher rule battery (one map pass), embedding-norm QA (label-keyed
+    # order statistic), MinHash calibration (rides the memoized LSH state)
+    "q221_dsir_importance",
+    "q222_gopher_rules",
+    "q223_embedding_norm_qa",
+    "q224_minhash_calibration",
 ]
 
 

@@ -1751,3 +1751,157 @@ def _register_q213() -> None:
 
 
 _register_q213()
+
+
+# ---------------------------------------------------------------------------
+# q224 — MinHash estimator calibration against exact Jaccard.
+# q206 certifies the PIPELINE's recall; this pins the ESTIMATOR itself:
+# P(minhash_i(A) = minhash_i(B)) = J(A,B) (Broder 1997), so the match
+# count over the 8 salts is a Binomial(8, J) draw per pair. Grouping the
+# banded candidates by their match count and pooling exact intersections
+# per group yields the empirical calibration curve (est 0/8…8/8 vs pooled
+# exact Jaccard) — the table that tells a pipeline operator whether
+# N_SALTS is adequate BEFORE trusting the estimate at 100 TB, where the
+# exact verify join is the cost being traded away.
+#
+# Everything aggregated is a BIGINT (match counts, intersection and
+# union sizes); pooled Jaccard = Σinter/Σunion is ONE exact division per
+# output row (never a mean of per-pair floats, whose summation order
+# would diverge between engines), and the band-capture S-curve
+# 1−(1−j⁴)² is expanded into fixed-order multiplies shared textually by
+# both engines.
+# ---------------------------------------------------------------------------
+
+_CAPTURE_EXPR = (
+    "1.0 - (1.0 - ((pooled_jaccard * pooled_jaccard)"
+    " * (pooled_jaccard * pooled_jaccard)))"
+    " * (1.0 - ((pooled_jaccard * pooled_jaccard)"
+    " * (pooled_jaccard * pooled_jaccard)))"
+)
+
+
+@register(
+    "q224_minhash_calibration",
+    oracle=f"""
+    WITH {_DUCK_TRI},
+    salts AS ({_DUCK_SALTS}),
+    {_DUCK_LSH_CHAIN},
+    m AS (
+        SELECT c.id_a, c.id_b,
+               CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
+                   AS matches
+        FROM cand c
+        JOIN mh a ON a.doc_id = c.id_a
+        JOIN mh b ON b.doc_id = c.id_b AND b.salt = a.salt
+        GROUP BY c.id_a, c.id_b
+    ),
+    p AS (
+        SELECT m.matches,
+               COALESCE(i.n_inter, 0) AS n_inter,
+               sa.n + sb.n - COALESCE(i.n_inter, 0) AS n_union
+        FROM m
+        LEFT JOIN inter i ON i.id_a = m.id_a AND i.id_b = m.id_b
+        JOIN sizes sa ON sa.doc_id = m.id_a
+        JOIN sizes sb ON sb.doc_id = m.id_b
+    ),
+    g AS (
+        SELECT matches,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(n_inter) AS BIGINT) AS sum_inter,
+               CAST(sum(n_union) AS BIGINT) AS sum_union
+        FROM p GROUP BY matches
+    )
+    SELECT matches, n_pairs, sum_inter, sum_union, est_jaccard,
+           pooled_jaccard,
+           {_CAPTURE_EXPR} AS band_capture_prob
+    FROM (
+        SELECT *,
+               CAST(matches AS DOUBLE) / {float(N_SALTS)} AS est_jaccard,
+               CAST(sum_inter AS DOUBLE) / CAST(sum_union AS DOUBLE)
+                   AS pooled_jaccard
+        FROM g
+    )
+    """,
+)
+def q224_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical MinHash calibration: banded candidate pairs grouped by
+    signature match count ({N_SALTS} salts), each group carrying its
+    pooled exact Jaccard and the theoretical band-capture probability
+    1−(1−j⁴)² at that pooled similarity.
+
+    Scale shape: rides the memoized candidate pipeline
+    (`_lsh_scored_candidates` — the same frame q28b/q136 verify from, so
+    the exact intersections are already paid for) plus one signature
+    re-aggregation of the persisted trigram frame; the scalar candidate
+    table broadcasts onto the signature frame twice (the verify-join
+    discipline of the candidate builder). Output is ≤ {N_SALTS + 1} rows
+    — the whole calibration is two broadcast joins and one {N_SALTS + 1}
+    -group aggregate on top of already-materialized state.
+    """
+    pairs = _lsh_scored_candidates(spark, sf_dir)
+    tri = _trigrams_persisted(spark, sf_dir)
+    sig = tri.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws("|", F.lit(s), F.col("tri")))
+            ).alias(f"h{i}")
+            for i, s in enumerate(_SALTS)
+        ]
+    )
+    pa = sig.join(
+        F.broadcast(pairs), F.col("doc_id") == F.col("id_a")
+    ).select(
+        "id_a",
+        "id_b",
+        "na",
+        "nb",
+        "n_inter",
+        *[F.col(f"h{i}").alias(f"ah{i}") for i in range(N_SALTS)],
+    )
+    pb = sig.join(
+        F.broadcast(pairs.select("id_a", "id_b")),
+        F.col("doc_id") == F.col("id_b"),
+    ).select(
+        F.col("id_a").alias("id_a2"),
+        F.col("id_b").alias("id_b2"),
+        *[F.col(f"h{i}").alias(f"bh{i}") for i in range(N_SALTS)],
+    )
+    matches = sum(
+        F.when(F.col(f"ah{i}") == F.col(f"bh{i}"), 1).otherwise(0)
+        for i in range(N_SALTS)
+    )
+    per_pair = (
+        pa.join(
+            pb,
+            (F.col("id_a") == F.col("id_a2"))
+            & (F.col("id_b") == F.col("id_b2")),
+        )
+        .select(
+            matches.cast("long").alias("matches"),
+            F.col("n_inter").cast("long").alias("n_inter"),
+            (F.col("na") + F.col("nb") - F.col("n_inter"))
+            .cast("long")
+            .alias("n_union"),
+        )
+    )
+    g = per_pair.groupBy("matches").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("n_inter").cast("long").alias("sum_inter"),
+        F.sum("n_union").cast("long").alias("sum_union"),
+    )
+    enriched = g.select(
+        "matches",
+        "n_pairs",
+        "sum_inter",
+        "sum_union",
+        (F.col("matches").cast("double") / F.lit(float(N_SALTS))).alias(
+            "est_jaccard"
+        ),
+        (
+            F.col("sum_inter").cast("double")
+            / F.col("sum_union").cast("double")
+        ).alias("pooled_jaccard"),
+    )
+    return enriched.withColumn(
+        "band_capture_prob", F.expr(_CAPTURE_EXPR)
+    )

@@ -3129,3 +3129,173 @@ def _register_q218() -> None:
 
 
 _register_q218()
+
+
+# ---------------------------------------------------------------------------
+# q221 — DSIR-style hashed-bucket importance weighting for data selection.
+# Xie et al. 2023 ("Data Selection for Language Models via Importance
+# Resampling", NeurIPS) select pretraining docs by an importance weight
+# computed in a HASHED n-gram feature space: per-bucket rates under a
+# target distribution vs the raw distribution, summed over the doc's
+# tokens. The heavy lift at 100 TB is exactly two corpus passes: one
+# bucket-count aggregate (tiny output: the feature table), one scoring
+# pass that re-hashes tokens and accumulates per-doc weights.
+#
+# Determinism adaptation: DSIR's canonical weight is Σ log(p_t/p_r) —
+# log() is banned for cross-engine float determinism (q154's rule), so
+# the per-bucket score is the CENTERED LIKELIHOOD RATIO r−1 (the
+# first-order Taylor expansion of ln r at r=1), fixed-point-quantized to
+# an integer micro-score: sign and per-bucket ordering agree with the
+# log form, and the per-doc accumulation becomes an exact BIGINT sum
+# (no float summation order anywhere). Smoothing is add-one per bucket.
+#
+# Features are WORD BIGRAMS, as in the paper: measured on the stock
+# corpus, unigram buckets wash out (languages share the body vocabulary;
+# top-25 en share 52% vs 38.6% base rate) while bigrams capture the
+# lang-specific word ADJACENCIES and lift the selected slice to 80% en —
+# a 2.1× enrichment, which is the operator actually doing its job.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 4096  # hashed feature width (the paper uses 10k; plan identical)
+_DSIR_TOP = 25
+# s_b = floor(1e6 · (ct+1)/(cr+1) · (R+B)/(T+B)) − 1e6, centered so a
+# bucket at target/raw parity contributes ~0. The textual expression is
+# shared verbatim by both engines: IEEE double ·/÷ are correctly rounded,
+# so identical operation order ⇒ identical doubles ⇒ identical floor.
+_DSIR_SCORE = (
+    "CAST(floor(1000000.0 * ((CAST(ct + 1 AS DOUBLE) / CAST(cr + 1 AS DOUBLE))"
+    f" * (CAST(r_tot + {_DSIR_B} AS DOUBLE) / CAST(t_tot + {_DSIR_B} AS DOUBLE))))"
+    " AS BIGINT) - 1000000"
+)
+
+
+@register(
+    "q221_dsir_importance",
+    oracle=f"""
+    WITH tokl AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, lang,
+               (('0x' || substr(md5(t.bg), 1, 8))::BIGINT % {_DSIR_B})
+                   AS bucket
+        FROM tokl, unnest(list_transform(
+            generate_series(1, len(l) - 1),
+            i -> l[i] || ' ' || l[i+1]
+        )) AS t(bg)
+    ),
+    db AS (
+        SELECT doc_id, lang, bucket, CAST(count(*) AS BIGINT) AS n
+        FROM feat GROUP BY doc_id, lang, bucket
+    ),
+    bc AS (
+        SELECT bucket,
+               CAST(sum(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT)
+                   AS ct,
+               CAST(sum(n) AS BIGINT) AS cr
+        FROM db GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(sum(ct) AS BIGINT) AS t_tot,
+               CAST(sum(cr) AS BIGINT) AS r_tot
+        FROM bc
+    ),
+    sc AS (
+        SELECT bucket, {_DSIR_SCORE} AS s_micro FROM bc, tot
+    ),
+    w AS (
+        SELECT db.doc_id,
+               db.lang,
+               CAST(sum(db.n) AS BIGINT) AS n_grams,
+               CAST(sum(db.n * sc.s_micro) AS BIGINT) AS dsir_micro
+        FROM db JOIN sc USING (bucket)
+        GROUP BY db.doc_id, db.lang
+    )
+    SELECT doc_id, lang, n_grams, dsir_micro,
+           CAST(dsir_micro AS DOUBLE) / CAST(n_grams AS DOUBLE)
+               AS micro_per_gram,
+           rn
+    FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY dsir_micro DESC, doc_id) AS rn
+        FROM w
+    )
+    WHERE rn <= {_DSIR_TOP}
+    """,
+)
+def q221_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_DSIR_TOP} documents by DSIR-style hashed word-bigram
+    importance weight against the lang='en' target slice.
+
+    Scale shape: split once → bigram transform (a generator the optimizer
+    will not re-evaluate, the q215 lesson) → portable md5 bucket (q187's
+    pattern) → groupBy(doc, bucket) with map-side combine collapses
+    occurrences BEFORE any join; the {_DSIR_B}-row feature table (target
+    and raw counts + centered ratio micro-scores) BROADCASTS back onto
+    the collapsed per-doc bucket rows; per-doc weights are one combinable
+    BIGINT aggregate. The global top-k is TakeOrderedAndProject (partial
+    per-partition top-k, {_DSIR_TOP} rows to the driver — never a full
+    sort). Two corpus passes total, exactly DSIR's production cost.
+    Single-token docs have no bigram and drop out of the ranking (both
+    engines agree: empty transform list ↔ empty generate_series).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tokl = d.select("doc_id", "lang", F.split("text", " ").alias("l"))
+    feat = tokl.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.slice(F.col("l"), 1, F.size("l") - 1),
+                lambda x, i: F.concat_ws(
+                    " ", x, F.element_at(F.col("l"), i + 2)
+                ),
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("long")
+            % _DSIR_B
+        ).alias("bucket"),
+    )
+    db = feat.groupBy("doc_id", "lang", "bucket").agg(
+        F.count("*").alias("n")
+    )
+    bc = db.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+        F.sum("n").cast("long").alias("cr"),
+    )
+    tot = bc.agg(
+        F.sum("ct").cast("long").alias("t_tot"),
+        F.sum("cr").cast("long").alias("r_tot"),
+    )
+    sc = bc.crossJoin(F.broadcast(tot)).select(
+        "bucket", F.expr(_DSIR_SCORE).alias("s_micro")
+    )
+    w = (
+        db.join(F.broadcast(sc), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_grams"),
+            F.sum(F.col("n") * F.col("s_micro")).cast("long").alias(
+                "dsir_micro"
+            ),
+        )
+    )
+    top = w.orderBy(F.col("dsir_micro").desc(), "doc_id").limit(_DSIR_TOP)
+    win = Window.orderBy(F.col("dsir_micro").desc(), "doc_id")
+    return top.withColumn("rn", F.row_number().over(win)).select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        "dsir_micro",
+        (
+            F.col("dsir_micro").cast("double")
+            / F.col("n_grams").cast("double")
+        ).alias("micro_per_gram"),
+        "rn",
+    )

@@ -1970,3 +1970,123 @@ def q219_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rer.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") <= TOP_K
     )
+
+
+# ---------------------------------------------------------------------------
+# q223 — embedding-norm QA: per-label norm distribution + outlier census.
+# Before any similarity/dedup stage consumes an embedding column, a
+# pipeline has to catch broken vectors — collapsed encoders (near-zero
+# norm) and exploded ones (unnormalized mixes, fp overflow artifacts).
+# The robust gate is relative to the per-slice MEDIAN, not the mean: one
+# exploded vector can move a mean arbitrarily, never the median.
+#
+# Exactness: norm² is the deterministic sequential fold both engines
+# share (functions/vector.py ↔ list_dot_product); the median is an EXACT
+# order statistic selected by row_number (q190's percentile_disc
+# pattern — no interpolation arithmetic to diverge); the outlier rule is
+# a single correctly-rounded double multiply (×4), so not one bit is
+# engine-dependent.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q223_embedding_norm_qa",
+    oracle="""
+    WITH v AS (
+        SELECT label, vec_id,
+               list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS norm2
+        FROM embeddings
+    ),
+    r AS (
+        SELECT label, vec_id, norm2,
+               row_number() OVER (
+                   PARTITION BY label ORDER BY norm2, vec_id) AS rn,
+               count(*) OVER (PARTITION BY label) AS n
+        FROM v
+    ),
+    med AS (
+        SELECT label,
+               CAST(max(n) AS BIGINT) AS n_vecs,
+               max(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT)
+                        THEN norm2 END) AS median_norm2
+        FROM r GROUP BY label
+    )
+    SELECT r.label,
+           med.n_vecs,
+           med.median_norm2,
+           min(r.norm2) AS min_norm2,
+           max(r.norm2) AS max_norm2,
+           CAST(sum(CASE WHEN r.norm2 * 4.0 < med.median_norm2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+           CAST(sum(CASE WHEN r.norm2 > med.median_norm2 * 4.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+    FROM r JOIN med USING (label)
+    GROUP BY r.label, med.n_vecs, med.median_norm2
+    """,
+)
+def q223_embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-norm² distribution (exact median via order
+    statistic) and the census of vectors outside [median/4, median·4].
+
+    Scale shape: norm² is computed once per vector in the scan stage (the
+    q29 discipline); the exact median costs ONE shuffle keyed on label
+    with an in-partition sort (row_number) — the same plan as q190's
+    winsorize, and like there the exact order statistic is the point
+    (approx_percentile drifts between engines AND between runs). The
+    |labels|-row median table broadcasts back; the outlier census is one
+    combinable aggregate. At 100 TB with heavy label skew the rn window
+    is the piece to watch — the documented swap is a two-pass count +
+    per-label offset selection, which removes the full sort but keeps
+    the median exact.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        "vec_id",
+        as_double_vec("embedding").alias("v"),
+    )
+    from spark_state_provider_spark.functions.vector import dot as _dot
+
+    v = emb.select(
+        "label", "vec_id", _dot(F.col("v"), F.col("v")).alias("norm2")
+    )
+    w_ord = Window.partitionBy("label").orderBy("norm2", "vec_id")
+    w_all = Window.partitionBy("label")
+    r = v.select(
+        "label",
+        "norm2",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    med = r.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") / 2.0).cast("long"),
+                F.col("norm2"),
+            )
+        ).alias("median_norm2"),
+    )
+    return (
+        r.join(F.broadcast(med), "label")
+        .groupBy("label", "n_vecs", "median_norm2")
+        .agg(
+            F.min("norm2").alias("min_norm2"),
+            F.max("norm2").alias("max_norm2"),
+            F.sum(
+                (F.col("norm2") * 4.0 < F.col("median_norm2")).cast("int")
+            ).cast("long").alias("n_low_outliers"),
+            F.sum(
+                (F.col("norm2") > F.col("median_norm2") * 4.0).cast("int")
+            ).cast("long").alias("n_high_outliers"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "median_norm2",
+            "min_norm2",
+            "max_norm2",
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+    )

@@ -1504,3 +1504,163 @@ def q215_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best").cast("bigint").alias("min_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q222 — Gopher-style quality-rule battery with per-rule attribution.
+# The published rule filters (Rae et al. 2021, "Scaling Language Models:
+# ... Gopher", Table A1; reused by MassiveText/RefinedWeb/FineWeb) are a
+# BATTERY of independent document gates, and what a curation run needs is
+# not just the final keep/drop (q30e's single score) but WHICH rule fired,
+# per source — that attribution is what tells you a crawl slice is
+# boilerplate (symbol rule) vs gibberish (alpha-word rule).
+#
+# Every rule is an integer cross-multiplication (3·n_words ≤ n_chars
+# instead of 3 ≤ mean_word_len), so the battery is exact in both engines —
+# the log/float-free discipline of q154. The one double is the final
+# pass_share division.
+# ---------------------------------------------------------------------------
+
+# Gopher A1 bounds, adapted to the house primitives: word count in
+# [50, 100k], mean word length in [3, 10], symbol-to-word ratio ≤ 0.1
+# (# and ellipsis), ≥ 2 distinct stopwords present, ≥ 80% of words
+# containing an alphabetic character.
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+
+
+def _gopher_rules_sql() -> str:
+    stop_hits = " + ".join(
+        f"(CASE WHEN {_count_sql('p', m)} > 0 THEN 1 ELSE 0 END)"
+        for m in STOPWORDS
+    )
+    return f"""
+    WITH f AS (
+        SELECT source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace,
+               CAST({_count_sql("text", "#")} AS BIGINT)
+                   + CAST({_count_sql("text", "...")} AS BIGINT) AS n_symbols,
+               CAST({stop_hits} AS BIGINT) AS n_stop_kinds,
+               CAST(len(list_filter(string_split(text, ' '),
+                        x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                   AS n_alpha_words
+        FROM (SELECT source, text, (' ' || text || ' ') AS p FROM documents)
+    ),
+    r AS (
+        SELECT source,
+               (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+                   AS r_word_count,
+               (3 * n_words <= n_nonspace AND n_nonspace <= 10 * n_words)
+                   AS r_mean_word_len,
+               (10 * n_symbols <= n_words) AS r_symbol_ratio,
+               (n_stop_kinds >= 2) AS r_stopwords,
+               (10 * n_alpha_words >= 8 * n_words) AS r_alpha_words
+        FROM f
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN r_word_count THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_word_count,
+           CAST(sum(CASE WHEN r_mean_word_len THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_mean_word_len,
+           CAST(sum(CASE WHEN r_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_symbol_ratio,
+           CAST(sum(CASE WHEN r_stopwords THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_stopwords,
+           CAST(sum(CASE WHEN r_alpha_words THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_alpha_words,
+           CAST(sum(CASE WHEN r_word_count AND r_mean_word_len
+                          AND r_symbol_ratio AND r_stopwords
+                          AND r_alpha_words THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_all,
+           CAST(sum(CASE WHEN r_word_count AND r_mean_word_len
+                          AND r_symbol_ratio AND r_stopwords
+                          AND r_alpha_words THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS pass_share
+    FROM r GROUP BY source
+    """
+
+
+@register("q222_gopher_rules", oracle=_gopher_rules_sql())
+def q222_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source pass rates for the five-gate Gopher rule battery
+    (word count, mean word length, symbol ratio, stopword presence,
+    alpha-word share) with per-rule attribution counts.
+
+    Scale shape: ONE narrow codegen pass computes every per-doc feature
+    (substring counts via the replace-length trick, the alpha-word count
+    via a higher-order filter over the token split — no Python, no
+    regex-dialect skew beyond the shared [A-Za-z] class), then one
+    combinable groupBy(source). No joins, no window; the per-rule
+    thresholds are integer cross-multiplications so both engines agree
+    bit-for-bit (q154's log-free discipline). At 100 TB this is the
+    cheapest possible shape — a map pass plus a |sources|-row aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "p", F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    )
+    stop_hits = " + ".join(
+        f"(CASE WHEN {_count_sql('p', m)} > 0 THEN 1 ELSE 0 END)"
+        for m in STOPWORDS
+    )
+    f = d.select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.length(F.regexp_replace("text", " ", "")).cast("long").alias(
+            "n_nonspace"
+        ),
+        (
+            F.expr(f"CAST({_count_sql('text', '#')} AS BIGINT)")
+            + F.expr(f"CAST({_count_sql('text', '...')} AS BIGINT)")
+        ).alias("n_symbols"),
+        F.expr(f"CAST({stop_hits} AS BIGINT)").alias("n_stop_kinds"),
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x.rlike("[A-Za-z]"))
+        ).cast("long").alias("n_alpha_words"),
+    )
+    r = f.select(
+        "source",
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS).alias(
+            "r_word_count"
+        ),
+        (
+            (3 * F.col("n_words") <= F.col("n_nonspace"))
+            & (F.col("n_nonspace") <= 10 * F.col("n_words"))
+        ).alias("r_mean_word_len"),
+        (10 * F.col("n_symbols") <= F.col("n_words")).alias("r_symbol_ratio"),
+        (F.col("n_stop_kinds") >= 2).alias("r_stopwords"),
+        (10 * F.col("n_alpha_words") >= 8 * F.col("n_words")).alias(
+            "r_alpha_words"
+        ),
+    )
+    all_pass = (
+        F.col("r_word_count")
+        & F.col("r_mean_word_len")
+        & F.col("r_symbol_ratio")
+        & F.col("r_stopwords")
+        & F.col("r_alpha_words")
+    )
+    return r.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("r_word_count").cast("int")).cast("long").alias(
+            "pass_word_count"
+        ),
+        F.sum(F.col("r_mean_word_len").cast("int")).cast("long").alias(
+            "pass_mean_word_len"
+        ),
+        F.sum(F.col("r_symbol_ratio").cast("int")).cast("long").alias(
+            "pass_symbol_ratio"
+        ),
+        F.sum(F.col("r_stopwords").cast("int")).cast("long").alias(
+            "pass_stopwords"
+        ),
+        F.sum(F.col("r_alpha_words").cast("int")).cast("long").alias(
+            "pass_alpha_words"
+        ),
+        F.sum(all_pass.cast("int")).cast("long").alias("n_pass_all"),
+        (
+            F.sum(all_pass.cast("int")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("pass_share"),
+    )
