@@ -135,16 +135,21 @@ _PREFIX_RE = __import__("re").compile(r"^(y_|z\d+_)")
 
 def _read_correctness_history(
     here: str | None = None,
-) -> tuple[dict[str, int], set[str]]:
-    """Scan committed CORRECTNESS_r*.json files → (green_round per name,
-    names served a rows-only check). Prefixed names are mapped back to
-    canonical."""
+) -> tuple[dict[str, int], dict[str, int], set[str], dict[str, int]]:
+    """Scan committed CORRECTNESS_r*.json files → (first green round,
+    LAST green round, rows-only names, last RED round per name). Prefixed
+    names are mapped back to canonical. The first-green round labels the
+    zN_ tier; the last-green round orders re-certification (least
+    recently verified first); a red newer than the last green returns a
+    query to the pending pool (regression must be re-proven)."""
     import glob
     import json
     import re
 
-    green: dict[str, int] = {}
+    green_first: dict[str, int] = {}
+    green_last: dict[str, int] = {}
     rows_only: set[str] = set()
+    red_last: dict[str, int] = {}
     if here is None:
         here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
@@ -158,21 +163,28 @@ def _read_correctness_history(
         for name, row in data.items():
             canon = _PREFIX_RE.sub("", name)
             if row.get("hash_match") is True:
-                green.setdefault(canon, rnd)
+                green_first.setdefault(canon, rnd)
+                green_last[canon] = max(green_last.get(canon, 0), rnd)
             elif row.get("err") == "no_oracle":
                 rows_only.add(canon)
-    return green, rows_only
+            elif row.get("hash_match") is False or row.get("err"):
+                red_last[canon] = max(red_last.get(canon, 0), rnd)
+    return green_first, green_last, rows_only, red_last
 
 
 def _compute_tiers(history_dir: str | None = None) -> dict[str, str]:
     """Map canonical name → driver-facing name for the whole registry."""
     all_names = list(registry.all_queries())
     oracles = registry.all_oracles()
-    green, rows_only_served = _read_correctness_history(history_dir)
+    green, green_last, rows_only_served, red_last = _read_correctness_history(
+        history_dir
+    )
 
     def unverified(n: str) -> bool:
         if n in green:
-            return False
+            # a red NEWER than the last green is a regression: the query
+            # must win a fresh hash row before it may rotate out again
+            return red_last.get(n, 0) > green_last[n]
         # a rows-only record is terminal only while the query has no oracle
         return not (n in rows_only_served and n not in oracles)
 
@@ -185,6 +197,17 @@ def _compute_tiers(history_dir: str | None = None) -> dict[str, str]:
         + [n for n in rest if n not in oracles]
     )
     priority = set(ordered[:_WINDOW_CAP])
+    # RE-CERTIFICATION FILL: once the backlog is smaller than the window,
+    # spare slots re-serve already-green queries — least recently verified
+    # first — so every driver round keeps hash-checking 50 queries and the
+    # oldest proofs are continuously revalidated instead of going stale.
+    spare = _WINDOW_CAP - len(priority)
+    if spare > 0:
+        recert = sorted(
+            (n for n in all_names if n in green and not unverified(n)),
+            key=lambda n: (green_last[n], n),
+        )
+        priority.update(recert[:spare])
 
     tiers: dict[str, str] = {}
     for n in all_names:

@@ -16,24 +16,28 @@ def test_current_window_is_priority_and_ordered():
     qs = list(entry.queries().keys())
     oracles = entry.oracle_sql()
     assert qs == sorted(qs), "iteration order must equal sorted order"
-    # Derive the pending count the same way the module does: the window is
-    # min(CAP, pending) wide — once the backlog shrinks below the cap the
-    # remainder of the sorted contract is green-prefixed, by design.
+    # The window (canonical names) is min(CAP, registry) wide: pending
+    # names fill it first; once the backlog shrinks below the cap the
+    # spare slots re-serve least-recently-verified greens (re-cert fill),
+    # so the window never shrinks while green history exists.
     tiers = entry._compute_tiers()
-    pending = [n for n, d in tiers.items() if n == d]
-    n_window = min(CAP, len(pending))
+    window = [n for n, d in tiers.items() if n == d]
+    n_window = min(CAP, len(tiers))
+    assert len(window) == n_window
     first = qs[:n_window]
     assert all(not n.startswith(("y_", "z")) for n in first)
+    assert set(first) == set(window)
     # every windowed name must carry a hard hash-checkable oracle
     assert all(n in oracles for n in first)
-    if len(pending) < CAP:
-        # backlog fits in one window: EVERY pending name must be windowed
-        # and everything after the window must be rotated-out green (z-)
-        # or rows-only names — no y_ (still-waiting) names may remain.
-        assert set(first) == set(pending)
-        assert all(n.startswith("z") for n in qs[n_window:]), (
-            "with backlog < cap nothing should be left waiting (y_)"
+    # nothing may be left waiting (y_) unless the window is full of
+    # pending names already
+    n_waiting = sum(1 for n in qs if n.startswith("y_"))
+    if n_waiting:
+        green_first, _, rows_only, _ = entry._read_correctness_history()
+        n_pending_in_window = sum(
+            1 for n in window if n not in green_first and n not in rows_only
         )
+        assert n_pending_in_window == CAP
     # prefixed names resolve back to registered canonical queries
     for n in qs:
         canon = entry._PREFIX_RE.sub("", n)
@@ -86,3 +90,64 @@ def test_rotation_advances_after_a_round_lands(tmp_path):
         "an oracle-bearing query served only a rows-only check must stay "
         "pending, not rotate out"
     )
+
+
+def test_recert_fill_when_backlog_fits(tmp_path):
+    """Once every query is green, the window must NOT shrink: spare slots
+    re-serve the least-recently-verified greens as canonical names, so
+    each driver round keeps hash-checking a full window and old proofs
+    are continuously revalidated."""
+    names = sorted(registry.all_queries())
+    half = len(names) // 2
+    row = {"rows_match": True, "schema_match": True, "hash_match": True,
+           "spark_rows": 1, "oracle_rows": 1, "err": None}
+    (tmp_path / "CORRECTNESS_r97.json").write_text(
+        json.dumps({n: row for n in names[:half]})
+    )
+    (tmp_path / "CORRECTNESS_r98.json").write_text(
+        json.dumps({n: row for n in names})
+    )
+    tiers = entry._compute_tiers(str(tmp_path))
+    window = [n for n, d in tiers.items() if n == d]
+    assert len(window) == CAP, "window must stay full via re-cert fill"
+    # With everyone re-greened in r98, last-green ties and fill is by
+    # name. Make one name STALE (green only in r97): it must lead the
+    # fill, because staleness outranks name order.
+    stale = names[0]
+    hist = {n: row for n in names if n != stale}
+    (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps(hist))
+    tiers = entry._compute_tiers(str(tmp_path))
+    window = [n for n, d in tiers.items() if n == d]
+    assert stale in window, "least-recently-verified green must re-serve"
+    # everything outside the window is a green z-tier, never y_
+    assert all(
+        tiers[n].startswith("z") for n in names if n not in window
+    )
+
+
+def test_regression_red_repins_a_green_query(tmp_path):
+    """A red row NEWER than a query's last green is a regression: the
+    query must return to the pending pool (canonical window name), not
+    stay comfortably rotated out behind its old green row."""
+    names = sorted(registry.all_queries())
+    victim = names[7]
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 1, "oracle_rows": 1, "err": None}
+    red = {"rows_match": True, "schema_match": True, "hash_match": False,
+           "spark_rows": 1, "oracle_rows": 1, "err": None}
+    (tmp_path / "CORRECTNESS_r97.json").write_text(
+        json.dumps({n: green for n in names})
+    )
+    (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps({victim: red}))
+    tiers = entry._compute_tiers(str(tmp_path))
+    assert tiers[victim] == victim, "regressed query must re-enter window"
+    # and a FRESH green in a later round rotates it back out
+    (tmp_path / "CORRECTNESS_r99.json").write_text(
+        json.dumps({victim: green})
+    )
+    tiers = entry._compute_tiers(str(tmp_path))
+    window = [n for n, d in tiers.items() if n == d]
+    # still full via re-cert, but the victim is no longer FORCED in —
+    # its last green (r99) is now the freshest, so it fills last
+    assert len(window) == CAP
+    assert tiers[victim].startswith("z97_") or tiers[victim] == victim
