@@ -3195,13 +3195,14 @@ _DSIR_SCORE = (
                CAST(sum(n) AS BIGINT) AS cr
         FROM db GROUP BY bucket
     ),
-    tot AS (
-        SELECT CAST(sum(ct) AS BIGINT) AS t_tot,
-               CAST(sum(cr) AS BIGINT) AS r_tot
-        FROM bc
-    ),
     sc AS (
-        SELECT bucket, {_DSIR_SCORE} AS s_micro FROM bc, tot
+        SELECT bucket, {_DSIR_SCORE} AS s_micro
+        FROM (
+            SELECT bucket, ct, cr,
+                   CAST(sum(ct) OVER () AS BIGINT) AS t_tot,
+                   CAST(sum(cr) OVER () AS BIGINT) AS r_tot
+            FROM bc
+        )
     ),
     w AS (
         SELECT db.doc_id,
@@ -3269,13 +3270,21 @@ def q221_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ct"),
         F.sum("n").cast("long").alias("cr"),
     )
-    tot = bc.agg(
-        F.sum("ct").cast("long").alias("t_tot"),
-        F.sum("cr").cast("long").alias("r_tot"),
-    )
-    sc = bc.crossJoin(F.broadcast(tot)).select(
-        "bucket", F.expr(_DSIR_SCORE).alias("s_micro")
-    )
+    # Totals via a window over the ≤{B}-row bucket frame instead of a
+    # separate global aggregate: a second `bc.agg(...)` branch makes
+    # Catalyst replay bc's WHOLE lineage (no common-subplan reuse), i.e.
+    # a third full corpus scan — measured in the executed plan. The
+    # unpartitioned window touches only the bounded bucket counts
+    # (plan-audit allowlisted), keeping the query at exactly two corpus
+    # passes.
+    wall = Window.partitionBy()
+    sc = bc.select(
+        "bucket",
+        "ct",
+        "cr",
+        F.sum("ct").over(wall).cast("long").alias("t_tot"),
+        F.sum("cr").over(wall).cast("long").alias("r_tot"),
+    ).select("bucket", F.expr(_DSIR_SCORE).alias("s_micro"))
     w = (
         db.join(F.broadcast(sc), "bucket")
         .groupBy("doc_id", "lang")
