@@ -601,3 +601,49 @@ def test_no_unallowlisted_single_partition(spark, sf_dir, name):
     )
 
     assert single_partition_findings(_df(spark, sf_dir, name)) == []
+
+
+def test_q221_two_corpus_passes_broadcast_scores_topk(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q221_dsir_importance"))
+    # the feature table broadcasts back onto the per-doc bucket rows and
+    # the global top-k never full-sorts
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    # DSIR's production cost is exactly two corpus passes — a third scan
+    # (the regression this pin guards: a second aggregate branch that
+    # replays the bucket-count lineage) must never come back
+    import re as _re
+
+    n_scans = len(_re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 2, n_scans
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q222_single_pass_no_joins_partial_agg(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q222_gopher_rules"))
+    # the whole battery is one map pass + one combinable aggregate
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "partial_" in plan
+    import re as _re
+
+    n_scans = len(_re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, n_scans
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_q223_label_partitioned_window_broadcast_median(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q223_embedding_norm_qa"))
+    # the order-statistic window must be label-partitioned (parallel),
+    # and the |labels|-row median table must broadcast back
+    assert "hashpartitioning(label" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q224_candidates_broadcast_never_cartesian(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "q224_minhash_calibration"))
+    # the scalar candidate table broadcasts onto the signature frame
+    # (twice); the pair stage must never widen into a cartesian product
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
