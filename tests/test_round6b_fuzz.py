@@ -1,0 +1,69 @@
+"""Seeded cross-engine fuzz for the round-6 text operators: 150 documents
+drawn from an adversarial alphabet (unicode, digit runs, '#'/ellipsis
+storms, repeated spaces, empty and single-token texts) must hash-match the
+DuckDB oracle — the same divergence classes (split semantics, md5-on-UTF-8,
+replace-length counting) that past advice rounds probed one at a time."""
+
+from __future__ import annotations
+
+import random
+
+from tests.oracle import compare_query
+from tests.test_advice_edges import _docs, _fixture_dir
+
+_WORDS = [
+    "the", "and", "of", "to", "a", "quick", "brown", "fox", "jumps",
+    "über", "naïve", "café", "空白", "数据", "###", "...", "a1b2",
+    "12345", "x", "...", "#", "loooooooooooooooooooooooooooooongword",
+    "mixedCASE", "tab\tinside", "dot.dot", "semi;colon",
+]
+_LANGS = ["en", "es", "de", "fr", "zh"]
+
+
+def _fuzz_docs(seed: int = 42, n: int = 150):
+    r = random.Random(seed)
+    rows = []
+    for i in range(1, n + 1):
+        kind = r.random()
+        if kind < 0.04:
+            text = ""  # empty
+        elif kind < 0.08:
+            text = r.choice(_WORDS)  # single token
+        elif kind < 0.14:
+            # repeated-space storm: split keeps empty tokens on BOTH engines
+            text = "  ".join(r.choices(_WORDS, k=r.randint(2, 8)))
+        else:
+            text = " ".join(r.choices(_WORDS, k=r.randint(2, 120)))
+        rows.append((i, text, r.choice(_LANGS), f"src{r.randint(0, 5)}"))
+    return _docs(rows)
+
+
+# Every batch query whose hot path reads `documents.text`: the fuzz corpus
+# exercises split/md5/replace-length/regex semantics across BOTH engines
+# for the whole text family at once.
+_TEXT_FAMILY = [
+    "q28_dedup_exact", "q28b_minhash_lsh", "q28c_simhash",
+    "q28c2_simhash_portable", "q28d_ngram_jaccard", "q28e_dedup_clusters",
+    "q30_text_stats", "q30b_lang_id", "q30c_token_freq", "q30d_fingerprint",
+    "q30e_quality", "q30f_regex_tokens", "q49_bm25", "q51_inverted_index",
+    "q81_boilerplate_strip", "q84_vocab_coverage", "q87_rare_ngram_ratio",
+    "q119_bpe_merge_candidates", "q122_bigram_rarity", "q123_text_normalize",
+    "q136_containment_dedup", "q154_corpus_simpson_diversity",
+    "q164_good_turing_counts", "q171_collocation_lift",
+    "q187_quality_classifier", "q188_char_trigram_lm",
+    "q192_tokenizer_fertility", "q198_langid_confusion",
+    "q206_lsh_dedup_recall", "q210_self_repetition", "q211_profile_lang_id",
+    "q213_golden_record", "q215_proximity_search", "q218_curation_pipeline",
+    "q221_dsir_importance", "q222_gopher_rules", "q224_minhash_calibration",
+]
+
+
+def test_fuzz_corpus_hash_matches_oracles(spark, tmp_path):
+    sf = _fixture_dir(tmp_path, _fuzz_docs())
+    failures = []
+    for name in _TEXT_FAMILY:
+        try:
+            compare_query(spark, sf, name)
+        except Exception as e:  # collect all, report together
+            failures.append(f"{name}: {str(e)[:160]}")
+    assert not failures, "\n".join(failures)
