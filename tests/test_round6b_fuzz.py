@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
+
 from tests.oracle import compare_query
 from tests.test_advice_edges import _docs, _fixture_dir
 
@@ -65,5 +67,73 @@ def test_fuzz_corpus_hash_matches_oracles(spark, tmp_path):
         try:
             compare_query(spark, sf, name)
         except Exception as e:  # collect all, report together
+            failures.append(f"{name}: {str(e)[:160]}")
+    assert not failures, "\n".join(failures)
+
+
+def _fuzz_events(seed: int = 42, n: int = 500) -> pd.DataFrame:
+    """Events with HEAVY timestamp ties (25 distinct ts for 500 rows) and
+    negative values — the order-determinism hazard class for windows,
+    sessionization, as-of joins, and resampling."""
+    r = random.Random(seed)
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    slots = [base + pd.Timedelta(seconds=r.randint(0, 3600)) for _ in range(25)]
+    types = ["signup", "click", "purchase", "error", "view"]
+    rows = [
+        (
+            i,
+            r.choice(slots),
+            r.randint(0, 15),
+            r.choice(types),
+            round(r.uniform(-200, 500), 2),
+            '{"k": %d}' % r.randint(0, 99),
+        )
+        for i in range(n)
+    ]
+    df = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    df["event_id"] = df["event_id"].astype("int64")
+    df["user_id"] = df["user_id"].astype("int64")
+    return df
+
+
+def _events_fixture_dir(tmp_path, events: pd.DataFrame) -> str:
+    import os
+
+    from tests.test_advice_edges import SF_SRC, _OTHER_TABLES
+
+    d = tmp_path / "sf_ev"
+    d.mkdir()
+    for t in list(_OTHER_TABLES) + ["documents"]:
+        if t != "events":
+            os.symlink(os.path.join(SF_SRC, f"{t}.parquet"), d / f"{t}.parquet")
+    events.to_parquet(d / "events.parquet", index=False)
+    return str(d)
+
+
+# Batch queries whose hot path reads events: every window / session /
+# as-of / resample / sketch op that must TIE-BREAK deterministically.
+_EVENTS_FAMILY = [
+    "q55_resample_ffill", "q57_funnel", "q58_range_frame",
+    "q60_user_similarity", "q61_event_transitions", "q62_cohort_retention",
+    "q88_rollup_hierarchy", "q94_rolling_anomaly", "q107_trend_slope",
+    "q144_sketch_rollup", "q156_ohlc_downsample", "q197_ewma", "q207_twap",
+    "q212_cusum_drift", "q20_dedup_exact", "q20b_distinct",
+    "q21_tumbling_window", "q21b_sliding_window", "q22_session_window",
+    "q24_user_statistics", "q25_ttl_liveness", "q44_merge_upsert",
+    "q44b_state_as_of", "q67_incremental_agg", "q161_dynamic_gap_sessions",
+    "q204_asof_nearest", "q53_histogram", "q100_equidepth_histogram",
+]
+
+
+def test_fuzz_events_tie_storm_matches_oracles(spark, tmp_path):
+    sf = _events_fixture_dir(tmp_path, _fuzz_events())
+    failures = []
+    for name in _EVENTS_FAMILY:
+        try:
+            compare_query(spark, sf, name)
+        except Exception as e:
             failures.append(f"{name}: {str(e)[:160]}")
     assert not failures, "\n".join(failures)
