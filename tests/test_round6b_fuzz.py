@@ -137,3 +137,66 @@ def test_fuzz_events_tie_storm_matches_oracles(spark, tmp_path):
         except Exception as e:
             failures.append(f"{name}: {str(e)[:160]}")
     assert not failures, "\n".join(failures)
+
+
+def _fuzz_tpch_dir(tmp_path, seed: int = 42) -> str:
+    """Real lineitem/orders with ONLY value columns re-drawn, dense at
+    the half-cent accumulation boundaries the DECIMAL(18,2)-sum pattern
+    exists for — keys and dates untouched so every FK join and date
+    filter keeps its real shape."""
+    import os
+
+    from tests.test_advice_edges import SF_SRC
+
+    r = random.Random(seed)
+    li = pd.read_parquet(f"{SF_SRC}/lineitem.parquet")
+    n = len(li)
+    li["l_quantity"] = [round(r.uniform(1, 50), 2) for _ in range(n)]
+    li["l_extendedprice"] = [
+        round(
+            r.choice([r.uniform(1, 9), 900.05, 0.01, 123.45, 0.05])
+            if r.random() < 0.5
+            else r.uniform(1, 100000),
+            2,
+        )
+        for _ in range(n)
+    ]
+    li["l_discount"] = [round(r.choice([0.0, 0.01, 0.05, 0.1]), 2) for _ in range(n)]
+    li["l_tax"] = [round(r.choice([0.0, 0.02, 0.04, 0.08]), 2) for _ in range(n)]
+    od = pd.read_parquet(f"{SF_SRC}/orders.parquet")
+    od["o_totalprice"] = [
+        round(r.uniform(0.01, 500000), 2) for _ in range(len(od))
+    ]
+    d = tmp_path / "sf_tpch"
+    d.mkdir()
+    for t in (
+        "region nation customer supplier part events documents embeddings"
+    ).split():
+        os.symlink(os.path.join(SF_SRC, f"{t}.parquet"), d / f"{t}.parquet")
+    li.to_parquet(d / "lineitem.parquet", index=False)
+    od.to_parquet(d / "orders.parquet", index=False)
+    return str(d)
+
+
+_TPCH_FAMILY = [
+    "q01_pruned_scan", "q04_filter", "q05_broadcast_join",
+    "q06_shuffle_join", "q09_hash_agg", "q11_rollup", "q18_math",
+    "q33_tpch_q3", "q33b_tpch_q10", "q33c_tpch_q18", "q33d_tpch_q6",
+    "q33e_tpch_q14", "q34_tpch_q5", "q63_tpch_q1", "q63b_tpch_q8",
+    "q63c_tpch_q9", "q63d_tpch_q19", "q63e_tpch_q21", "q64_table_profile",
+    "q65_schema_evolution", "q66_python_stream_source", "q68_bucketed_join",
+    "q69_correlation", "q71_null_safe_join", "q73_tpch_q2",
+    "q73b_tpch_q11", "q73c_tpch_q16", "q73d_tpch_q20", "q73e_tpch_q22",
+    "q75_heavy_hitters", "q76_dynamic_partition_pruning",
+]
+
+
+def test_fuzz_tpch_decimal_boundaries_match_oracles(spark, tmp_path):
+    sf = _fuzz_tpch_dir(tmp_path)
+    failures = []
+    for name in _TPCH_FAMILY:
+        try:
+            compare_query(spark, sf, name)
+        except Exception as e:
+            failures.append(f"{name}: {str(e)[:160]}")
+    assert not failures, "\n".join(failures)
