@@ -200,3 +200,55 @@ def test_fuzz_tpch_decimal_boundaries_match_oracles(spark, tmp_path):
         except Exception as e:
             failures.append(f"{name}: {str(e)[:160]}")
     assert not failures, "\n".join(failures)
+
+
+def _fuzz_embeddings_dir(tmp_path, seed: int = 42) -> str:
+    """Embeddings re-drawn with mixed magnitudes (1e-3 … 1e3) and
+    negatives through a float32 round-trip — the deterministic-fold
+    contract (functions/vector.py ↔ list_dot_product) under values the
+    stock unit-norm fixtures never exercise. Zero-norm vectors stay OUT
+    by design: DuckDB yields NULL for DOUBLE x/0 where Spark yields
+    NaN/Inf (engine boundary documented in SCALE.md; q223 is the gate)."""
+    import os
+
+    from tests.test_advice_edges import SF_SRC
+
+    r = random.Random(seed)
+    emb = pd.read_parquet(f"{SF_SRC}/embeddings.parquet")
+
+    def vec():
+        mag = r.choice([1e-3, 0.1, 1.0, 10.0, 1e3])
+        return pd.array(
+            [r.uniform(-mag, mag) for _ in range(64)], dtype="float32"
+        ).tolist()
+
+    emb["embedding"] = [vec() for _ in range(len(emb))]
+    d = tmp_path / "sf_emb"
+    d.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        os.symlink(os.path.join(SF_SRC, f"{t}.parquet"), d / f"{t}.parquet")
+    emb.to_parquet(d / "embeddings.parquet", index=False)
+    return str(d)
+
+
+_EMBEDDING_FAMILY = [
+    "q29_knn_brute", "q29b_ann_lsh", "q29c_embedding_neardup",
+    "q29d_ivf_ann", "q29e_int8_quantized", "q29f_pq_ann", "q50_kmeans",
+    "q91_multiprobe_lsh", "q99_embedding_drift", "q112_semdedup",
+    "q126_maxsim_late_interaction", "q150_hamming_topk",
+    "q193_hard_negatives", "q200_ann_recall_eval", "q214_knn_label_eval",
+    "q219_ivfpq_ann", "q223_embedding_norm_qa",
+]
+
+
+def test_fuzz_embeddings_magnitudes_match_oracles(spark, tmp_path):
+    sf = _fuzz_embeddings_dir(tmp_path)
+    failures = []
+    for name in _EMBEDDING_FAMILY:
+        try:
+            compare_query(spark, sf, name)
+        except Exception as e:
+            failures.append(f"{name}: {str(e)[:160]}")
+    assert not failures, "\n".join(failures)
