@@ -37,7 +37,19 @@ def _fuzz_docs(seed: int = 42, n: int = 150):
         else:
             text = " ".join(r.choices(_WORDS, k=r.randint(2, 120)))
         rows.append((i, text, r.choice(_LANGS), f"src{r.randint(0, 5)}"))
-    return _docs(rows)
+    docs = _docs(rows)
+    # NULL text rows: split/length/regex of NULL must drop or propagate
+    # identically in both engines (verified family-wide before pinning)
+    nulls = pd.DataFrame(
+        {
+            "doc_id": pd.Series(range(n + 1, n + 6), dtype="int64"),
+            "text": [None] * 5,
+            "lang": ["en"] * 5,
+            "source": ["src0"] * 5,
+            "n_chars": pd.Series([0] * 5, dtype="int64"),
+        }
+    )
+    return pd.concat([docs, nulls], ignore_index=True)
 
 
 # Every batch query whose hot path reads `documents.text`: the fuzz corpus
