@@ -264,3 +264,32 @@ def test_fuzz_embeddings_magnitudes_match_oracles(spark, tmp_path):
         except Exception as e:
             failures.append(f"{name}: {str(e)[:160]}")
     assert not failures, "\n".join(failures)
+
+
+# Streaming twins over the SAME tie-storm events: cross-batch state
+# (dedup sets, window/session state, stream-stream join buffers, EWMA/
+# CUSUM scalars) must tie-break identically to the batch oracle even
+# when 20 rows share one timestamp across a micro-batch boundary.
+_STREAMING_FAMILY = [
+    "q20s_stream_dedup", "q20s2_stream_dedup_watermark",
+    "q21s_stream_window", "q21s2_stream_sliding_window",
+    "q22s_stream_session_window", "q24s_stream_user_stats",
+    "q25s_stream_ttl", "q23_watermark", "q26_stream_stream_join",
+    "q26b_stream_stream_left_join", "q26c_stream_static_join",
+    "q96_stream_heavy_hitters", "q97_stream_rolling_anomaly",
+    "q108_stream_leaderboard", "q163_late_data_accounting",
+    "q179_stream_output_modes", "q181_session_timeout_state",
+    "q182_stream_stream_full_outer", "q203_stream_ewma",
+    "q217_stream_cusum",
+]
+
+
+def test_fuzz_streaming_twins_on_tie_storm(spark, tmp_path):
+    sf = _events_fixture_dir(tmp_path, _fuzz_events())
+    failures = []
+    for name in _STREAMING_FAMILY:
+        try:
+            compare_query(spark, sf, name)
+        except Exception as e:
+            failures.append(f"{name}: {str(e)[:160]}")
+    assert not failures, "\n".join(failures)
