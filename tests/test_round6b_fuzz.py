@@ -18,6 +18,9 @@ _WORDS = [
     "über", "naïve", "café", "空白", "数据", "###", "...", "a1b2",
     "12345", "x", "...", "#", "loooooooooooooooooooooooooooooongword",
     "mixedCASE", "tab\tinside", "dot.dot", "semi;colon",
+    # retrieval terms so BM25 (spark/table/hash) and proximity
+    # (spark…join within 5) produce rows instead of passing vacuously
+    "spark", "table", "hash", "join",
 ]
 _LANGS = ["en", "es", "de", "fr", "zh"]
 
@@ -37,6 +40,20 @@ def _fuzz_docs(seed: int = 42, n: int = 150):
         else:
             text = " ".join(r.choices(_WORDS, k=r.randint(2, 120)))
         rows.append((i, text, r.choice(_LANGS), f"src{r.randint(0, 5)}"))
+    # planted NEAR-DUP twins (one word substituted in a 30+-word doc →
+    # trigram Jaccard well above the 0.5 threshold): without them the
+    # LSH/cluster/golden-record/calibration checks pass vacuously on an
+    # all-distinct corpus
+    for k in range(8):
+        base_words = r.choices(_WORDS, k=40)
+        twin = list(base_words)
+        twin[20] = "altered"
+        rows.append(
+            (n + 10 + 2 * k, " ".join(base_words), "en", f"src{k % 6}")
+        )
+        rows.append(
+            (n + 11 + 2 * k, " ".join(twin), "en", f"src{(k + 1) % 6}")
+        )
     docs = _docs(rows)
     # NULL text rows: split/length/regex of NULL must drop or propagate
     # identically in both engines (verified family-wide before pinning)
@@ -89,7 +106,13 @@ def _fuzz_events(seed: int = 42, n: int = 500) -> pd.DataFrame:
     sessionization, as-of joins, and resampling."""
     r = random.Random(seed)
     base = pd.Timestamp("2024-03-01 00:00:00")
-    slots = [base + pd.Timedelta(seconds=r.randint(0, 3600)) for _ in range(25)]
+    # 25 slots across 10 DAYS: ties stay heavy, but windows/sessions can
+    # close, the as-of cutoff (max ts − 1 day) keeps rows, and the random
+    # event_id↔ts relation makes the streamed replay genuinely late-heavy
+    slots = [
+        base + pd.Timedelta(seconds=r.randint(0, 10 * 86400))
+        for _ in range(25)
+    ]
     types = ["signup", "click", "purchase", "error", "view"]
     rows = [
         (
@@ -97,7 +120,9 @@ def _fuzz_events(seed: int = 42, n: int = 500) -> pd.DataFrame:
             r.choice(slots),
             r.randint(0, 15),
             r.choice(types),
-            round(r.uniform(-200, 500), 2),
+            # occasional 3σ+ spikes so the rolling-anomaly monitors have
+            # something to detect instead of passing vacuously
+            99999.99 if r.random() < 0.02 else round(r.uniform(-200, 500), 2),
             '{"k": %d}' % r.randint(0, 99),
         )
         for i in range(n)
@@ -151,6 +176,13 @@ def test_fuzz_events_tie_storm_matches_oracles(spark, tmp_path):
     assert not failures, "\n".join(failures)
 
 
+# The TPC-H fuzz builds on sf0.01, not the test default sf0.001: the
+# partsupp-derived four (Q2/Q11/Q20/Q22) return ZERO rows at sf0.001 even
+# on stock values (selectivity × tiny fixture), which would make their
+# boundary checks vacuous. sf0.01 is also the scale the driver verifies.
+_TPCH_SRC = "/root/testdata/sf0.01"
+
+
 def _fuzz_tpch_dir(tmp_path, seed: int = 42) -> str:
     """Real lineitem/orders with ONLY value columns re-drawn, dense at
     the half-cent accumulation boundaries the DECIMAL(18,2)-sum pattern
@@ -158,26 +190,49 @@ def _fuzz_tpch_dir(tmp_path, seed: int = 42) -> str:
     filter keeps its real shape."""
     import os
 
-    from tests.test_advice_edges import SF_SRC
+    SF_SRC = _TPCH_SRC
 
     r = random.Random(seed)
     li = pd.read_parquet(f"{SF_SRC}/lineitem.parquet")
     n = len(li)
-    li["l_quantity"] = [round(r.uniform(1, 50), 2) for _ in range(n)]
-    li["l_extendedprice"] = [
-        round(
-            r.choice([r.uniform(1, 9), 900.05, 0.01, 123.45, 0.05])
-            if r.random() < 0.5
-            else r.uniform(1, 100000),
-            2,
-        )
-        for _ in range(n)
-    ]
-    li["l_discount"] = [round(r.choice([0.0, 0.01, 0.05, 0.1]), 2) for _ in range(n)]
-    li["l_tax"] = [round(r.choice([0.0, 0.02, 0.04, 0.08]), 2) for _ in range(n)]
+    # Perturb HALF the rows (boundary stress) and keep half stock: the
+    # partsupp-derived TPC-H four (Q2/Q11/Q16/Q20) filter on thresholds
+    # tuned to the stock value distribution, and an all-redrawn fixture
+    # emptied them — a vacuous pass, not a stronger one.
+    keep = [r.random() < 0.5 for _ in range(n)]
+
+    def mix(orig, drawn):
+        return [o if k else d for o, d, k in zip(orig, drawn, keep)]
+
+    li["l_quantity"] = mix(
+        li["l_quantity"], [round(r.uniform(1, 50), 2) for _ in range(n)]
+    )
+    li["l_extendedprice"] = mix(
+        li["l_extendedprice"],
+        [
+            round(
+                r.choice([r.uniform(1, 9), 900.05, 0.01, 123.45, 0.05])
+                if r.random() < 0.5
+                else r.uniform(1, 100000),
+                2,
+            )
+            for _ in range(n)
+        ],
+    )
+    li["l_discount"] = mix(
+        li["l_discount"],
+        [round(r.choice([0.0, 0.01, 0.05, 0.1]), 2) for _ in range(n)],
+    )
+    li["l_tax"] = mix(
+        li["l_tax"],
+        [round(r.choice([0.0, 0.02, 0.04, 0.08]), 2) for _ in range(n)],
+    )
     od = pd.read_parquet(f"{SF_SRC}/orders.parquet")
+    m = len(od)
+    keep_o = [r.random() < 0.5 for _ in range(m)]
     od["o_totalprice"] = [
-        round(r.uniform(0.01, 500000), 2) for _ in range(len(od))
+        o if k else round(r.uniform(0.01, 500000), 2)
+        for o, k in zip(od["o_totalprice"], keep_o)
     ]
     d = tmp_path / "sf_tpch"
     d.mkdir()
