@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_state_provider_spark.operators.registry import register
+from spark_state_provider_spark.scratch import corpus_tag
 from spark_state_provider_spark.tables import load_table
 
 
@@ -100,7 +101,7 @@ def q02_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on overwrite-vs-read of the same sink dir
     out = os.path.join(
         tempfile.gettempdir(),
-        f"ssps_sink_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+        f"ssps_sink_{corpus_tag(sf_dir)}_{os.getpid()}",
     )
     orders = _t(spark, sf_dir, "orders")
     (

@@ -172,10 +172,9 @@ def q68_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # out from under this process's lazy scans); dead-pid copies are
     # swept once per process.
     _sweep_warehouse(spark)
-    tag = (
-        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-        + f"_{os.getpid()}"
-    )
+    from spark_state_provider_spark.scratch import corpus_tag
+
+    tag = corpus_tag(sf_dir) + f"_{os.getpid()}"
     to_name, tl_name = f"ssps_q68_orders_{tag}", f"ssps_q68_lineitem_{tag}"
 
     def build(name: str, table: str, key: str) -> None:
@@ -329,10 +328,9 @@ def q76_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
     regression the test exists to catch.
     """
     _sweep_warehouse(spark)
-    tag = (
-        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-        + f"_{os.getpid()}"
-    )
+    from spark_state_provider_spark.scratch import corpus_tag
+
+    tag = corpus_tag(sf_dir) + f"_{os.getpid()}"
     name = f"ssps_q76_events_{tag}"
     if not spark.catalog.tableExists(name):
         spark.sql(f"DROP TABLE IF EXISTS {name}")

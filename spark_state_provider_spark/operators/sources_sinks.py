@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_state_provider_spark.operators.registry import register
+from spark_state_provider_spark.scratch import corpus_tag
 from spark_state_provider_spark.tables import load_table
 
 
@@ -25,7 +26,7 @@ def _out(sf_dir: str, name: str) -> str:
     from spark_state_provider_spark.scratch import scratch_dir
 
     return scratch_dir(
-        f"{name}_{os.path.basename(os.path.normpath(sf_dir))}", wipe=False
+        f"{name}_{corpus_tag(sf_dir)}", wipe=False
     )
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_state_provider_spark.operators.registry import register
+from spark_state_provider_spark.scratch import corpus_tag
 from spark_state_provider_spark.session import ROCKSDB_PROVIDER, STATE_STORE_PROVIDER_CONF
 from spark_state_provider_spark.streaming.harness import run_to_memory, run_upsert_table
 from spark_state_provider_spark.streaming.sources import stream_events
@@ -637,7 +638,7 @@ def _fresh_run_dirs(tag: str, sf_dir: str, *names: str) -> list[str]:
 
     from spark_state_provider_spark.scratch import scratch_dir
 
-    base = os.path.basename(os.path.normpath(sf_dir))
+    base = corpus_tag(sf_dir)
     return [scratch_dir(f"{tag}_{n}_{base}") for n in names]
 
 
@@ -1450,7 +1451,7 @@ def q155_stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_linefile_sink(spark)
     out = scratch_dir(
-        f"linefile_stream_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"linefile_stream_{corpus_tag(sf_dir)}",
         wipe=True,
     )
     ckpt = os.path.join(out, "_ckpt")
@@ -1715,7 +1716,7 @@ def q160_stream_fanout_consistency(spark: SparkSession, sf_dir: str) -> DataFram
     from spark_state_provider_spark.scratch import scratch_dir
 
     base = scratch_dir(
-        f"fanout_{os.path.basename(os.path.normpath(sf_dir))}", wipe=True
+        f"fanout_{corpus_tag(sf_dir)}", wipe=True
     )
     dir_a = os.path.join(base, "serving")
     dir_b = os.path.join(base, "audit")
@@ -1889,7 +1890,7 @@ def q166_stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFr
     from spark_state_provider_spark.scratch import scratch_dir
 
     base = scratch_dir(
-        f"restart_{os.path.basename(os.path.normpath(sf_dir))}", wipe=True
+        f"restart_{corpus_tag(sf_dir)}", wipe=True
     )
     out = os.path.join(base, "sink")
     ckpt = os.path.join(base, "_ckpt")
@@ -1989,7 +1990,7 @@ def q170_stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_state_provider_spark.tables import load_table as _lt
 
     base = scratch_dir(
-        f"ivfidx_{os.path.basename(os.path.normpath(sf_dir))}", wipe=True
+        f"ivfidx_{corpus_tag(sf_dir)}", wipe=True
     )
     index_dir = os.path.join(base, "index")
     ckpt = os.path.join(base, "_ckpt")
@@ -2467,7 +2468,7 @@ def q184_stream_merkle_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     from spark_state_provider_spark.streaming.sources import stream_docs
 
     base = scratch_dir(
-        f"merkle_{os.path.basename(os.path.normpath(sf_dir))}", wipe=True
+        f"merkle_{corpus_tag(sf_dir)}", wipe=True
     )
     leaf_dir = os.path.join(base, "leaves")
     l1_dir = os.path.join(base, "l1")

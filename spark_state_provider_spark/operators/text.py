@@ -760,7 +760,7 @@ def q123_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(c * (c - 1)) AS BIGINT) AS collide_pairs,
            CAST(sum(c) * (sum(c) - 1) AS BIGINT) AS total_pairs,
            CAST(sum(c * (c - 1)) AS DOUBLE)
-               / CAST(sum(c) * (sum(c) - 1) AS DOUBLE) AS simpson
+               / NULLIF(CAST(sum(c) * (sum(c) - 1) AS DOUBLE), 0) AS simpson
     FROM tf GROUP BY lang, source
     """,
 )
@@ -784,9 +784,13 @@ def q154_corpus_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").alias("n_types"),
         F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("collide_pairs"),
         (F.sum("c") * (F.sum("c") - 1)).cast("long").alias("total_pairs"),
-        (
+        # a one-token slice has zero drawable pairs: NULL on both engines
+        # (ANSI Spark raises DIVIDE_BY_ZERO; DuckDB NULLIFs) — found by
+        # the seed-varied fuzz, unreachable on the stock corpora
+        F.when(
+            (F.sum("c") * (F.sum("c") - 1)) > 0,
             F.sum(F.col("c") * (F.col("c") - 1)).cast("double")
-            / (F.sum("c") * (F.sum("c") - 1)).cast("double")
+            / (F.sum("c") * (F.sum("c") - 1)).cast("double"),
         ).alias("simpson"),
     )
 

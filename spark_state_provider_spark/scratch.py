@@ -82,3 +82,23 @@ def scratch_dir(tag: str, wipe: bool = True) -> str:
         _REGISTERED = True
         atexit.register(_cleanup_own)
     return d
+
+
+def corpus_tag(sf_dir: str) -> str:
+    """Collision-free per-corpus scratch/table tag: the directory basename
+    (readability) plus an 8-hex digest of the FULL normalized path.
+
+    Keying on the basename alone silently shares materialized state (event
+    replay slices, bucketed warehouse tables, sink dirs) between two
+    corpora that happen to share a directory name within one process —
+    found by a two-seed fuzz run whose fixtures were both named ``sf_ev``:
+    the second corpus streamed the FIRST corpus's slices. A long-lived
+    production session serving several corpus snapshots hits the same
+    collision. Only [A-Za-z0-9_] so the tag is valid in table identifiers.
+    """
+    import hashlib
+    import re as _re
+
+    p = os.path.normpath(os.path.abspath(sf_dir))
+    safe = _re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(p))
+    return f"{safe}_{hashlib.md5(p.encode()).hexdigest()[:8]}"

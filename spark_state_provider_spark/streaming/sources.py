@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_state_provider_spark.tables import load_table
+from spark_state_provider_spark.scratch import corpus_tag
 
 EVENT_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, event_type string, "
@@ -40,7 +41,7 @@ def split_events_dir(
     # yank files out from under an active FileStreamSource
     base = os.path.join(
         tempfile.gettempdir(),
-        f"ssps_stream_{tag}_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"ssps_stream_{tag}_{corpus_tag(sf_dir)}"
         f"_{n_batches}_{os.getpid()}",
     )
     done_marker = os.path.join(base, "_SSPS_DONE")
@@ -99,7 +100,7 @@ def split_docs_dir(
     with q78's batch form)."""
     base = os.path.join(
         tempfile.gettempdir(),
-        f"ssps_stream_{tag}_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"ssps_stream_{tag}_{corpus_tag(sf_dir)}"
         f"_{n_batches}_{mod}_{os.getpid()}",
     )
     done_marker = os.path.join(base, "_SSPS_DONE")
@@ -159,7 +160,7 @@ def split_events_hash_dir(
     (slice membership is a pure function of event_id)."""
     base = os.path.join(
         tempfile.gettempdir(),
-        f"ssps_stream_{tag}_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"ssps_stream_{tag}_{corpus_tag(sf_dir)}"
         f"_{n_batches}_{os.getpid()}",
     )
     done_marker = os.path.join(base, "_SSPS_DONE")
@@ -205,7 +206,7 @@ def split_embeddings_dir(
     WHICH batch indexes a vector, never where it lands)."""
     base = os.path.join(
         tempfile.gettempdir(),
-        f"ssps_stream_{tag}_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"ssps_stream_{tag}_{corpus_tag(sf_dir)}"
         f"_{n_batches}_{os.getpid()}",
     )
     done_marker = os.path.join(base, "_SSPS_DONE")

@@ -348,3 +348,20 @@ def test_fuzz_streaming_twins_on_tie_storm(spark, tmp_path):
         except Exception as e:
             failures.append(f"{name}: {str(e)[:160]}")
     assert not failures, "\n".join(failures)
+
+
+def test_two_same_basename_corpora_do_not_share_scratch(spark, tmp_path):
+    """Two corpora whose directories share a BASENAME (both "sf_ev" here)
+    must never share materialized scratch state within one process —
+    scratch/table tags key on the full-path corpus_tag, not the basename.
+    Before that fix the second corpus streamed the FIRST corpus's replay
+    slices (found by the multi-seed fuzz; a long-lived session serving
+    several corpus snapshots hits the same collision)."""
+    a = tmp_path / "one"
+    a.mkdir()
+    b = tmp_path / "two"
+    b.mkdir()
+    sfa = _events_fixture_dir(a, _fuzz_events(seed=7))
+    sfb = _events_fixture_dir(b, _fuzz_events(seed=1234))
+    compare_query(spark, sfa, "q21s_stream_window")
+    compare_query(spark, sfb, "q21s_stream_window")
