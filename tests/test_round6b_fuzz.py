@@ -365,3 +365,53 @@ def test_two_same_basename_corpora_do_not_share_scratch(spark, tmp_path):
     sfb = _events_fixture_dir(b, _fuzz_events(seed=1234))
     compare_query(spark, sfa, "q21s_stream_window")
     compare_query(spark, sfb, "q21s_stream_window")
+
+
+def _fuzz_dates_dir(tmp_path, seed: int = 42) -> str:
+    """lineitem/orders with ~30% of their date columns re-drawn onto
+    CALENDAR BOUNDARIES — leap days (1996-02-29, the century-exception
+    2000-02-29), the Y2K rollover, range edges, a 23:59:59 year-end —
+    the date_trunc / interval / comparison hazard class. Dtypes are
+    preserved exactly (datetime64[us]) so the fixture itself cannot
+    introduce a type skew."""
+    import os
+
+    SF_SRC = _TPCH_SRC
+    r = random.Random(seed)
+    boundary = [
+        pd.Timestamp(x)
+        for x in (
+            "1996-02-29", "2000-02-29", "1999-12-31", "2000-01-01",
+            "1995-01-01", "1998-12-31 23:59:59", "1997-06-30", "2001-01-01",
+        )
+    ]
+    li = pd.read_parquet(f"{SF_SRC}/lineitem.parquet")
+    for c in ("l_shipdate", "l_commitdate", "l_receiptdate"):
+        if c in li.columns:
+            li[c] = pd.Series(
+                [r.choice(boundary) if r.random() < 0.3 else v for v in li[c]]
+            ).astype(li[c].dtype)
+    od = pd.read_parquet(f"{SF_SRC}/orders.parquet")
+    od["o_orderdate"] = pd.Series(
+        [r.choice(boundary) if r.random() < 0.3 else v for v in od["o_orderdate"]]
+    ).astype(od["o_orderdate"].dtype)
+    d = tmp_path / "sf_dates"
+    d.mkdir()
+    for t in (
+        "region nation customer supplier part events documents embeddings"
+    ).split():
+        os.symlink(os.path.join(SF_SRC, f"{t}.parquet"), d / f"{t}.parquet")
+    li.to_parquet(d / "lineitem.parquet", index=False)
+    od.to_parquet(d / "orders.parquet", index=False)
+    return str(d)
+
+
+def test_fuzz_calendar_boundaries_match_oracles(spark, tmp_path):
+    sf = _fuzz_dates_dir(tmp_path)
+    failures = []
+    for name in _TPCH_FAMILY:
+        try:
+            compare_query(spark, sf, name)
+        except Exception as e:
+            failures.append(f"{name}: {str(e)[:160]}")
+    assert not failures, "\n".join(failures)
