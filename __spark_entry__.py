@@ -167,7 +167,15 @@ def _read_correctness_history(
                 green_last[canon] = max(green_last.get(canon, 0), rnd)
             elif row.get("err") == "no_oracle":
                 rows_only.add(canon)
-            elif row.get("hash_match") is False or row.get("err"):
+            elif (
+                row.get("hash_match") is False
+                or row.get("rows_match") is False
+                or row.get("schema_match") is False
+                or row.get("err")
+            ):
+                # ANY non-green verdict is a red: a row-count or schema
+                # mismatch recorded without a hash verdict must still
+                # re-pin the query (ADVICE r6 #3).
                 red_last[canon] = max(red_last.get(canon, 0), rnd)
     return green_first, green_last, rows_only, red_last
 
@@ -213,7 +221,10 @@ def _compute_tiers(history_dir: str | None = None) -> dict[str, str]:
     for n in all_names:
         if n in priority:
             tiers[n] = n
-        elif n in green:
+        elif n in green and not unverified(n):
+            # regressed greens (red newer than last green) fall through to
+            # the y_ waiting tier instead of masquerading as verified
+            # (ADVICE r6 #1).
             tiers[n] = f"z{green[n]}_{n}"
         elif not unverified(n):
             tiers[n] = f"z0_{n}"

@@ -43,7 +43,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # NULLIF guard: a zero-norm vector makes the denominator 0.0, which
+    # Spark evaluates to NaN/±Inf while DuckDB (and the oracles) yield
+    # NULL. Nulling the denominator pins cosine(0⃗, ·) = NULL on BOTH
+    # engines — and keeps NaN (which sorts ABOVE every real sim in Spark
+    # and compares true under >=) out of top-k results. Closes the
+    # round-6 documented x/0 boundary.
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
@@ -54,7 +60,7 @@ def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Co
     per pair instead of three — at 100 TB the norm is computed once per
     vector in the scan stage, not once per candidate pair.
     """
-    return dot(a, b) / (norm_a * norm_b)
+    return dot(a, b) / F.nullif(norm_a * norm_b, F.lit(0.0))
 
 
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
@@ -115,7 +121,15 @@ def quantize_int8(vec: Column) -> Column:
     everywhere), so a SQL oracle reproduces it bit-for-bit. Cosine over the
     quantized vectors needs no dequantization: the scale cancels.
     """
-    s = F.lit(127.0) / F.array_max(F.transform(vec, F.abs))
+    # Zero-vector rule: max|x| = 0 would divide by zero (ANSI error on
+    # Spark, NULL on DuckDB — and NULL list components crash DuckDB's
+    # list_dot_product). Pin quantize(0⃗) = 0⃗ by coalescing the scale to
+    # 0.0: every component is floor(0·0 + 0.5) = 0 on both engines, and
+    # cosine_int's NULLIF then yields NULL for any pair involving it.
+    s = F.coalesce(
+        F.lit(127.0) / F.nullif(F.array_max(F.transform(vec, F.abs)), F.lit(0.0)),
+        F.lit(0.0),
+    )
     return F.transform(vec, lambda x: F.floor(x * s + F.lit(0.5)))
 
 
@@ -133,6 +147,7 @@ def idot(a: Column, b: Column) -> Column:
 def cosine_int(a: Column, b: Column) -> Column:
     """Cosine over integer-quantized vectors: exact integer dots, one
     double sqrt/divide at the end (deterministic across engines)."""
-    return idot(a, b).cast("double") / (
-        F.sqrt(idot(a, a).cast("double")) * F.sqrt(idot(b, b).cast("double"))
+    return idot(a, b).cast("double") / F.nullif(
+        F.sqrt(idot(a, a).cast("double")) * F.sqrt(idot(b, b).cast("double")),
+        F.lit(0.0),
     )

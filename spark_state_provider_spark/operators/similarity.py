@@ -333,7 +333,16 @@ def q29d_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = (
         scored.groupBy("vec_id")
         .agg(
-            F.min(F.struct(F.expr("-sim").alias("ns"), F.col("cid").alias("cid"))).alias("m"),
+            # NULL sims (zero-norm vector or zero-norm centroid) must never
+            # win routing: coalesce to +Inf so they sort LAST in the min —
+            # mirroring the oracle's NULLS-LAST rn=1 pick. A vector with
+            # ALL-NULL sims still routes deterministically (lowest cid).
+            F.min(
+                F.struct(
+                    F.coalesce(F.expr("-sim"), F.lit(float("inf"))).alias("ns"),
+                    F.col("cid").alias("cid"),
+                )
+            ).alias("m"),
             F.first("v").alias("v"),
             F.first("nrm").alias("nrm"),
         )
@@ -411,8 +420,11 @@ def q29c_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # floor(x*s + 0.5), integer dots (exact in doubles up to 2^53), final
 # sqrt/divide in double — bit-identical to the Spark expressions.
 _DUCK_QUANT = (
-    "list_transform(v, x -> CAST(floor(x * (127.0 / list_max("
-    "list_transform(v, y -> abs(y)))) + 0.5) AS BIGINT))"
+    # COALESCE(scale, 0): quantize(0-vector) = 0-vector on both engines
+    # (see functions/vector.py quantize_int8 — NULL components would
+    # crash DuckDB's list_dot_product)
+    "list_transform(v, x -> CAST(floor(x * COALESCE(127.0 / NULLIF(list_max("
+    "list_transform(v, y -> abs(y))), 0.0), 0.0) + 0.5) AS BIGINT))"
 )
 _DUCK_ICOS = (
     "CAST(list_dot_product(qq, nq) AS DOUBLE) / "
@@ -866,9 +878,7 @@ def q29f_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("nv"))
-             / (F.sqrt(dot(F.col("qv"), F.col("qv")))
-                * F.sqrt(dot(F.col("nv"), F.col("nv"))))).alias("sim"),
+            cosine(F.col("qv"), F.col("nv")).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1250,7 +1260,16 @@ def _register_q112() -> None:
             acc = np.zeros(len(va), dtype="float64")
             for i in range(ma.shape[1]):  # sequential fold over dims
                 acc = acc + ma[:, i] * mb[:, i]
-            return pd.Series(acc / (na.to_numpy() * nb.to_numpy()))
+            den = na.to_numpy() * nb.to_numpy()
+            out = np.divide(
+                acc, den, out=np.full(len(va), np.nan), where=den != 0.0
+            )
+            # zero-norm pairs → NULL, not NaN: NaN compares TRUE under
+            # Spark's >= tau (NaN sorts above every real) while the
+            # DuckDB oracle's x/0 is NULL — nullable Float64 makes the
+            # Arrow exchange carry a real null (same rule as the shared
+            # cosine helpers' NULLIF guard, functions/vector.py)
+            return pd.Series(pd.array(out, dtype="Float64"))
 
         drops = (
             a.join(
@@ -1858,8 +1877,12 @@ def q219_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = (
         coarse.groupBy("vec_id")
         .agg(
+            # NULL csims coalesce to +Inf: never win routing (q29d's rule)
             F.min(
-                F.struct(F.expr("-csim").alias("ns"), F.col("ccid").alias("ccid"))
+                F.struct(
+                    F.coalesce(F.expr("-csim"), F.lit(float("inf"))).alias("ns"),
+                    F.col("ccid").alias("ccid"),
+                )
             ).alias("mb")
         )
         .select("vec_id", F.col("mb.ccid").alias("ccid"))
@@ -1955,13 +1978,7 @@ def q219_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (
-                dot(F.col("qv"), F.col("nv"))
-                / (
-                    F.sqrt(dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(dot(F.col("nv"), F.col("nv")))
-                )
-            ).alias("sim"),
+            cosine(F.col("qv"), F.col("nv")).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -2001,7 +2018,8 @@ def q219_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (
         SELECT label, vec_id, norm2,
                row_number() OVER (
-                   PARTITION BY label ORDER BY norm2, vec_id) AS rn,
+                   PARTITION BY label
+                   ORDER BY norm2 NULLS LAST, vec_id) AS rn,
                count(*) OVER (PARTITION BY label) AS n
         FROM v
     ),
@@ -2050,7 +2068,13 @@ def q223_embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select(
         "label", "vec_id", _dot(F.col("v"), F.col("v")).alias("norm2")
     )
-    w_ord = Window.partitionBy("label").orderBy("norm2", "vec_id")
+    # Explicit NULLS LAST on both engines: Spark defaults NULLs FIRST on
+    # ascending sorts, DuckDB defaults them LAST, so a NULL embedding
+    # (NULL norm2) would silently shift every rn and desync the median
+    # (ADVICE r6 #2).
+    w_ord = Window.partitionBy("label").orderBy(
+        F.asc_nulls_last("norm2"), "vec_id"
+    )
     w_all = Window.partitionBy("label")
     r = v.select(
         "label",

@@ -2024,8 +2024,13 @@ def q170_stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign = (
             scored.groupBy("vec_id")
             .agg(
+                # coalesce NULL sims to +Inf: zero-norm vectors must never
+                # win routing (same rule as the batch IVF, q29d)
                 F.min(
-                    F.struct(F.expr("-sim").alias("ns"), F.col("cid").alias("cid"))
+                    F.struct(
+                        F.coalesce(F.expr("-sim"), F.lit(float("inf"))).alias("ns"),
+                        F.col("cid").alias("cid"),
+                    )
                 ).alias("m")
             )
             .select("vec_id", F.col("m.cid").alias("cid"))

@@ -151,3 +151,56 @@ def test_regression_red_repins_a_green_query(tmp_path):
     # its last green (r99) is now the freshest, so it fills last
     assert len(window) == CAP
     assert tiers[victim].startswith("z97_") or tiers[victim] == victim
+
+
+def test_regressed_green_outside_window_waits_as_y(tmp_path):
+    """ADVICE r6 #1: a regressed green that does NOT win a window slot
+    must surface as y_ (waiting), never as zN_ (verified) — the zN_ label
+    would present a known-regressed query to the driver as green."""
+    names = sorted(registry.all_queries())
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 1, "oracle_rows": 1, "err": None}
+    red = {"rows_match": True, "schema_match": True, "hash_match": False,
+           "spark_rows": 1, "oracle_rows": 1, "err": None}
+    (tmp_path / "CORRECTNESS_r97.json").write_text(
+        json.dumps({n: green for n in names})
+    )
+    # regress MORE greens than the window can hold
+    regressed = names[: CAP + 10]
+    (tmp_path / "CORRECTNESS_r98.json").write_text(
+        json.dumps({n: red for n in regressed})
+    )
+    tiers = entry._compute_tiers(str(tmp_path))
+    window = {n for n, d in tiers.items() if n == d}
+    overflow = [n for n in regressed if n not in window]
+    assert overflow, "test needs regressed names beyond the cap"
+    for n in overflow:
+        assert tiers[n] == f"y_{n}", (
+            f"{n} is regressed but labeled {tiers[n]!r}; a regressed "
+            "green outside the window must wait as y_, not pose as zN_"
+        )
+
+
+def test_rows_or_schema_mismatch_counts_as_red(tmp_path):
+    """ADVICE r6 #3: a correctness row recording a row-count or schema
+    mismatch WITHOUT a hash verdict (hash_match null, err null) is still
+    a red and must re-pin the query into the window."""
+    names = sorted(registry.all_queries())
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 1, "oracle_rows": 1, "err": None}
+    (tmp_path / "CORRECTNESS_r97.json").write_text(
+        json.dumps({n: green for n in names})
+    )
+    rows_red = {"rows_match": False, "schema_match": None,
+                "hash_match": None, "spark_rows": 3, "oracle_rows": 5,
+                "err": None}
+    schema_red = {"rows_match": True, "schema_match": False,
+                  "hash_match": None, "spark_rows": 5, "oracle_rows": 5,
+                  "err": None}
+    v_rows, v_schema = names[3], names[4]
+    (tmp_path / "CORRECTNESS_r98.json").write_text(
+        json.dumps({v_rows: rows_red, v_schema: schema_red})
+    )
+    tiers = entry._compute_tiers(str(tmp_path))
+    assert tiers[v_rows] == v_rows, "rows_match=false must re-pin"
+    assert tiers[v_schema] == v_schema, "schema_match=false must re-pin"

@@ -273,9 +273,10 @@ def _fuzz_embeddings_dir(tmp_path, seed: int = 42) -> str:
     """Embeddings re-drawn with mixed magnitudes (1e-3 … 1e3) and
     negatives through a float32 round-trip — the deterministic-fold
     contract (functions/vector.py ↔ list_dot_product) under values the
-    stock unit-norm fixtures never exercise. Zero-norm vectors stay OUT
-    by design: DuckDB yields NULL for DOUBLE x/0 where Spark yields
-    NaN/Inf (engine boundary documented in SCALE.md; q223 is the gate)."""
+    stock unit-norm fixtures never exercise. Round 7: ZERO-NORM vectors
+    are now IN — the shared cosine helpers NULLIF-guard the denominator
+    (functions/vector.py), so cosine(0⃗, ·) is NULL on both engines and
+    the former x/0 NaN-vs-NULL boundary is closed, not fenced."""
     import os
 
     from tests.test_advice_edges import SF_SRC
@@ -290,6 +291,11 @@ def _fuzz_embeddings_dir(tmp_path, seed: int = 42) -> str:
         ).tolist()
 
     emb["embedding"] = [vec() for _ in range(len(emb))]
+    # zero-norm rows (mid-table, NOT the q29 query anchors): every cosine
+    # against them must be NULL — identically — on both engines
+    zero = pd.array([0.0] * 64, dtype="float32").tolist()
+    for idx in (len(emb) // 3, len(emb) // 2, len(emb) - 2):
+        emb.at[idx, "embedding"] = zero
     d = tmp_path / "sf_emb"
     d.mkdir()
     for t in (
