@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_state_provider_spark.operators.registry import register
 from spark_state_provider_spark.tables import load_table
@@ -1904,4 +1905,114 @@ def q224_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return enriched.withColumn(
         "band_capture_prob", F.expr(_CAPTURE_EXPR)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q226 — exact-substring dedup, suffix-anchor form (the Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+# semantics, re-expressed relationally): for every document pair, the
+# length of the LONGEST shared character substring, computed from sorted
+# k-mer anchors instead of a monolithic suffix array. A shared substring
+# of length L ≥ K contains exactly L−K+1 of the K-char anchors on ONE
+# anti-diagonal (pos_a − pos_b constant), at consecutive positions — so
+# max-run-per-diagonal recovers L exactly. This upgrades q111 (boolean
+# duplicated-span profile) to the pairwise LCS the paper thresholds on.
+# ---------------------------------------------------------------------------
+
+_SUB_K = 16        # anchor width (chars); LCS below K is invisible by design
+_SUB_MIN = 32      # report pairs sharing a substring of ≥ this many chars
+_SUB_DF_CAP = 50   # anchors in more docs than this are stop-anchors:
+                   # excluded on BOTH engines (bounds join fan-out the same
+                   # way q206's stop-shingle cap bounds the exact truth)
+
+
+@register(
+    "q226_substring_lcs_dedup",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, i, substr(text, i, {_SUB_K}) AS gram
+        FROM documents,
+             unnest(generate_series(1, length(text) - {_SUB_K - 1})) AS t(i)
+        WHERE length(text) >= {_SUB_K}
+    ),
+    df AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram),
+    gk AS (SELECT g.* FROM g JOIN df USING (gram) WHERE df.df <= {_SUB_DF_CAP}),
+    m AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.i AS pa, a.i - b.i AS diag
+        FROM gk a JOIN gk b USING (gram)
+        WHERE a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT doc_a, doc_b, diag, pa,
+               pa - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+        FROM m
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS run
+        FROM isl GROUP BY doc_a, doc_b, diag, grp
+    )
+    SELECT doc_a, doc_b,
+           CAST({_SUB_K} + max(run) - 1 AS BIGINT) AS lcs_len
+    FROM runs
+    GROUP BY doc_a, doc_b
+    HAVING {_SUB_K} + max(run) - 1 >= {_SUB_MIN}
+    """,
+)
+def q226_substring_lcs_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of documents sharing an exact substring of ≥ {_SUB_MIN} chars,
+    with the exact longest-shared-substring length — ExactSubstr dedup's
+    decision quantity (Lee et al. 2022 §4.1), via sorted {_SUB_K}-char
+    anchors + per-diagonal run-length instead of a suffix array.
+
+    Exactness contract: LCS is exact for any pair whose longest shared
+    substring contains no stop-anchor (df > {_SUB_DF_CAP}); the cap is
+    applied identically in the oracle, so the two engines agree by
+    construction (the q206 bounded-truth discipline).
+
+    Scale shape: anchor extraction is a narrow codegen map (substring over
+    a sequence — no Python); the df cap bounds the anchor-join fan-out to
+    ≤ C({_SUB_DF_CAP},2) pairs per anchor, the same role LSH banding plays
+    in q28b; the diagonal run-length is ONE window keyed on (pair, diag) —
+    partitions are per-pair, never corpus-wide. At 100 TB you stride the
+    anchors on one side (detect-at-K+stride−1 guarantee) and shard the df
+    table; the plan shape is unchanged. Suffix arrays beat this on one
+    node; at cluster scale the sorted-anchor join IS the distributed
+    suffix sort, expressed as shuffles Catalyst can plan.
+    """
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= _SUB_K
+    )
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {_SUB_K - 1}), "
+                f"i -> struct(i AS i, substring(text, i, {_SUB_K}) AS gram))"
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.i").alias("i"), F.col("x.gram").alias("gram"))
+    df_tbl = g.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    gk = g.join(df_tbl, "gram").where(F.col("df") <= _SUB_DF_CAP)
+    a = gk.select("gram", F.col("doc_id").alias("doc_a"), F.col("i").alias("pa"))
+    b = gk.select("gram", F.col("doc_id").alias("doc_b"), F.col("i").alias("pb"))
+    m = (
+        a.join(b, "gram")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+        .distinct()
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    runs = isl.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+        F.count("*").cast("long").alias("run")
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg((F.lit(_SUB_K) + F.max("run") - F.lit(1)).cast("long").alias("lcs_len"))
+        .where(F.col("lcs_len") >= _SUB_MIN)
     )

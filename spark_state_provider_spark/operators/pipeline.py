@@ -3308,3 +3308,137 @@ def q221_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("micro_per_gram"),
         "rn",
     )
+
+
+# ---------------------------------------------------------------------------
+# q227 — packing-aware contamination: q46 (benchmark n-gram overlap) ×
+# q38 (sequence packing). Concat-and-split packing slices the token
+# stream every PACK_BUDGET tokens, so a contaminated trigram whose
+# absolute offset straddles a pack boundary is INVISIBLE to any
+# pack-at-a-time decontamination scan — the exact blind spot this query
+# censuses. Packing here uses exact whitespace token counts (not q38's
+# chars/4 estimate) so trigram offsets and pack offsets live in the same
+# coordinate system.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q227_packing_contamination",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+               md5(CAST(doc_id AS VARCHAR)) AS hkey,
+               string_split(text, ' ') AS l,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents
+    ),
+    layout AS (
+        SELECT doc_id, bucket,
+               sum(dl) OVER (
+                   PARTITION BY bucket ORDER BY hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - dl AS start_off
+        FROM tok
+    ),
+    bench AS (
+        SELECT DISTINCT t.tri
+        FROM tok, unnest(list_transform(
+            generate_series(1, len(l) - 2),
+            i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        )) AS t(tri)
+        WHERE doc_id % 97 = 0 AND dl >= 3
+    ),
+    occ AS (
+        SELECT tok.doc_id, tok.bucket, t.i,
+               t.l[t.i] || ' ' || t.l[t.i+1] || ' ' || t.l[t.i+2] AS tri
+        FROM (SELECT doc_id, bucket, l, dl FROM tok) tok,
+             LATERAL (
+                 SELECT i, tok.l AS l
+                 FROM unnest(generate_series(1, tok.dl - 2)) AS u(i)
+             ) t
+        WHERE tok.doc_id % 97 <> 0 AND tok.dl >= 3
+    ),
+    hit AS (
+        SELECT o.bucket,
+               CAST(floor((y.start_off + o.i - 1) / {PACK_BUDGET}.0)
+                    AS BIGINT) AS pack_id,
+               CASE WHEN floor((y.start_off + o.i - 1) / {PACK_BUDGET}.0)
+                      <> floor((y.start_off + o.i + 1) / {PACK_BUDGET}.0)
+                    THEN 1 ELSE 0 END AS straddles
+        FROM occ o
+        JOIN bench USING (tri)
+        JOIN layout y ON y.doc_id = o.doc_id
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_contam_occ,
+           CAST(sum(straddles) AS BIGINT) AS n_straddling,
+           CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs_touched
+    FROM hit
+    GROUP BY bucket
+    """,
+)
+def q227_packing_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per packing bucket: benchmark-trigram occurrences in the packed
+    token stream, how many STRADDLE a {PACK_BUDGET}-token pack boundary
+    (undetectable by pack-level scanning after the split), and how many
+    packs carry contamination at all.
+
+    Scale shape: the benchmark trigram set BROADCASTS (q46's rule — the
+    benchmark is KBs against a 100 TB corpus); corpus trigrams with
+    positions are a narrow posexplode feeding a hash probe, so only
+    MATCHING occurrences (bounded by benchmark size) reach the layout
+    join. The pack layout itself is q38's plan — one window per hash
+    bucket, buckets independent, so parallelism scales with the bucket
+    count. The final census is one combinable groupBy over ≤16 buckets.
+    """
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("hkey"),
+        F.split("text", " ").alias("l"),
+        F.size(F.split("text", " ")).cast("long").alias("dl"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    layout = tok.select(
+        "doc_id",
+        (F.sum("dl").over(w) - F.col("dl")).alias("start_off"),
+    )
+    tri_expr = F.expr(
+        "transform(sequence(1, size(l) - 2), "
+        "i -> struct(i AS i, concat_ws(' ', l[i-1], l[i], l[i+1]) AS tri))"
+    )
+    bench = (
+        tok.where((F.col("doc_id") % 97 == 0) & (F.col("dl") >= 3))
+        .select(F.explode(tri_expr).alias("x"))
+        .select(F.col("x.tri").alias("tri"))
+        .distinct()
+    )
+    occ = (
+        tok.where((F.col("doc_id") % 97 != 0) & (F.col("dl") >= 3))
+        .select("doc_id", "bucket", F.explode(tri_expr).alias("x"))
+        .select("doc_id", "bucket", F.col("x.i").alias("i"), F.col("x.tri").alias("tri"))
+    )
+    abs_start = F.col("start_off") + F.col("i") - 1
+    abs_end = F.col("start_off") + F.col("i") + 1
+    hit = (
+        occ.join(F.broadcast(bench), "tri")
+        .join(layout, "doc_id")
+        .select(
+            "bucket",
+            F.floor(abs_start / float(PACK_BUDGET)).cast("long").alias("pack_id"),
+            (
+                F.floor(abs_start / float(PACK_BUDGET))
+                != F.floor(abs_end / float(PACK_BUDGET))
+            ).cast("int").alias("straddles"),
+        )
+    )
+    return hit.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_contam_occ"),
+        F.sum("straddles").cast("long").alias("n_straddling"),
+        F.count_distinct("pack_id").cast("long").alias("n_packs_touched"),
+    )

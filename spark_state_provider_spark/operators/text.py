@@ -1668,3 +1668,173 @@ def q222_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("pass_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q225 — hybrid retrieval fusion: Reciprocal Rank Fusion (RRF, Cormack et
+# al. SIGIR'09 — the fusion rule behind most production "hybrid search")
+# over the BM25 keyword ranking (q49's scorer) and a dense cosine ranking
+# (q29's brute-force scorer, anchored on a fixed query vector). This is
+# the retrieval-composition row the round-6 verdict named: each leg is an
+# already-proven plan; fusion itself is a k-row full-outer join.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60          # standard RRF damping constant
+_RRF_DEPTH = 20      # per-leg ranking depth fed into the fusion
+_RRF_ANCHOR = 0      # dense query = embedding of vec_id 0 (fixed, no RNG)
+
+# 1/(k + rank) with the rank cast to DOUBLE before the add — identical
+# IEEE expression text in both dialects (the q49 literal-interpolation
+# discipline); absent legs contribute exactly 0.0, sparse term added first.
+_RRF_SCORE = (
+    f"COALESCE(1.0 / ({_RRF_K}.0 + CAST(sparse_rn AS DOUBLE)), 0.0)"
+    f" + COALESCE(1.0 / ({_RRF_K}.0 + CAST(dense_rn AS DOUBLE)), 0.0)"
+)
+
+_DUCK_COS_225 = (
+    "list_dot_product(qv, v) / NULLIF(sqrt(list_dot_product(qv, qv))"
+    " * sqrt(list_dot_product(v, v)), 0.0)"
+)
+
+
+@register(
+    "q225_hybrid_rrf_fusion",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+               {", ".join(
+                   f"CAST(len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS BIGINT) AS tf{i}"
+                   for i, t in enumerate(BM25_TERMS)
+               )}
+        FROM documents
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+               {", ".join(
+                   f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+                   for i in range(len(BM25_TERMS))
+               )}
+        FROM t
+    ),
+    s AS (
+        SELECT doc_id, {_BM25_SCORE} AS score
+        FROM t, g
+        WHERE {" + ".join(f"tf{i}" for i in range(len(BM25_TERMS)))} > 0
+    ),
+    sparse AS (
+        SELECT doc_id, rn AS sparse_rn FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+            FROM s
+        ) WHERE rn <= {_RRF_DEPTH}
+    ),
+    e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    anchor AS (SELECT v AS qv FROM e WHERE vec_id = {_RRF_ANCHOR}),
+    dsc AS (
+        SELECT e.vec_id, {_DUCK_COS_225} AS sim
+        FROM e, anchor WHERE e.vec_id <> {_RRF_ANCHOR}
+    ),
+    dense AS (
+        SELECT vec_id AS doc_id, rn AS dense_rn FROM (
+            SELECT vec_id,
+                   row_number() OVER (
+                       ORDER BY sim DESC NULLS LAST, vec_id) AS rn
+            FROM dsc
+        ) WHERE rn <= {_RRF_DEPTH}
+    ),
+    fused AS (
+        SELECT COALESCE(sparse.doc_id, dense.doc_id) AS doc_id,
+               sparse_rn, dense_rn, {_RRF_SCORE} AS rrf_score
+        FROM sparse FULL OUTER JOIN dense ON sparse.doc_id = dense.doc_id
+    )
+    SELECT doc_id, sparse_rn, dense_rn, rrf_score, rn FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY rrf_score DESC, doc_id) AS rn
+        FROM fused
+    ) WHERE rn <= {_RRF_DEPTH}
+    """,
+)
+def q225_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: RRF-fuse the BM25 top-{_RRF_DEPTH} (q49's fixed
+    keyword query) with the dense cosine top-{_RRF_DEPTH} (anchored on
+    vec_id {_RRF_ANCHOR}); score = Σ 1/({_RRF_K}+rank) over the legs a
+    doc appears in.
+
+    Scale shape: each leg keeps its own proven plan — BM25 is a narrow
+    codegen scan + one single-row stat broadcast + TakeOrderedAndProject;
+    the dense leg broadcasts ONE query vector over the embedding scan and
+    takes the same partial top-k. Fusion then touches only 2×{_RRF_DEPTH}
+    rows: a driver-sized full-outer join and re-rank, ZERO additional
+    passes over the corpus. At 100 TB with a query batch, both legs stay
+    per-query-independent and the fusion join keys on (query_id, doc_id) —
+    still bounded by k·|queries|, never corpus size.
+    """
+    from spark_state_provider_spark.functions.vector import as_double_vec, cosine
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    t = d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[
+            F.size(F.filter(F.col("toks"), _token_eq(t))).cast("long").alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    g = t.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    any_tf = sum(F.col(f"tf{i}") for i in range(len(BM25_TERMS)))
+    s = (
+        t.where(any_tf > 0)
+        .crossJoin(F.broadcast(g))
+        .withColumn("score", F.expr(_BM25_SCORE))
+        .select("doc_id", "score")
+    )
+    w_s = Window.orderBy(F.col("score").desc(), "doc_id")
+    sparse = (
+        s.orderBy(F.col("score").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+        .withColumn("sparse_rn", F.row_number().over(w_s))
+        .select("doc_id", "sparse_rn")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    anchor = emb.where(F.col("vec_id") == _RRF_ANCHOR).select(
+        F.col("v").alias("qv")
+    )
+    dsc = (
+        emb.where(F.col("vec_id") != _RRF_ANCHOR)
+        .crossJoin(F.broadcast(anchor))
+        .select("vec_id", cosine(F.col("qv"), F.col("v")).alias("sim"))
+    )
+    w_d = Window.orderBy(F.desc_nulls_last("sim"), "vec_id")
+    dense = (
+        dsc.orderBy(F.desc_nulls_last("sim"), "vec_id")
+        .limit(_RRF_DEPTH)
+        .withColumn("dense_rn", F.row_number().over(w_d))
+        .select(F.col("vec_id").alias("doc_id"), "dense_rn")
+    )
+
+    fused = sparse.join(dense, "doc_id", "full_outer").withColumn(
+        "rrf_score", F.expr(_RRF_SCORE)
+    )
+    w_f = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+        .withColumn("rn", F.row_number().over(w_f))
+        .select("doc_id", "sparse_rn", "dense_rn", "rrf_score", "rn")
+    )
