@@ -36,12 +36,19 @@ def split_events_dir(
     File k holds the k-th time-contiguous slice, so streaming them in name
     order replays the stream in event-time order — a deterministic
     micro-batch schedule (the MemoryStream analog).
+
+    The slice content is a pure function of (sf_dir, n_batches), so the
+    materialized dir is SHARED across every caller in the process —
+    ``tag`` no longer keys the path (round 7: each streaming query used
+    to re-sort + re-write identical slices under its own tag, ~25
+    redundant writes per bench run). Readers never mutate the dir and
+    checkpoints are per-query, so sharing is safe.
     """
     # pid-scoped: another process rmtree-ing the slice dir mid-stream would
     # yank files out from under an active FileStreamSource
     base = os.path.join(
         tempfile.gettempdir(),
-        f"ssps_stream_{tag}_{corpus_tag(sf_dir)}"
+        f"ssps_stream_ev_{corpus_tag(sf_dir)}"
         f"_{n_batches}_{os.getpid()}",
     )
     done_marker = os.path.join(base, "_SSPS_DONE")
@@ -100,7 +107,7 @@ def split_docs_dir(
     with q78's batch form)."""
     base = os.path.join(
         tempfile.gettempdir(),
-        f"ssps_stream_{tag}_{corpus_tag(sf_dir)}"
+        f"ssps_stream_docs_{corpus_tag(sf_dir)}"
         f"_{n_batches}_{mod}_{os.getpid()}",
     )
     done_marker = os.path.join(base, "_SSPS_DONE")
@@ -160,7 +167,7 @@ def split_events_hash_dir(
     (slice membership is a pure function of event_id)."""
     base = os.path.join(
         tempfile.gettempdir(),
-        f"ssps_stream_{tag}_{corpus_tag(sf_dir)}"
+        f"ssps_stream_ooo_{corpus_tag(sf_dir)}"
         f"_{n_batches}_{os.getpid()}",
     )
     done_marker = os.path.join(base, "_SSPS_DONE")
@@ -206,7 +213,7 @@ def split_embeddings_dir(
     WHICH batch indexes a vector, never where it lands)."""
     base = os.path.join(
         tempfile.gettempdir(),
-        f"ssps_stream_{tag}_{corpus_tag(sf_dir)}"
+        f"ssps_stream_emb_{corpus_tag(sf_dir)}"
         f"_{n_batches}_{os.getpid()}",
     )
     done_marker = os.path.join(base, "_SSPS_DONE")
