@@ -143,6 +143,12 @@ QUERIES = [
     "q218_curation_pipeline",
     "q219_ivfpq_ann",
     "q220_stream_curation_funnel",
+    # round-7: the sf1.0-equivalent probe set also re-times the TPC-H Q1
+    # aggregate and the new retrieval-composition adds
+    "q63_tpch_q1",
+    "q225_hybrid_rrf_fusion",
+    "q226_substring_lcs_dedup",
+    "q227_packing_contamination",
     # round-6 second tranche: DSIR bigram selection (two corpus passes),
     # Gopher rule battery (one map pass), embedding-norm QA (label-keyed
     # order statistic), MinHash calibration (rides the memoized LSH state)
