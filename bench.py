@@ -250,6 +250,11 @@ HEADLINE = [
     "q222_gopher_rules",
     "q223_embedding_norm_qa",
     "q224_minhash_calibration",
+    # round-7 additions: hybrid retrieval fusion, suffix-anchor
+    # exact-substring LCS dedup, packing-aware contamination
+    "q225_hybrid_rrf_fusion",
+    "q226_substring_lcs_dedup",
+    "q227_packing_contamination",
 ]
 
 

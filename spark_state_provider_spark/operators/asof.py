@@ -26,7 +26,22 @@ def asof_join(
     right_value: str,
     left_id: str,
 ) -> DataFrame:
-    """Returns (left_id, key, asof_<right_value>) for every left row."""
+    """Returns (left_id, key, asof_<right_value>) for every left row.
+
+    NULL keys never match — SQL ASOF JOIN equality semantics. The window
+    construction would otherwise PARTITION all NULL keys together (Spark
+    groups NULLs in partitionBy) and let a NULL-key left row adopt the
+    last NULL-key right row; divergence found by the round-7 NULL-key
+    join fuzz family. NULL-key left rows bypass the window with a NULL
+    value (left-join behavior); NULL-key right rows are dropped.
+    """
+    null_left = left.where(F.col(key).isNull()).select(
+        F.col(left_id),
+        F.col(key).alias(key),
+        F.lit(None).cast("long").alias(f"asof_{right_value}"),
+    )
+    left = left.where(F.col(key).isNotNull())
+    right = right.where(F.col(key).isNotNull())
     l_ = left.select(
         F.col(key).alias("k"),
         F.col(left_ts).alias("t"),
@@ -54,6 +69,7 @@ def asof_join(
         )
         .where(F.col("is_left") == 1)
         .select(left_id, F.col("k").alias(key), f"asof_{right_value}")
+        .unionByName(null_left)
     )
 
 

@@ -1072,7 +1072,12 @@ _DQ_PRIORITY = ("1-URGENT", "2-HIGH", "3-MEDIUM")  # deliberately incomplete
         SELECT CAST(count(*) AS BIGINT) AS orphans,
                (SELECT n FROM o) AS n
         FROM orders
-        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        -- explicit: orphan = NON-NULL key without a parent (NULL keys are
+        -- the 'complete' constraint's business; NOT IN alone would drop
+        -- them only implicitly via UNKNOWN)
+        WHERE o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer
+                          WHERE c_custkey = o_custkey)
     )
     SELECT 'orders.o_custkey.complete' AS constraint, null_cust AS violations,
            n AS n_checked, null_cust = 0 AS passed FROM o
@@ -1125,8 +1130,13 @@ def q95_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
         ).alias("bad_qty"),
     )
+    # FK-orphan = NON-NULL key with no parent: NULL keys belong to the
+    # 'complete' constraint above, not here (and an unfiltered left_anti
+    # would count them as orphans while the oracle's NOT IN drops them —
+    # divergence found by the round-7 NULL-key join fuzz family).
     orphans = (
         o.select("o_custkey")
+        .where(F.col("o_custkey").isNotNull())
         .join(F.broadcast(cust), o.o_custkey == cust.c_custkey, "left_anti")
         .agg(F.count("*").alias("orphans"))
     )

@@ -292,13 +292,21 @@ def q07_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q07b_anti_join",
     oracle="""
+    -- NOT EXISTS, not NOT IN: left_anti's semantics. A NULL o_custkey in
+    -- the subquery poisons NOT IN to UNKNOWN-everywhere (empty result),
+    -- while the anti join (and NOT EXISTS) simply never matches it —
+    -- divergence found by the round-7 NULL-key join fuzz family.
     SELECT c_custkey, c_name
-    FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000
+    )
     """,
 )
 def q07b_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers who never placed a >250k order (left anti join)."""
+    """Customers who never placed a >250k order (left anti join —
+    NOT-EXISTS semantics: a NULL FK on either side never matches)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
