@@ -28,7 +28,7 @@ N_BATCHES = 2
 
 
 @contextmanager
-def _streaming_session(spark: SparkSession):
+def _streaming_session(spark: SparkSession, state_parts: int | None = None):
     """Pin streaming confs for the duration of one streaming run, restoring
     the caller's shuffle parallelism afterwards (a leaked
     shuffle.partitions=8 would under-parallelize every later batch query
@@ -44,8 +44,14 @@ def _streaming_session(spark: SparkSession):
     # Floor of 8 preserves the proven adversarial-geometry behavior on
     # small drivers; at production scale this conf is sized to the
     # cluster, not hardcoded.
+    # ``state_parts`` overrides for STORE-HEAVY topologies: a
+    # stream-stream join keeps FOUR internal stores per partition and its
+    # join path is JVM-side (no Python-handler parallelism to win), so
+    # 16 partitions REGRESSED q182 3.3→4.3s / q179 2.3→2.9s min-of-3
+    # where the stateful-map queries improved — those call sites pin 8.
     cores = spark.sparkContext.defaultParallelism
-    spark.conf.set("spark.sql.shuffle.partitions", str(max(8, cores // 2)))
+    parts = state_parts if state_parts is not None else max(8, cores // 2)
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         yield
@@ -431,7 +437,7 @@ def build_click_purchase_join(
 )
 def q26_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two streams joined on key + event-time range (state on both sides)."""
-    with _streaming_session(spark):
+    with _streaming_session(spark, state_parts=8):
         joined = build_click_purchase_join(spark, sf_dir, ("j1", "j2")).select(
             "click_id", "purchase_id", F.col("c_user").alias("user_id")
         )
@@ -506,7 +512,7 @@ def q20s2_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q26b_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer stream-stream join (watermarks both sides + time bound)."""
-    with _streaming_session(spark):
+    with _streaming_session(spark, state_parts=8):
         clicks = (
             stream_events(spark, sf_dir, N_BATCHES, tag="lj1")
             .where(F.col("event_type") == "click")
@@ -1750,7 +1756,7 @@ def q160_stream_fanout_consistency(spark: SparkSession, sf_dir: str) -> DataFram
         finally:
             delta.unpersist()
 
-    with _streaming_session(spark):
+    with _streaming_session(spark, state_parts=8):
         sdf = stream_events(spark, sf_dir, N_BATCHES, tag="fanout")
         q = (
             sdf.writeStream.foreachBatch(fanout)
@@ -2227,7 +2233,7 @@ def q179_stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. At scale you run ONE mode; this query exists to prove the
     choice is serving-topology-only.
     """
-    with _streaming_session(spark):
+    with _streaming_session(spark, state_parts=8):
         ev_c = stream_events(spark, sf_dir, N_BATCHES, tag="modes179c")
         agg_c = ev_c.groupBy("event_type").agg(F.count("*").alias("n"))
         complete = run_to_memory(agg_c, "mem_q179_complete", "complete")
@@ -2387,7 +2393,7 @@ def q182_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     6h window); the asymmetric eviction predicates above are what Spark
     derives from the range condition — certified here value-for-value.
     """
-    with _streaming_session(spark):
+    with _streaming_session(spark, state_parts=8):
         clicks = (
             stream_events(spark, sf_dir, N_BATCHES, tag="fo1")
             .where(F.col("event_type") == "click")
