@@ -255,6 +255,8 @@ HEADLINE = [
     "q225_hybrid_rrf_fusion",
     "q226_substring_lcs_dedup",
     "q227_packing_contamination",
+    "q228_retrieval_metrics",
+    "q229_maxp_chunk_retrieval",
 ]
 
 

@@ -2114,3 +2114,144 @@ def q223_embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_high_outliers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q228 — retrieval-quality metrics: MRR and nDCG@k over the exact top-k
+# (label match = relevance, q214's ground-truth convention). Discounts are
+# FIXED-POINT INTEGER LITERALS (round(1e6/log2(i+1)), precomputed below):
+# libm log() is banned cross-engine (q47's rule) and float summation order
+# is engine-dependent, so DCG/IDCG accumulate as exact BIGINTs and the
+# ONLY float op is the final one-division nDCG — the q221 discipline.
+# ---------------------------------------------------------------------------
+
+# round(1e6 / log2(i+1)) for rank i, its prefix sums (ideal DCG for n
+# relevant), and round(1e6 / r) reciprocal-rank literals — identical
+# constants interpolated into BOTH dialects.
+_NDCG_D = {1: 1000000, 2: 630930, 3: 500000, 4: 430677, 5: 386853}
+_NDCG_P = {1: 1000000, 2: 1630930, 3: 2130930, 4: 2561607, 5: 2948460}
+_MRR_M = {1: 1000000, 2: 500000, 3: 333333, 4: 250000, 5: 200000}
+
+_DCG_CASE = "CASE rn " + " ".join(
+    f"WHEN {i} THEN {d}" for i, d in _NDCG_D.items()
+) + " END"
+_IDCG_CASE = (
+    f"CASE WHEN n_rel >= {TOP_K} THEN {_NDCG_P[TOP_K]} "
+    + " ".join(f"WHEN n_rel = {i} THEN {p}" for i, p in _NDCG_P.items() if i < TOP_K)
+    + " ELSE 0 END"
+)
+_MRR_CASE = "CASE first_rel_rank " + " ".join(
+    f"WHEN {r} THEN {m}" for r, m in _MRR_M.items()
+) + " ELSE 0 END"
+
+
+def _register_q228() -> None:
+    from spark_state_provider_spark.operators.registry import _REGISTRY as _R
+
+    brute = _R["q29_knn_brute"].oracle
+
+    @register(
+        "q228_retrieval_metrics",
+        oracle=f"""
+        WITH nn AS (SELECT query_id, neighbor_id, rn FROM ({brute})),
+        lab AS (SELECT vec_id, label FROM embeddings),
+        j AS (
+            SELECT nn.query_id, nn.rn,
+                   CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel
+            FROM nn
+            JOIN lab ql ON ql.vec_id = nn.query_id
+            JOIN lab nl ON nl.vec_id = nn.neighbor_id
+        ),
+        per_q AS (
+            SELECT query_id,
+                   CAST(sum(rel * ({_DCG_CASE})) AS BIGINT) AS dcg_fp,
+                   min(CASE WHEN rel = 1 THEN rn END) AS first_rel_rank
+            FROM j GROUP BY query_id
+        ),
+        pool AS (
+            SELECT q.vec_id AS query_id,
+                   CAST(count(*) AS BIGINT) AS n_rel
+            FROM lab q JOIN lab c
+              ON c.label = q.label AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+            GROUP BY q.vec_id
+        )
+        SELECT p.query_id,
+               COALESCE(pool.n_rel, 0) AS n_rel,
+               CAST(p.first_rel_rank AS BIGINT) AS first_rel_rank,
+               CAST({_MRR_CASE} AS BIGINT) AS mrr_fp,
+               p.dcg_fp,
+               CAST({_IDCG_CASE.replace("n_rel", "COALESCE(pool.n_rel, 0)")}
+                    AS BIGINT) AS idcg_fp,
+               CAST(p.dcg_fp AS DOUBLE)
+                   / NULLIF(CAST({_IDCG_CASE.replace("n_rel", "COALESCE(pool.n_rel, 0)")}
+                            AS DOUBLE), 0.0) AS ndcg
+        FROM per_q p LEFT JOIN pool ON pool.query_id = p.query_id
+        """,
+    )
+    def q228_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-query MRR and nDCG@{TOP_K} for the exact cosine top-{TOP_K}
+        (relevant = same label as the query, q214's convention; ideal DCG
+        truncates the per-label relevant pool at k).
+
+        Scale shape: rides q29's retrieval output (k rows/query); the
+        relevant-pool size is one broadcast label-count join. All metric
+        arithmetic is exact fixed-point BIGINT (literal discounts shared
+        by both engines); the single float division happens once per
+        query row. At 100 TB the same audit runs over an eval sample
+        against the ANN path, exactly like q200/q214.
+        """
+        nn = q29_knn_brute(spark, sf_dir).select("query_id", "neighbor_id", "rn")
+        lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+        j = (
+            nn.join(
+                F.broadcast(lab.select(F.col("vec_id").alias("query_id"),
+                                       F.col("label").alias("qlabel"))),
+                "query_id",
+            )
+            .join(
+                F.broadcast(lab.select(F.col("vec_id").alias("neighbor_id"),
+                                       F.col("label").alias("nlabel"))),
+                "neighbor_id",
+            )
+            .select(
+                "query_id", "rn",
+                (F.col("qlabel") == F.col("nlabel")).cast("int").alias("rel"),
+            )
+        )
+        per_q = j.groupBy("query_id").agg(
+            F.sum(F.col("rel") * F.expr(_DCG_CASE)).cast("long").alias("dcg_fp"),
+            F.min(F.when(F.col("rel") == 1, F.col("rn"))).alias("first_rel_rank"),
+        )
+        q_lab = lab.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+        )
+        pool = (
+            q_lab.join(
+                F.broadcast(lab.select(F.col("vec_id").alias("cid"),
+                                       F.col("label").alias("clabel"))),
+                (F.col("qlabel") == F.col("clabel"))
+                & (F.col("cid") != F.col("query_id")),
+            )
+            .groupBy("query_id")
+            .agg(F.count("*").cast("long").alias("n_rel"))
+        )
+        out = per_q.join(F.broadcast(pool), "query_id", "left").withColumn(
+            "n_rel", F.coalesce(F.col("n_rel"), F.lit(0).cast("long"))
+        )
+        idcg = F.expr(_IDCG_CASE)
+        return out.select(
+            "query_id",
+            "n_rel",
+            F.col("first_rel_rank").cast("long").alias("first_rel_rank"),
+            F.expr(_MRR_CASE).cast("long").alias("mrr_fp"),
+            "dcg_fp",
+            idcg.cast("long").alias("idcg_fp"),
+            (
+                F.col("dcg_fp").cast("double")
+                / F.nullif(idcg.cast("double"), F.lit(0.0))
+            ).alias("ndcg"),
+        )
+
+
+_register_q228()

@@ -1838,3 +1838,146 @@ def q225_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_f))
         .select("doc_id", "sparse_rn", "dense_rn", "rrf_score", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q229 — passage-level retrieval with MaxP doc rollup (Dai & Callan 2019:
+# score each PASSAGE, rank documents by their best passage — the standard
+# fix for long-document retrieval where whole-doc term statistics drown
+# local relevance). Chunks are q77's overlapping token windows; the scorer
+# is q49's rational BM25 evaluated at CHUNK granularity (chunk-level dl,
+# avgdl, df, N).
+# ---------------------------------------------------------------------------
+
+_MAXP_CHUNK_TOKENS = 32
+_MAXP_STRIDE = 24
+_MAXP_TOP = 20
+
+
+@register(
+    "q229_maxp_chunk_retrieval",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    ch AS (
+        SELECT doc_id,
+               CAST((s.start - 1) // {_MAXP_STRIDE} AS BIGINT) AS chunk_idx,
+               l[s.start : s.start + {_MAXP_CHUNK_TOKENS} - 1] AS cl
+        FROM tok, unnest(generate_series(1, len(l), {_MAXP_STRIDE})) AS s(start)
+        WHERE s.start = 1
+           OR s.start - {_MAXP_STRIDE} + {_MAXP_CHUNK_TOKENS} - 1 < len(l)
+    ),
+    t AS (
+        SELECT doc_id, chunk_idx,
+               CAST(len(cl) AS BIGINT) AS dl,
+               {", ".join(
+                   f"CAST(len(list_filter(cl, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+                   for i, t in enumerate(BM25_TERMS)
+               )}
+        FROM ch
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+               {", ".join(
+                   f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+                   for i in range(len(BM25_TERMS))
+               )}
+        FROM t
+    ),
+    s AS (
+        SELECT doc_id, chunk_idx, {_BM25_SCORE} AS score
+        FROM t, g
+        WHERE {" + ".join(f"tf{i}" for i in range(len(BM25_TERMS)))} > 0
+    ),
+    best AS (
+        SELECT doc_id, chunk_idx AS best_chunk_idx, score FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, chunk_idx) AS crn
+            FROM s
+        ) WHERE crn = 1
+    )
+    SELECT doc_id, best_chunk_idx, score, rn FROM (
+        SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        FROM best
+    ) WHERE rn <= {_MAXP_TOP}
+    """,
+)
+def q229_maxp_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxP top-{_MAXP_TOP}: rank documents by their best-scoring
+    {_MAXP_CHUNK_TOKENS}-token chunk under chunk-granular BM25 (q49's
+    fixed keyword query; chunk-level N/avgdl/df statistics).
+
+    Scale shape: chunking is q77's narrow row-expanding map (fan-out ≤
+    ceil(tokens/stride) per doc, no shuffle); chunk stats are ONE
+    single-row aggregate broadcast back; the per-doc argmax is a
+    map-side-combinable window bounded by each doc's own chunks; the doc
+    ranking is TakeOrderedAndProject. At 100 TB this is exactly how a
+    passage index prices: the chunk explosion stays pipelined into the
+    scoring scan — chunks never materialize corpus-wide.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("l"))
+    ch = (
+        toks.select(
+            "doc_id",
+            "l",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("l"), F.lit(1)),
+                    F.lit(_MAXP_STRIDE),
+                )
+            ).alias("start"),
+        )
+        .where(
+            (F.col("start") == 1)
+            | (
+                F.col("start") - _MAXP_STRIDE + _MAXP_CHUNK_TOKENS - 1
+                < F.size("l")
+            )
+        )
+        .select(
+            "doc_id",
+            F.expr(f"CAST((start - 1) DIV {_MAXP_STRIDE} AS BIGINT)").alias(
+                "chunk_idx"
+            ),
+            F.expr(f"slice(l, start, {_MAXP_CHUNK_TOKENS})").alias("cl"),
+        )
+    )
+    t = ch.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("cl").cast("long").alias("dl"),
+        *[
+            F.size(F.filter(F.col("cl"), _token_eq(t))).cast("long").alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    g = t.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    any_tf = sum(F.col(f"tf{i}") for i in range(len(BM25_TERMS)))
+    s = (
+        t.where(any_tf > 0)
+        .crossJoin(F.broadcast(g))
+        .withColumn("score", F.expr(_BM25_SCORE))
+        .select("doc_id", "chunk_idx", "score")
+    )
+    w_c = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "chunk_idx")
+    best = (
+        s.withColumn("crn", F.row_number().over(w_c))
+        .where(F.col("crn") == 1)
+        .select("doc_id", F.col("chunk_idx").alias("best_chunk_idx"), "score")
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        best.orderBy(F.col("score").desc(), "doc_id")
+        .limit(_MAXP_TOP)
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "best_chunk_idx", "score", "rn")
+    )

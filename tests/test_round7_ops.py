@@ -183,3 +183,93 @@ def test_q227_no_false_straddle_when_inside_pack(spark, tmp_path):
     assert sum(r.n_straddling for r in out) == 0
     assert sum(r.n_contam_occ for r in out) == 1
     compare_query(spark, sf, "q227_packing_contamination")
+
+
+# ---------------------------------------------------------------------------
+# q228 — MRR / nDCG fixed-point metrics
+# ---------------------------------------------------------------------------
+
+
+def _emb_fixture_dir(tmp_path, emb: pd.DataFrame) -> str:
+    import os
+
+    d = tmp_path / "sf_emb228"
+    d.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        os.symlink(os.path.join(SF_SRC, f"{t}.parquet"), d / f"{t}.parquet")
+    emb.to_parquet(d / "embeddings.parquet", index=False)
+    return str(d)
+
+
+def test_q228_metrics_exact_on_constructed_ranking(spark, tmp_path):
+    """Query 0 with a KNOWN top-5 relevance pattern [0,1,0,1,1]:
+    dcg = D2+D4+D5, first relevant at rank 2 → mrr 500000, 3 relevant
+    in the pool → idcg = P[3]."""
+    import numpy as np
+
+    rows = []
+
+    def vec(hot, mag=1.0, extra=None):
+        v = np.zeros(64, dtype="float32")
+        v[hot] = mag
+        if extra is not None:
+            v[extra[0]] = extra[1]
+        return v.tolist()
+
+    # 10 query vectors on basis dims 0..9 (N_QUERIES convention)
+    for q in range(10):
+        rows.append((q, vec(q), 1 if q == 0 else 100 + q))
+    # 5 candidates with strictly decreasing cosine to query 0 and the
+    # relevance pattern [0,1,0,1,1] w.r.t. label 1
+    sims = [0.9, 0.8, 0.7, 0.6, 0.5]
+    labels = [2, 1, 2, 1, 1]
+    for k, (s, lab) in enumerate(zip(sims, labels)):
+        ortho = float(np.sqrt(1.0 - s * s))
+        v = np.zeros(64, dtype="float32")
+        v[0] = s
+        v[20 + k] = ortho
+        rows.append((10 + k, v.tolist(), lab))
+    emb = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    emb["vec_id"] = emb["vec_id"].astype("int64")
+    emb["label"] = emb["label"].astype("int32")
+    sf = _emb_fixture_dir(tmp_path, emb)
+    out = {r.query_id: r for r in _run(spark, sf, "q228_retrieval_metrics").collect()}
+    r0 = out[0]
+    assert r0.first_rel_rank == 2
+    assert r0.mrr_fp == 500000
+    assert r0.dcg_fp == 630930 + 430677 + 386853
+    assert r0.n_rel == 3
+    assert r0.idcg_fp == 2130930  # P[3]
+    assert r0.ndcg == pytest.approx(r0.dcg_fp / r0.idcg_fp, abs=0.0)
+    compare_query(spark, sf, "q228_retrieval_metrics")
+
+
+# ---------------------------------------------------------------------------
+# q229 — MaxP chunk retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_q229_dense_chunk_beats_scattered_terms(spark, tmp_path):
+    """A doc whose query terms co-occur inside ONE 32-token chunk must
+    outrank a doc with the same terms scattered one-per-chunk — the MaxP
+    property whole-doc BM25 cannot express (doc-level tf is identical)."""
+    filler = ["lorem"] * 100
+    dense = filler + ["spark", "table", "hash"] + filler
+    scattered = (
+        ["spark"] + filler[:40] + ["table"] + filler[:40] + ["hash"] + filler
+    )
+    docs = _docs(
+        [
+            (1, " ".join(dense), "en", "a"),
+            (2, " ".join(scattered), "en", "b"),
+            (3, " ".join(filler), "en", "c"),
+        ]
+    )
+    sf = _fixture_dir(tmp_path, docs)
+    rows = {r.doc_id: r for r in _run(spark, sf, "q229_maxp_chunk_retrieval").collect()}
+    assert 1 in rows and 2 in rows, "both term-bearing docs must rank"
+    assert rows[1].rn < rows[2].rn, "co-occurring chunk must win MaxP"
+    assert 3 not in rows, "term-free doc must not appear"
+    compare_query(spark, sf, "q229_maxp_chunk_retrieval")
