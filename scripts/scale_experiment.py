@@ -149,6 +149,8 @@ QUERIES = [
     "q225_hybrid_rrf_fusion",
     "q226_substring_lcs_dedup",
     "q227_packing_contamination",
+    "q228_retrieval_metrics",
+    "q229_maxp_chunk_retrieval",
     # round-6 second tranche: DSIR bigram selection (two corpus passes),
     # Gopher rule battery (one map pass), embedding-norm QA (label-keyed
     # order statistic), MinHash calibration (rides the memoized LSH state)
