@@ -1302,33 +1302,33 @@ _DEL_MOD = 131  # deletion-request rule: doc_id % 131 == 0
     )
     SELECT 'documents' AS artifact,
            CAST(count(*) AS BIGINT) AS n_before,
-           CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
-           CAST(count(*) - sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(COALESCE(sum(CASE WHEN dead THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_purged,
+           CAST(count(*) - COALESCE(sum(CASE WHEN dead THEN 1 ELSE 0 END), 0) AS BIGINT)
                AS n_after,
-           sum(CASE WHEN dead THEN 1 ELSE 0 END)
+           COALESCE(sum(CASE WHEN dead THEN 1 ELSE 0 END), 0)
                = (SELECT count(*) FROM tomb) AS clean
     FROM d
     UNION ALL
     SELECT 'chunks',
-           CAST(sum((ntok - 1) // {_CHUNK_STRIDE} + 1) AS BIGINT),
-           CAST(sum(CASE WHEN dead THEN (ntok - 1) // {_CHUNK_STRIDE} + 1
-                         ELSE 0 END) AS BIGINT),
-           CAST(sum(CASE WHEN dead THEN 0
-                         ELSE (ntok - 1) // {_CHUNK_STRIDE} + 1 END) AS BIGINT),
+           CAST(COALESCE(sum((ntok - 1) // {_CHUNK_STRIDE} + 1), 0) AS BIGINT),
+           CAST(COALESCE(sum(CASE WHEN dead THEN (ntok - 1) // {_CHUNK_STRIDE} + 1
+                         ELSE 0 END), 0) AS BIGINT),
+           CAST(COALESCE(sum(CASE WHEN dead THEN 0
+                         ELSE (ntok - 1) // {_CHUNK_STRIDE} + 1 END), 0) AS BIGINT),
            true
     FROM d
     UNION ALL
     SELECT 'postings',
            CAST(count(*) AS BIGINT),
-           CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT),
-           CAST(count(*) - sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COALESCE(sum(CASE WHEN dead THEN 1 ELSE 0 END), 0) AS BIGINT),
+           CAST(count(*) - COALESCE(sum(CASE WHEN dead THEN 1 ELSE 0 END), 0) AS BIGINT),
            true
     FROM post
     UNION ALL
     SELECT 'embeddings',
            CAST(count(*) AS BIGINT),
-           CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT),
-           CAST(count(*) - sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COALESCE(sum(CASE WHEN dead THEN 1 ELSE 0 END), 0) AS BIGINT),
+           CAST(count(*) - COALESCE(sum(CASE WHEN dead THEN 1 ELSE 0 END), 0) AS BIGINT),
            true
     FROM emb
     """,
@@ -2173,7 +2173,8 @@ def q153_systematic_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFra
         "doc_id", "source", F.col("n_chars").alias("w")
     )
     max_id = d.agg(F.max("doc_id")).first()[0]  # scalar, driver-sized
-    span = max(1, (int(max_id) + _SYS_BUCKETS) // _SYS_BUCKETS)
+    # max over an empty corpus is NULL → any span works (zero rows bucket)
+    span = max(1, (int(max_id or 0) + _SYS_BUCKETS) // _SYS_BUCKETS)
     d = d.withColumn("bkt", (F.col("doc_id") / span).cast("long"))
 
     sub = d.groupBy("bkt").agg(F.sum("w").alias("bw"))
@@ -2251,7 +2252,10 @@ def q153_systematic_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFra
     w AS (SELECT *, n_docs * sd_floor AS weight FROM v),
     t AS (SELECT CAST(sum(weight) AS BIGINT) AS total_w FROM w)
     SELECT w.source, w.n_docs, w.var_num, w.sd_floor,
-           CAST(w.weight * 10000 // t.total_w AS BIGINT) AS share_bp
+           -- NULLIF: all-singleton strata have zero total variance
+           -- weight; the share is undefined → NULL on both engines
+           CAST(w.weight * 10000 // NULLIF(t.total_w, 0) AS BIGINT)
+               AS share_bp
     FROM w, t
     """,
 )
@@ -2285,7 +2289,7 @@ def q159_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "var_num",
         "sd_floor",
-        F.expr("weight * 10000 div total_w").alias("share_bp"),
+        F.expr("weight * 10000 div NULLIF(total_w, 0)").alias("share_bp"),
     )
 
 
@@ -2323,7 +2327,10 @@ _MERKLE_FAN = 64
         FROM l1 GROUP BY b2
     ),
     root AS (
-        SELECT md5(string_agg(h, '' ORDER BY b2)) AS h FROM l2
+        -- COALESCE: the empty corpus's root is md5('') — Spark's
+        -- array_join over an empty collect_list is '' while string_agg
+        -- over zero rows is NULL (empty-corpus contract)
+        SELECT md5(COALESCE(string_agg(h, '' ORDER BY b2), '')) AS h FROM l2
     )
     SELECT 'L2:' || CAST(b2 AS VARCHAR) AS node, h FROM l2
     UNION ALL
@@ -2909,11 +2916,16 @@ def _funnel_counts(staged: DataFrame) -> DataFrame:
     ]
     aggs = []
     for i, c in enumerate(conds):
+        # COALESCE: sum over an empty corpus is NULL; the funnel's empty
+        # stages are 0 on both engines (empty-corpus contract)
         aggs.append(
-            F.sum(F.when(c, 1).otherwise(0)).cast("bigint").alias(f"n{i}")
+            F.coalesce(F.sum(F.when(c, 1).otherwise(0)), F.lit(0))
+            .cast("bigint").alias(f"n{i}")
         )
         aggs.append(
-            F.sum(F.when(c, F.col("est_tokens")).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(c, F.col("est_tokens")).otherwise(0)), F.lit(0)
+            )
             .cast("bigint")
             .alias(f"t{i}")
         )
@@ -3057,7 +3069,7 @@ def _register_q218() -> None:
         funnel AS (
             SELECT
                 CAST(count(*) AS BIGINT) AS n0,
-                CAST(sum(est_tokens) AS BIGINT) AS t0,
+                CAST(coalesce(sum(est_tokens), 0) AS BIGINT) AS t0,
                 CAST(count(*) FILTER (f_lang) AS BIGINT) AS n1,
                 CAST(coalesce(sum(est_tokens) FILTER (f_lang), 0)
                      AS BIGINT) AS t1,

@@ -554,6 +554,9 @@ def q10b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    -- empty-corpus contract: Spark's ROLLUP/CUBE/GROUPING SETS emit
+    -- ZERO rows on empty input (no grand-total row); pin that shape
+    HAVING count(*) > 0
     """,
 )
 def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,6 +576,9 @@ def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            {dsum('l_extendedprice')} AS sum_price
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    -- empty-corpus contract: Spark's ROLLUP/CUBE/GROUPING SETS emit
+    -- ZERO rows on empty input (no grand-total row); pin that shape
+    HAVING count(*) > 0
     """,
 )
 def q11b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -590,6 +596,9 @@ def q11b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            {dsum('l_quantity')} AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    -- empty-corpus contract: Spark's ROLLUP/CUBE/GROUPING SETS emit
+    -- ZERO rows on empty input (no grand-total row); pin that shape
+    HAVING count(*) > 0
     """,
 )
 def q11c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -729,7 +738,11 @@ def q18b_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sxx"),
         F.count("*").alias("n"),
     )
-    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    # NULLIF: sample variance is undefined at n=1 (the oracle's x/0 is
+    # NULL; ANSI Spark would raise) — NULL on both engines
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.nullif(
+        (F.col("n") - 1).cast("double"), F.lit(0.0)
+    )
     return s.select(
         "l_returnflag",
         var.alias("var_qty"),
@@ -1595,12 +1608,19 @@ def q27d_grouped_map_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = len(vc)
         s = float(vc.sum())
         ss = float((vc * vc).sum())
-        std = math.sqrt((ss - s * s / n) / (n - 1))
+        # n=1 (or zero-variance) group: z-score is undefined — NULL on
+        # both engines (the oracle's x/0 is NULL; raw Python would raise
+        # ZeroDivisionError). Nullable Float64 ships a real null, not NaN.
+        var = (ss - s * s / n) / (n - 1) if n > 1 else 0.0
+        if var > 0.0:
+            z = (vc.astype("float64") - s / n) / math.sqrt(var)
+        else:
+            z = pd.array([None] * n, dtype="Float64")
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "event_type": pdf["event_type"],
-                "zscore": (vc.astype("float64") - s / n) / std,
+                "zscore": pd.array(z, dtype="Float64"),
             }
         )
 
@@ -2507,8 +2527,11 @@ _CORR_MOMENTS = (
     "CAST(SUM(CAST(xc AS DECIMAL(38,0)) * CAST(xc AS DECIMAL(38,0))) AS DOUBLE) AS sxx, "
     "CAST(SUM(CAST(yc AS DECIMAL(38,0)) * CAST(yc AS DECIMAL(38,0))) AS DOUBLE) AS syy"
 )
+# NULLIF: a single-row (or zero-variance) group has a 0 denominator —
+# correlation is undefined there, NULL on both engines (n=1 contract)
 _CORR_R = (
-    "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+    "(n * sxy - sx * sy) / NULLIF("
+    "sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0.0)"
 )
 
 
@@ -2970,8 +2993,8 @@ def _q140_oracle() -> str:
         f" {n - 1}) AS INTEGER)"
     )
     cols = ", ".join(
-        f"CAST(sum(CASE WHEN {bucket} = {i} THEN 1 ELSE 0 END) AS BIGINT)"
-        f" AS b{i}"
+        f"CAST(COALESCE(sum(CASE WHEN {bucket} = {i} THEN 1 ELSE 0 END), 0)"
+        f" AS BIGINT) AS b{i}"
         for i in range(n)
     )
     return f"SELECT {cols}, CAST(count(*) AS BIGINT) AS n_rows FROM events"
@@ -3038,9 +3061,14 @@ def q140_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT * FROM ssps_partial_hist(TABLE(ssps_events_hist_v), "
         f"{n_b}, {_UDTF_HIST_LO}D, {_UDTF_HIST_HI}D)"
     )
+    # coalesce: zero partial rows (empty corpus) → all-zero histogram on
+    # both engines, not NULLs (empty-corpus contract)
     return partials.agg(
-        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(n_b)],
-        F.sum("n_rows").alias("n_rows"),
+        *[
+            F.coalesce(F.sum(f"b{i}"), F.lit(0)).cast("long").alias(f"b{i}")
+            for i in range(n_b)
+        ],
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
     )
 
 
@@ -3221,7 +3249,11 @@ def q176_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("value") < 10, None).otherwise(F.col("value")).alias("v"),
         "event_type",
     )
-    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    # coalesce: sum over an empty corpus is NULL where the oracle's
+    # count(*) FILTER is 0 — every rule trivially holds at n=0
+    cnt = lambda c: F.coalesce(  # noqa: E731
+        F.sum(F.when(c, 1).otherwise(0)), F.lit(0)
+    ).cast("long")
     a = e.agg(
         F.count("*").alias("n_rows"),
         cnt(F.col("v").isNull()).alias("n_null"),
@@ -3443,6 +3475,9 @@ def q196_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS total_price
     FROM orders
     GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    -- empty-corpus contract: Spark's ROLLUP/CUBE/GROUPING SETS emit
+    -- ZERO rows on empty input (no grand-total row); pin that shape
+    HAVING count(*) > 0
     """,
 )
 def q209_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:

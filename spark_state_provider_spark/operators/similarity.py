@@ -188,8 +188,11 @@ def q29b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", norm(F.col("v")))
     )
     # derive the dimension from the data — a hardcoded dim would make
-    # zip_with null-pad on mismatch and silently empty every bucket
-    dim = len(emb.select("v").first()["v"])
+    # zip_with null-pad on mismatch and silently empty every bucket.
+    # Empty corpus: no row to probe → fall back to _EMB_DIM (any plane
+    # set buckets zero vectors identically: the result is empty anyway).
+    _row = emb.select("v").first()
+    dim = len(_row["v"]) if _row is not None and _row["v"] is not None else _EMB_DIM
     if dim != _EMB_DIM:
         # the DuckDB oracle bakes _EMB_DIM-dim plane literals at import
         # time; a silent divergence here would read as a bogus mismatch
@@ -966,7 +969,8 @@ def q91_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("nrm", norm(F.col("v")))
     )
-    dim = len(emb.select("v").first()["v"])
+    _row = emb.select("v").first()  # None on an empty corpus → default dim
+    dim = len(_row["v"]) if _row is not None and _row["v"] is not None else _EMB_DIM
     if dim != _EMB_DIM:
         raise ValueError(
             f"embedding dim {dim} != _EMB_DIM {_EMB_DIM}; update _EMB_DIM so "

@@ -74,7 +74,9 @@ def q02d_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _out(sf_dir, "part_parquet")
     o = load_table(spark, sf_dir, "orders").where("o_orderstatus = 'O'")
     o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
-    back = spark.read.parquet(out)
+    # explicit schema: a zero-row partitioned write emits no data files,
+    # so schema inference on read-back would fail (empty-corpus contract)
+    back = spark.read.schema(o.schema).parquet(out)
     return back.groupBy("o_orderpriority").count().withColumnRenamed("count", "n")
 
 
@@ -403,8 +405,12 @@ _COMPACT_TARGET = 4  # compacted output files
 @register(
     "q89_small_file_compaction",
     oracle=f"""
-    SELECT CAST({_COMPACT_SHARDS} AS BIGINT) AS files_before,
-           CAST({_COMPACT_TARGET} AS BIGINT) AS files_after,
+    -- Spark writes a file only for NON-EMPTY partitions: a corpus
+    -- smaller than the shard count produces one file per row (round
+    -- robin), and an empty corpus produces zero files — the layout
+    -- prediction is least(rows, shards) on both sides
+    SELECT CAST(least(count(*), {_COMPACT_SHARDS}) AS BIGINT) AS files_before,
+           CAST(least(count(*), {_COMPACT_TARGET}) AS BIGINT) AS files_after,
            count(*) AS n_rows,
            bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),
                     1, 12))::BIGINT) AS content_fp
@@ -528,13 +534,20 @@ def q139_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(out, "_MANIFEST.json")) as f:
         manifest = json.load(f)
     committed = [os.path.join(out, name) for name in manifest["files"]]
+    # guard zero-size committed files: an empty corpus commits empty
+    # files, and read.csv would infer 0 columns → toDF arity error
+    nonempty = [p for p in committed if os.path.getsize(p) > 0]
     back = (
-        spark.read.csv(committed, sep="\t", header=False)
+        spark.read.csv(nonempty, sep="\t", header=False)
         .toDF("source", "n_docs", "n_chars")
         .select(
             "source",
             F.col("n_docs").cast("long"),
             F.col("n_chars").cast("long"),
+        )
+        if nonempty
+        else spark.createDataFrame(
+            [], "source string, n_docs long, n_chars long"
         )
     )
     return back
@@ -881,13 +894,15 @@ def q162_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write("ok")
 
     types = ("view", "click")
+    # explicit schema: zero-row partitioned writes emit no data files, so
+    # inference would fail on an empty corpus (empty-corpus contract)
     g1 = (
-        spark.read.parquet(gen1)
+        spark.read.schema(ev.schema).parquet(gen1)
         .where(F.col("event_type").isin(*types))
         .select("day", "event_type", "value")
     )
     g2 = (
-        spark.read.parquet(gen2)
+        spark.read.schema(ev.schema).parquet(gen2)
         .where(F.col("event_type").isin(*types))
         .select("day", "event_type", "value")
     )
@@ -944,7 +959,9 @@ def q168_file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(os.path.join(base, "_SSPS_DONE"), "w") as f:
             f.write("ok")
 
-    back = spark.read.parquet(out).select(
+    # explicit schema (zero-row partitioned write emits no data files);
+    # the _metadata hidden struct stays available under a user schema
+    back = spark.read.schema(ev.schema).parquet(out).select(
         F.to_date("ts").alias("row_day"),
         F.regexp_extract(F.col("_metadata.file_path"), r"day=([0-9-]+)", 1)
         .cast("date")

@@ -248,8 +248,8 @@ def _q148_oracle() -> str:
     ctes = ["r0 AS (SELECT CAST(floor(c_acctbal * 100) AS BIGINT) AS cents FROM customer)"]
     for i in range(_SCRIPT_ROUNDS):
         ctes.append(
-            f"t{i} AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS thr"
-            f" FROM r{i})"
+            f"t{i} AS (SELECT CAST(COALESCE(sum(cents) // count(*), 0)"
+            f" AS BIGINT) AS thr FROM r{i})"
         )
         ctes.append(
             f"r{i + 1} AS (SELECT cents FROM r{i}"
@@ -291,7 +291,9 @@ def q148_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(_SCRIPT_ROUNDS):
         script_rounds.append(
             f"  SET n{i} = (SELECT count(*) FROM ssps_script_r{i});\n"
-            f"  SET thr = (SELECT sum(cents) DIV count(*) "
+            # COALESCE: an empty population has a NULL mean, which would
+            # make the spliced view text NULL and crash EXECUTE IMMEDIATE
+            f"  SET thr = (SELECT COALESCE(sum(cents) DIV count(*), 0) "
             f"FROM ssps_script_r{i});\n"
             f"  EXECUTE IMMEDIATE 'CREATE OR REPLACE TEMPORARY VIEW "
             f"ssps_script_r{i + 1} AS SELECT cents FROM ssps_script_r{i} "
@@ -488,6 +490,9 @@ def q173_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
                AS sum_cents
     FROM events
+    -- empty-corpus contract: Spark's GROUP BY emits only OBSERVED
+    -- groups; this constant-literal projection must do the same
+    HAVING count(*) > 0
     """,
 )
 def q177_ddl_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:

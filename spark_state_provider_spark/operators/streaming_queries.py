@@ -1494,11 +1494,14 @@ def q155_stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             committed.extend(
                 os.path.join(out, name) for name in json.load(f)["files"]
             )
+    # guard on the NON-EMPTY file list, not the manifest list: an empty
+    # stream commits manifests whose files are all zero bytes, and
+    # read.csv([]) cannot infer a schema (empty-corpus contract)
+    nonempty = [p for p in committed if os.path.getsize(p) > 0]
     back = (
-        spark.read.csv([p for p in committed if os.path.getsize(p) > 0],
-                       sep="\t", header=False)
+        spark.read.csv(nonempty, sep="\t", header=False)
         .toDF("event_id", "event_type", "cents")
-        if committed
+        if nonempty
         else spark.createDataFrame([], "event_id string, event_type string, cents string")
     )
     return back.groupBy("event_type").agg(
@@ -2463,7 +2466,8 @@ def _q184_oracle() -> str:
         FROM l1 GROUP BY b2
     ),
     root AS (
-        SELECT md5(string_agg(h, '' ORDER BY b2)) AS h FROM l2
+        -- COALESCE: root-of-empty-corpus = md5('') (q178's convention)
+        SELECT md5(COALESCE(string_agg(h, '' ORDER BY b2), '')) AS h FROM l2
     )
     SELECT 'L2:' || CAST(b2 AS VARCHAR) AS node, h FROM l2
     UNION ALL
@@ -2511,10 +2515,12 @@ def q184_stream_merkle_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         leaves.write.mode("append").partitionBy("b1").parquet(leaf_dir)
         touched = [r.b1 for r in leaves.select("b1").distinct().collect()]
         leaves.unpersist()
-        # partition-pruned reread of ONLY the touched buckets
-        all_leaves = spark.read.parquet(leaf_dir).where(
-            F.col("b1").isin(touched)
-        )
+        # partition-pruned reread of ONLY the touched buckets (explicit
+        # schema: an all-empty batch appends no files — empty-corpus
+        # contract)
+        all_leaves = spark.read.schema(
+            "doc_id bigint, h string, b1 bigint"
+        ).parquet(leaf_dir).where(F.col("b1").isin(touched))
         l1 = all_leaves.groupBy("b1").agg(
             F.md5(
                 F.array_join(
@@ -2548,7 +2554,7 @@ def q184_stream_merkle_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
             else:
                 spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
-    l1 = spark.read.parquet(l1_dir).withColumn(
+    l1 = spark.read.schema("h string, b1 bigint").parquet(l1_dir).withColumn(
         "b2", F.expr(f"b1 div {_MERKLE_FAN}")
     )
     l2 = l1.groupBy("b2").agg(
