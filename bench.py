@@ -257,6 +257,7 @@ HEADLINE = [
     "q227_packing_contamination",
     "q228_retrieval_metrics",
     "q229_maxp_chunk_retrieval",
+    "q230_stream_substring_dedup",
 ]
 
 

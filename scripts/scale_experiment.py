@@ -151,6 +151,7 @@ QUERIES = [
     "q227_packing_contamination",
     "q228_retrieval_metrics",
     "q229_maxp_chunk_retrieval",
+    "q230_stream_substring_dedup",
     # round-6 second tranche: DSIR bigram selection (two corpus passes),
     # Gopher rule battery (one map pass), embedding-norm QA (label-keyed
     # order statistic), MinHash calibration (rides the memoized LSH state)

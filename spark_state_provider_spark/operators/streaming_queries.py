@@ -2861,3 +2861,199 @@ def _register_q220() -> None:
 
 
 _register_q220()
+
+
+# ---------------------------------------------------------------------------
+# q230 — STREAMING exact-substring dedup: q226's suffix-anchor LCS run
+# incrementally against a persisted corpus anchor index, one crawl
+# micro-batch at a time (the q78/q114 incremental-dedup pattern applied
+# to ExactSubstr semantics). Each incoming doc is compared against the
+# CORPUS only — pairs never span two batches, so the drained result is
+# batch-count-independent and the batch oracle replays it exactly.
+# ---------------------------------------------------------------------------
+
+_Q230_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _register_q230() -> None:
+    from spark_state_provider_spark.operators.dedup import (
+        _INC_MOD,
+        _SUB_DF_CAP,
+        _SUB_K,
+        _SUB_MIN,
+    )
+
+    @register(
+        "q230_stream_substring_dedup",
+        oracle=f"""
+        WITH g AS (
+            SELECT doc_id, i, substr(text, i, {_SUB_K}) AS gram
+            FROM documents,
+                 unnest(generate_series(1, length(text) - {_SUB_K - 1}))
+                     AS t(i)
+            WHERE length(text) >= {_SUB_K}
+        ),
+        corpus AS (SELECT * FROM g WHERE doc_id % {_INC_MOD} <> 0),
+        df AS (
+            SELECT gram, count(DISTINCT doc_id) AS df
+            FROM corpus GROUP BY gram
+        ),
+        idx AS (
+            SELECT c.* FROM corpus c JOIN df USING (gram)
+            WHERE df.df <= {_SUB_DF_CAP}
+        ),
+        inc AS (SELECT * FROM g WHERE doc_id % {_INC_MOD} = 0),
+        m AS (
+            SELECT DISTINCT i.doc_id AS doc_id, x.doc_id AS corpus_doc,
+                   i.i AS pa, i.i - x.i AS diag
+            FROM inc i JOIN idx x USING (gram)
+        ),
+        isl AS (
+            SELECT doc_id, corpus_doc, diag, pa,
+                   pa - row_number() OVER (
+                       PARTITION BY doc_id, corpus_doc, diag
+                       ORDER BY pa) AS grp
+            FROM m
+        ),
+        runs AS (
+            SELECT doc_id, corpus_doc, CAST(count(*) AS BIGINT) AS run
+            FROM isl GROUP BY doc_id, corpus_doc, diag, grp
+        )
+        SELECT doc_id, corpus_doc,
+               CAST({_SUB_K} + max(run) - 1 AS BIGINT) AS lcs_len
+        FROM runs
+        GROUP BY doc_id, corpus_doc
+        HAVING {_SUB_K} + max(run) - 1 >= {_SUB_MIN}
+        """,
+    )
+    def q230_stream_substring_dedup(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per incoming doc ({N_BATCHES} crawl micro-batches): every
+        corpus doc it shares an exact substring of ≥ {_SUB_MIN} chars
+        with, and the exact longest length — ExactSubstr dedup AT INGEST
+        (Lee et al. 2022), without re-anchoring the corpus per batch.
+
+        Scale shape: the anchor index ({_SUB_K}-char grams + positions,
+        stop-anchor df≤{_SUB_DF_CAP} computed over the CORPUS) is built
+        once, hash-partitioned on the gram and persisted — at 100 TB it
+        is maintained at ingest, bucketed by gram hash, so the per-batch
+        probe is a co-partitioned join where only the (small) batch side
+        shuffles. Diagonal run-length windows are per (new-doc,
+        corpus-doc, diag) — each new doc lives in exactly one batch, so
+        runs never span batches and the emitted set equals the batch
+        oracle regardless of the micro-batch schedule.
+        """
+        import shutil
+
+        from pyspark.storagelevel import StorageLevel
+
+        from spark_state_provider_spark.dfcache import get_or_build
+        from spark_state_provider_spark.streaming.sources import stream_docs
+        from spark_state_provider_spark.tables import load_table
+
+        def _anchors(df: DataFrame) -> DataFrame:
+            return (
+                df.where(F.length("text") >= _SUB_K)
+                .select(
+                    "doc_id",
+                    F.explode(
+                        F.expr(
+                            f"transform(sequence(1, length(text) - {_SUB_K - 1}), "
+                            f"i -> struct(i AS i, substring(text, i, {_SUB_K}) AS gram))"
+                        )
+                    ).alias("x"),
+                )
+                .select(
+                    "doc_id",
+                    F.col("x.i").alias("i"),
+                    F.col("x.gram").alias("gram"),
+                )
+            )
+
+        def build_index() -> DataFrame:
+            corpus = load_table(spark, sf_dir, "documents").where(
+                F.col("doc_id") % _INC_MOD != 0
+            )
+            g = _anchors(corpus.select("doc_id", "text"))
+            df_tbl = g.groupBy("gram").agg(
+                F.count_distinct("doc_id").alias("df")
+            )
+            idx = (
+                g.join(df_tbl, "gram")
+                .where(F.col("df") <= _SUB_DF_CAP)
+                .select(
+                    "gram",
+                    F.col("doc_id").alias("corpus_doc"),
+                    F.col("i").alias("ci"),
+                )
+                .repartition("gram")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            idx.count()  # materialize once; every micro-batch probes it
+            return idx
+
+        idx = get_or_build(_Q230_INDEX_CACHE, spark, (sf_dir,), build_index)
+
+        out_dir, ckpt = _fresh_run_dirs("q230", sf_dir, "out", "ckpt")
+
+        def probe(batch_df: DataFrame, batch_id: int) -> None:
+            from pyspark.sql.window import Window
+
+            b = _anchors(batch_df.select("doc_id", "text"))
+            m = (
+                b.join(idx, "gram")
+                .select(
+                    "doc_id",
+                    "corpus_doc",
+                    F.col("i").alias("pa"),
+                    (F.col("i") - F.col("ci")).alias("diag"),
+                )
+                .distinct()
+            )
+            w = Window.partitionBy("doc_id", "corpus_doc", "diag").orderBy("pa")
+            runs = (
+                m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+                .groupBy("doc_id", "corpus_doc", "diag", "grp")
+                .agg(F.count("*").cast("long").alias("run"))
+            )
+            out = (
+                runs.groupBy("doc_id", "corpus_doc")
+                .agg(
+                    (F.lit(_SUB_K) + F.max("run") - F.lit(1))
+                    .cast("long")
+                    .alias("lcs_len")
+                )
+                .where(F.col("lcs_len") >= _SUB_MIN)
+            )
+            out.write.mode("overwrite").parquet(
+                _batch_subdir(out_dir, batch_id)
+            )
+
+        with _streaming_session(spark):
+            docs = stream_docs(
+                spark, sf_dir, N_BATCHES, tag="substrdedup", mod=_INC_MOD
+            )
+            q = (
+                docs.writeStream.foreachBatch(probe)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                finished = q.awaitTermination(180)
+            finally:
+                q.stop()
+                shutil.rmtree(ckpt, ignore_errors=True)
+            if not finished:
+                raise TimeoutError("q230 stream did not drain within 180s")
+        return _pinned(
+            spark.read.schema(
+                "doc_id bigint, corpus_doc bigint, lcs_len bigint"
+            )
+            .option("recursiveFileLookup", "true")
+            .parquet(out_dir)
+        )
+
+
+_register_q230()

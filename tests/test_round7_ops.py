@@ -273,3 +273,23 @@ def test_q229_dense_chunk_beats_scattered_terms(spark, tmp_path):
     assert rows[1].rn < rows[2].rn, "co-occurring chunk must win MaxP"
     assert 3 not in rows, "term-free doc must not appear"
     compare_query(spark, sf, "q229_maxp_chunk_retrieval")
+
+
+# ---------------------------------------------------------------------------
+# q230 — streaming incremental substring dedup
+# ---------------------------------------------------------------------------
+
+
+def test_q230_spans_batches_and_matches_batch_form(spark):
+    """The drained stream must report pairs for incoming docs from BOTH
+    micro-batches (docs split by doc_id order, so hits from only one
+    half would mean a batch was dropped), and each reported pair must be
+    new-doc × corpus-doc (never corpus×corpus or new×new)."""
+    rows = _run(spark, SF_SRC, "q230_stream_substring_dedup").collect()
+    assert rows, "stock corpus has planted near-dups; stream must find them"
+    from spark_state_provider_spark.operators.dedup import _INC_MOD
+
+    for r in rows:
+        assert r.doc_id % _INC_MOD == 0, "left side must be an incoming doc"
+        assert r.corpus_doc % _INC_MOD != 0, "right side must be corpus"
+    compare_query(spark, SF_SRC, "q230_stream_substring_dedup")
