@@ -273,8 +273,7 @@ def main() -> None:
     # not part of query wall-clock)
     from spark_state_provider_spark.streaming.sources import split_events_dir
 
-    for tag in ("w", "us"):
-        split_events_dir(spark, SF_DIR, 2, tag=tag)
+    split_events_dir(spark, SF_DIR, 2)
 
     # Materialize the session-scoped memoized frames (shingles → verified
     # near-dup pairs → clusters) BEFORE the headline loop, each as its own

@@ -37,12 +37,24 @@ def get_or_build(
     spark: SparkSession,
     suffix: tuple,
     build: Callable[[], DataFrame],
+    exclusive: bool = False,
 ) -> DataFrame:
     """Return ``cache[(app_id, *suffix)]``, building (and persisting, if the
     builder persists) on first use; evict entries from other applications.
+
+    ``exclusive=True`` additionally evicts + unpersists SAME-application
+    entries with a different suffix before building — for heavyweight
+    persisted indexes (q230's anchor index) where holding one copy per
+    sf_dir for the session lifetime would pin executor storage that the
+    current corpus never reads again (round-7 ADVICE). Only-one-live-copy
+    is the right policy when callers work one corpus at a time; leave it
+    off for small memos that tests legitimately alternate across sf_dirs.
     """
     app = session_key(spark)
+    key = (app, *suffix)
     stale = [k for k in cache if k[0] != app]
+    if exclusive:
+        stale += [k for k in cache if k[0] == app and k != key]
     for k in stale:
         val = cache.pop(k)
         dfs = val if isinstance(val, (tuple, list)) else (val,)
@@ -51,7 +63,6 @@ def get_or_build(
                 df.unpersist()
             except Exception:
                 pass  # owning context already stopped — blocks are gone
-    key = (app, *suffix)
     if key not in cache:
         cache[key] = build()
     return cache[key]

@@ -35,10 +35,15 @@ def asof_join(
     join fuzz family. NULL-key left rows bypass the window with a NULL
     value (left-join behavior); NULL-key right rows are dropped.
     """
+    # NULL placeholders take their types from the actual input schemas —
+    # a hardcoded cast would mis-coerce (or fail unionByName) for any
+    # caller whose value/id columns are not LongType (round-7 ADVICE).
+    rv_type = right.schema[right_value].dataType
+    lid_type = left.schema[left_id].dataType
     null_left = left.where(F.col(key).isNull()).select(
         F.col(left_id),
         F.col(key).alias(key),
-        F.lit(None).cast("long").alias(f"asof_{right_value}"),
+        F.lit(None).cast(rv_type).alias(f"asof_{right_value}"),
     )
     left = left.where(F.col(key).isNotNull())
     right = right.where(F.col(key).isNotNull())
@@ -47,13 +52,13 @@ def asof_join(
         F.col(left_ts).alias("t"),
         F.lit(1).alias("is_left"),
         F.col(left_id),
-        F.lit(None).cast("long").alias(right_value),
+        F.lit(None).cast(rv_type).alias(right_value),
     )
     r_ = right.select(
         F.col(key).alias("k"),
         F.col(right_ts).alias("t"),
         F.lit(0).alias("is_left"),
-        F.lit(None).cast("long").alias(left_id),
+        F.lit(None).cast(lid_type).alias(left_id),
         F.col(right_value),
     )
     # right rows sort before left at equal timestamps (is_left asc) => "<="

@@ -2136,6 +2136,14 @@ _NDCG_D = {1: 1000000, 2: 630930, 3: 500000, 4: 430677, 5: 386853}
 _NDCG_P = {1: 1000000, 2: 1630930, 3: 2130930, 4: 2561607, 5: 2948460}
 _MRR_M = {1: 1000000, 2: 500000, 3: 333333, 4: 250000, 5: 200000}
 
+# The tables are literal per-rank constants: a TOP_K change without
+# matching table rows would silently NULL-poison dcg_fp on both engines
+# (the CASE falls through for rn > max rank). Fail loudly at import
+# instead (round-7 ADVICE).
+assert (
+    set(_NDCG_D) == set(_NDCG_P) == set(_MRR_M) == set(range(1, TOP_K + 1))
+), f"q228 fixed-point discount tables must cover ranks 1..{TOP_K} exactly"
+
 _DCG_CASE = "CASE rn " + " ".join(
     f"WHEN {i} THEN {d}" for i, d in _NDCG_D.items()
 ) + " END"

@@ -436,7 +436,16 @@ def q89_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     frag_dir = _out(sf_dir, "frag_parquet")
     compact_dir = _out(sf_dir, "compact_parquet")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs.repartition(_COMPACT_SHARDS).write.mode("overwrite").parquet(frag_dir)
+    # coalesce(1): the oracle's files_before = least(rows, shards) holds
+    # only when round-robin starts from a SINGLE input partition (each
+    # input partition round-robins from an independent offset, so a
+    # multi-file corpus with 1 < rows < shards could land two rows in one
+    # shard). Pinning the input makes the layout contract fixture-proof;
+    # at scale the fragmenter is the simulated INGEST, not the compactor
+    # under test, so the single task is fine (round-7 ADVICE).
+    docs.coalesce(1).repartition(_COMPACT_SHARDS).write.mode(
+        "overwrite"
+    ).parquet(frag_dir)
 
     frag = spark.read.parquet(frag_dir)
     frag.repartitionByRange(_COMPACT_TARGET, "doc_id").write.mode(

@@ -81,7 +81,7 @@ def _streaming_session(spark: SparkSession, state_parts: int | None = None):
 def q21s_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming windowed agg, RocksDB-backed state, 2 micro-batches."""
     with _streaming_session(spark):
-        ev = stream_events(spark, sf_dir, N_BATCHES, tag="w")
+        ev = stream_events(spark, sf_dir, N_BATCHES)
         agg = (
             ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
             .agg(
@@ -110,7 +110,7 @@ def q21s_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicates: keys seen in batch 1 suppress batch 2."""
     with _streaming_session(spark):
-        ev = stream_events(spark, sf_dir, N_BATCHES, tag="d")
+        ev = stream_events(spark, sf_dir, N_BATCHES)
         dedup = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
         return run_to_memory(dedup, "mem_q20s", "append")
 
@@ -140,7 +140,7 @@ def q20s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q23_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked hourly counts: only watermark-closed windows are emitted."""
     with _streaming_session(spark):
-        ev = stream_events(spark, sf_dir, 4, tag="wm")
+        ev = stream_events(spark, sf_dir, 4)
         agg = (
             ev.withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -175,7 +175,7 @@ def q23_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q24s_stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful fold over RocksDB state, 2 micro-batches."""
     with _streaming_session(spark):
-        ev = stream_events(spark, sf_dir, N_BATCHES, tag="us")
+        ev = stream_events(spark, sf_dir, N_BATCHES)
         out = user_statistics_stream(ev)
         return run_upsert_table(out, ["user_id"])
 
@@ -213,7 +213,7 @@ if HAS_TWS_DEPS:
         )
 
         with _streaming_session(spark):
-            ev = stream_events(spark, sf_dir, N_BATCHES, tag="tws")
+            ev = stream_events(spark, sf_dir, N_BATCHES)
             out = user_statistics_transform(ev)
             return run_upsert_table(out, ["user_id"])
 
@@ -244,7 +244,7 @@ if HAS_TWS_DEPS:
         )
 
         with _streaming_session(spark):
-            ev = stream_events(spark, sf_dir, N_BATCHES, tag="twsttl")
+            ev = stream_events(spark, sf_dir, N_BATCHES)
             out = user_statistics_transform(ev, ttl_ms=3600 * 1000)
             return run_upsert_table(out, ["user_id"])
 
@@ -315,7 +315,7 @@ _TTL_US = 3 * 24 * 3600 * 1_000_000
 def q25s_stream_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-stats fold where state expires 3 days after last access."""
     with _streaming_session(spark):
-        ev = stream_events(spark, sf_dir, 4, tag="ttl")
+        ev = stream_events(spark, sf_dir, 4)
         out = user_statistics_stream(ev, ttl_secs=3 * 24 * 3600)
         return run_upsert_table(out, ["user_id"])
 
@@ -367,7 +367,7 @@ def q25s_stream_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22s_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (30-min gap) with a 1-hour watermark."""
     with _streaming_session(spark):
-        ev = stream_events(spark, sf_dir, 4, tag="sess")
+        ev = stream_events(spark, sf_dir, 4)
         agg = (
             ev.withWatermark("ts", "1 hour")
             .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
@@ -389,13 +389,13 @@ def q22s_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def build_click_purchase_join(
-    spark: SparkSession, sf_dir: str, tags: tuple[str, str]
+    spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Shared topology: same-user purchases within 6h after a click —
     the canonical two-sided-state join. Used by q26 AND the join-state
     reader parity test, so both always exercise the identical shape."""
     clicks = (
-        stream_events(spark, sf_dir, N_BATCHES, tag=tags[0])
+        stream_events(spark, sf_dir, N_BATCHES)
         .where(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -404,7 +404,7 @@ def build_click_purchase_join(
         )
     )
     purchases = (
-        stream_events(spark, sf_dir, N_BATCHES, tag=tags[1])
+        stream_events(spark, sf_dir, N_BATCHES)
         .where(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -438,7 +438,7 @@ def build_click_purchase_join(
 def q26_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two streams joined on key + event-time range (state on both sides)."""
     with _streaming_session(spark, state_parts=8):
-        joined = build_click_purchase_join(spark, sf_dir, ("j1", "j2")).select(
+        joined = build_click_purchase_join(spark, sf_dir).select(
             "click_id", "purchase_id", F.col("c_user").alias("user_id")
         )
         return run_to_memory(joined, "mem_q26", "append")
@@ -461,7 +461,7 @@ def q26_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20s2_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup with watermark-bounded state (40-day delay)."""
     with _streaming_session(spark):
-        ev = stream_events(spark, sf_dir, N_BATCHES, tag="dw")
+        ev = stream_events(spark, sf_dir, N_BATCHES)
         dedup = (
             ev.withWatermark("ts", "40 days")
             .dropDuplicatesWithinWatermark(["user_id", "event_type"])
@@ -514,7 +514,7 @@ def q26b_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer stream-stream join (watermarks both sides + time bound)."""
     with _streaming_session(spark, state_parts=8):
         clicks = (
-            stream_events(spark, sf_dir, N_BATCHES, tag="lj1")
+            stream_events(spark, sf_dir, N_BATCHES)
             .where(F.col("event_type") == "click")
             .select(
                 F.col("event_id").alias("click_id"),
@@ -524,7 +524,7 @@ def q26b_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withWatermark("c_ts", "1 hour")
         )
         purchases = (
-            stream_events(spark, sf_dir, N_BATCHES, tag="lj2")
+            stream_events(spark, sf_dir, N_BATCHES)
             .where(F.col("event_type") == "purchase")
             .select(
                 F.col("event_id").alias("purchase_id"),
@@ -567,7 +567,7 @@ def q26c_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_state_provider_spark.tables import load_table
 
     with _streaming_session(spark):
-        ev = stream_events(spark, sf_dir, N_BATCHES, tag="ss")
+        ev = stream_events(spark, sf_dir, N_BATCHES)
         dim = load_table(spark, sf_dir, "customer").select(
             "c_custkey", "c_mktsegment"
         )
@@ -604,7 +604,7 @@ def q26c_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21s2_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding windows, RocksDB-backed state, 2 micro-batches."""
     with _streaming_session(spark):
-        ev = stream_events(spark, sf_dir, N_BATCHES, tag="sw")
+        ev = stream_events(spark, sf_dir, N_BATCHES)
         agg = (
             ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
             .agg(F.count("*").alias("n_events"))
@@ -775,7 +775,7 @@ def _register_q92() -> None:
 
         with _streaming_session(spark):
             docs = stream_docs(
-                spark, sf_dir, N_BATCHES, tag="incdedup", mod=_INC_MOD
+                spark, sf_dir, N_BATCHES, mod=_INC_MOD
             )
             q = (
                 docs.writeStream.foreachBatch(probe)
@@ -850,7 +850,7 @@ def _register_q96() -> None:
             )
 
         with _streaming_session(spark):
-            ev = stream_events(spark, sf_dir, N_BATCHES, tag="shh")
+            ev = stream_events(spark, sf_dir, N_BATCHES)
             q = (
                 ev.writeStream.foreachBatch(fold)
                 .option("checkpointLocation", ckpt)
@@ -972,7 +972,7 @@ def _register_q97() -> None:
             )
 
         with _streaming_session(spark):
-            ev = stream_events(spark, sf_dir, N_BATCHES, tag="anom").select(
+            ev = stream_events(spark, sf_dir, N_BATCHES).select(
                 "event_id",
                 "user_id",
                 F.unix_timestamp("ts").alias("secs"),
@@ -1136,7 +1136,7 @@ def _register_q103() -> None:
             s.unpersist()
 
         with _streaming_session(spark):
-            docs = stream_docs(spark, sf_dir, N_BATCHES, tag="pipe103")
+            docs = stream_docs(spark, sf_dir, N_BATCHES)
             q = (
                 docs.writeStream.foreachBatch(step)
                 .option("checkpointLocation", ckpt)
@@ -1244,7 +1244,7 @@ def _register_q108() -> None:
                 shutil.rmtree(prev, ignore_errors=True)
 
         with _streaming_session(spark):
-            ev = stream_events(spark, sf_dir, N_BATCHES, tag="lb")
+            ev = stream_events(spark, sf_dir, N_BATCHES)
             q = (
                 ev.writeStream.foreachBatch(merge)
                 .option("checkpointLocation", ckpt)
@@ -1396,7 +1396,7 @@ def _register_q114() -> None:
 
         with _streaming_session(spark):
             docs = stream_docs(
-                spark, sf_dir, N_BATCHES, tag="spandedup", mod=_INC_MOD
+                spark, sf_dir, N_BATCHES, mod=_INC_MOD
             )
             q = (
                 docs.writeStream.foreachBatch(probe)
@@ -1473,7 +1473,7 @@ def q155_stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(out, "_ckpt")
 
     with _streaming_session(spark):
-        sdf = stream_events(spark, sf_dir, N_BATCHES, tag="pysink").select(
+        sdf = stream_events(spark, sf_dir, N_BATCHES).select(
             "event_id",
             "event_type",
             F.floor(F.col("value") * 100).cast("long").alias("cents"),
@@ -1669,7 +1669,7 @@ def q158_state_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_chlog = spark.conf.get(chlog_conf, None)
     spark.conf.set(chlog_conf, "true")  # the feed reads the changelogs
     with _streaming_session(spark):
-        ev = stream_events(spark, sf_dir, N_BATCHES, tag="cf158")
+        ev = stream_events(spark, sf_dir, N_BATCHES)
         q = (
             ev.select("user_id", "event_type", F.to_date("ts").alias("day"))
             .dropDuplicates(["user_id", "event_type", "day"])
@@ -1760,7 +1760,7 @@ def q160_stream_fanout_consistency(spark: SparkSession, sf_dir: str) -> DataFram
             delta.unpersist()
 
     with _streaming_session(spark, state_parts=8):
-        sdf = stream_events(spark, sf_dir, N_BATCHES, tag="fanout")
+        sdf = stream_events(spark, sf_dir, N_BATCHES)
         q = (
             sdf.writeStream.foreachBatch(fanout)
             .option("checkpointLocation", ckpt)
@@ -1861,7 +1861,7 @@ def q163_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     with _streaming_session(spark):
-        ev = stream_events_out_of_order(spark, sf_dir, 3, tag="late163")
+        ev = stream_events_out_of_order(spark, sf_dir, 3)
         agg = (
             ev.withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -1916,7 +1916,7 @@ def q166_stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFr
 
     with _streaming_session(spark):
         for _run in range(2):  # second start must be a committed no-op
-            sdf = stream_events(spark, sf_dir, N_BATCHES, tag="restart166").select(
+            sdf = stream_events(spark, sf_dir, N_BATCHES).select(
                 "event_id",
                 "event_type",
                 F.floor(F.col("value") * 100).cast("long").alias("cents"),
@@ -2057,7 +2057,7 @@ def q170_stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign.write.mode("append").parquet(index_dir)
 
     with _streaming_session(spark):
-        sdf = stream_embeddings(spark, sf_dir, N_BATCHES, tag="ivf170")
+        sdf = stream_embeddings(spark, sf_dir, N_BATCHES)
         q = (
             sdf.writeStream.foreachBatch(index_batch)
             .option("checkpointLocation", ckpt)
@@ -2116,7 +2116,7 @@ def q172_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts for closed windows.
     """
     with _streaming_session(spark):
-        ev = stream_events(spark, sf_dir, N_BATCHES, tag="chain172")
+        ev = stream_events(spark, sf_dir, N_BATCHES)
         deduped = (
             ev.withWatermark("ts", "1 hour")
             .withColumn("hour", F.date_trunc("hour", "ts"))
@@ -2181,7 +2181,7 @@ def q175_state_export_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass
     with _streaming_session(spark):
-        ev = stream_events(spark, sf_dir, N_BATCHES, tag="kv175")
+        ev = stream_events(spark, sf_dir, N_BATCHES)
         q = (
             ev.groupBy("event_type")
             .agg(F.count("*").alias("n"))
@@ -2237,11 +2237,11 @@ def q179_stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice is serving-topology-only.
     """
     with _streaming_session(spark, state_parts=8):
-        ev_c = stream_events(spark, sf_dir, N_BATCHES, tag="modes179c")
+        ev_c = stream_events(spark, sf_dir, N_BATCHES)
         agg_c = ev_c.groupBy("event_type").agg(F.count("*").alias("n"))
         complete = run_to_memory(agg_c, "mem_q179_complete", "complete")
 
-        ev_u = stream_events(spark, sf_dir, N_BATCHES, tag="modes179u")
+        ev_u = stream_events(spark, sf_dir, N_BATCHES)
         agg_u = ev_u.groupBy("event_type").agg(F.count("*").alias("n"))
         update = run_upsert_table(agg_u, ["event_type"])
 
@@ -2333,7 +2333,7 @@ def q181_session_timeout_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         # batch-count-independent (same oracle at 2 or 3 slices), so the
         # third slice bought only micro-batch overhead (~1/3 of the round-4
         # bench's most expensive query).
-        ev = stream_events(spark, sf_dir, 2, tag="sess181")
+        ev = stream_events(spark, sf_dir, 2)
         out = session_timeout_stream(ev, _Q181_GAP_MIN * 60)
         return run_to_memory(out, "mem_q181", "append")
 
@@ -2398,7 +2398,7 @@ def q182_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     with _streaming_session(spark, state_parts=8):
         clicks = (
-            stream_events(spark, sf_dir, N_BATCHES, tag="fo1")
+            stream_events(spark, sf_dir, N_BATCHES)
             .where(F.col("event_type") == "click")
             .select(
                 F.col("event_id").alias("click_id"),
@@ -2408,7 +2408,7 @@ def q182_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame
             .withWatermark("c_ts", "1 hour")
         )
         purchases = (
-            stream_events(spark, sf_dir, N_BATCHES, tag="fo2")
+            stream_events(spark, sf_dir, N_BATCHES)
             .where(F.col("event_type") == "purchase")
             .select(
                 F.col("event_id").alias("purchase_id"),
@@ -2536,7 +2536,7 @@ def q184_stream_merkle_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         l1.write.mode("overwrite").partitionBy("b1").parquet(l1_dir)
 
     with _streaming_session(spark):
-        sdf = stream_docs(spark, sf_dir, N_BATCHES, tag="merkle184")
+        sdf = stream_docs(spark, sf_dir, N_BATCHES)
         q = (
             sdf.writeStream.foreachBatch(maintain)
             .option("checkpointLocation", ckpt)
@@ -2625,7 +2625,7 @@ def q189_stream_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     with _streaming_session(spark):
-        docs = stream_docs(spark, sf_dir, N_BATCHES, tag="quota189")
+        docs = stream_docs(spark, sf_dir, N_BATCHES)
         out = domain_quota_stream(
             docs.select("source", "doc_id", "n_chars"), _Q189_CAP
         )
@@ -2659,8 +2659,8 @@ def _register_q203() -> None:
 
         with _streaming_session(spark):
             # reuses q24s's pre-materialized time-ordered slices (same
-            # content; bench pre-builds the "us" tag)
-            ev = stream_events(spark, sf_dir, N_BATCHES, tag="us")
+            # content; bench pre-builds the shared slice dir)
+            ev = stream_events(spark, sf_dir, N_BATCHES)
             out = ewma_stream(ev.select("user_id", "ts", "event_id", "value"))
             return run_upsert_table(out, ["user_id"])
 
@@ -2698,7 +2698,7 @@ def _register_q217() -> None:
 
         with _streaming_session(spark):
             # reuses the q24s/q203 pre-materialized time-ordered slices
-            ev = stream_events(spark, sf_dir, N_BATCHES, tag="us")
+            ev = stream_events(spark, sf_dir, N_BATCHES)
             out = cusum_stream(
                 ev.select("user_id", "ts", "event_id", "value"),
                 _CUSUM_K_CENTS,
@@ -2827,7 +2827,7 @@ def _register_q220() -> None:
             staged.unpersist()
 
         with _streaming_session(spark):
-            docs = stream_docs(spark, sf_dir, N_BATCHES, tag="cur220")
+            docs = stream_docs(spark, sf_dir, N_BATCHES)
             q = (
                 docs.writeStream.foreachBatch(step)
                 .option("checkpointLocation", ckpt)
@@ -2872,6 +2872,10 @@ _register_q220()
 # batch-count-independent and the batch oracle replays it exactly.
 # ---------------------------------------------------------------------------
 
+# keyed (applicationId, sf_dir); exclusive=True keeps at most ONE live
+# persisted anchor index per application — switching sf_dirs evicts and
+# unpersists the previous corpus's index instead of pinning executor
+# storage for the session lifetime (round-7 ADVICE)
 _Q230_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -2993,7 +2997,9 @@ def _register_q230() -> None:
             idx.count()  # materialize once; every micro-batch probes it
             return idx
 
-        idx = get_or_build(_Q230_INDEX_CACHE, spark, (sf_dir,), build_index)
+        idx = get_or_build(
+            _Q230_INDEX_CACHE, spark, (sf_dir,), build_index, exclusive=True
+        )
 
         out_dir, ckpt = _fresh_run_dirs("q230", sf_dir, "out", "ckpt")
 
@@ -3032,7 +3038,7 @@ def _register_q230() -> None:
 
         with _streaming_session(spark):
             docs = stream_docs(
-                spark, sf_dir, N_BATCHES, tag="substrdedup", mod=_INC_MOD
+                spark, sf_dir, N_BATCHES, mod=_INC_MOD
             )
             q = (
                 docs.writeStream.foreachBatch(probe)

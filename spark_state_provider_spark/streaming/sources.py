@@ -29,7 +29,7 @@ EVENT_SCHEMA = (
 
 
 def split_events_dir(
-    spark: SparkSession, sf_dir: str, n_batches: int = 2, tag: str = "default"
+    spark: SparkSession, sf_dir: str, n_batches: int = 2
 ) -> str:
     """Materialize events as ``n_batches`` time-ordered parquet files.
 
@@ -38,10 +38,11 @@ def split_events_dir(
     micro-batch schedule (the MemoryStream analog).
 
     The slice content is a pure function of (sf_dir, n_batches), so the
-    materialized dir is SHARED across every caller in the process —
-    ``tag`` no longer keys the path (round 7: each streaming query used
-    to re-sort + re-write identical slices under its own tag, ~25
-    redundant writes per bench run). Readers never mutate the dir and
+    materialized dir is SHARED across every caller in the process
+    (round 7: each streaming query used to re-sort + re-write identical
+    slices under a per-query tag, ~25 redundant writes per bench run;
+    round 8 dropped the then-dead ``tag`` parameter so the sharing
+    contract is visible in the API). Readers never mutate the dir and
     checkpoints are per-query, so sharing is safe.
     """
     # pid-scoped: another process rmtree-ing the slice dir mid-stream would
@@ -78,10 +79,10 @@ def split_events_dir(
 
 
 def stream_events(
-    spark: SparkSession, sf_dir: str, n_batches: int = 2, tag: str = "default"
+    spark: SparkSession, sf_dir: str, n_batches: int = 2
 ) -> DataFrame:
     """Streaming DataFrame replaying the events table in n micro-batches."""
-    path = split_events_dir(spark, sf_dir, n_batches, tag)
+    path = split_events_dir(spark, sf_dir, n_batches)
     return (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -97,7 +98,6 @@ def split_docs_dir(
     spark: SparkSession,
     sf_dir: str,
     n_batches: int = 2,
-    tag: str = "docs",
     mod: int | None = None,
 ) -> str:
     """Materialize (a slice of) the documents table as ``n_batches``
@@ -143,11 +143,10 @@ def stream_docs(
     spark: SparkSession,
     sf_dir: str,
     n_batches: int = 2,
-    tag: str = "docs",
     mod: int | None = None,
 ) -> DataFrame:
     """Streaming DataFrame replaying (a slice of) documents in n batches."""
-    path = split_docs_dir(spark, sf_dir, n_batches, tag, mod)
+    path = split_docs_dir(spark, sf_dir, n_batches, mod)
     return (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -157,7 +156,7 @@ def stream_docs(
 
 
 def split_events_hash_dir(
-    spark: SparkSession, sf_dir: str, n_batches: int = 2, tag: str = "ooo"
+    spark: SparkSession, sf_dir: str, n_batches: int = 2
 ) -> str:
     """Materialize events as ``n_batches`` HASH-sliced parquet files
     (slice k = event_id % n_batches == k) — an OUT-OF-ORDER replay: every
@@ -188,11 +187,11 @@ def split_events_hash_dir(
 
 
 def stream_events_out_of_order(
-    spark: SparkSession, sf_dir: str, n_batches: int = 2, tag: str = "ooo"
+    spark: SparkSession, sf_dir: str, n_batches: int = 2
 ) -> DataFrame:
     """Streaming events where each micro-batch spans the whole time range
     (hash slices) — the deterministic late-arrival schedule."""
-    path = split_events_hash_dir(spark, sf_dir, n_batches, tag)
+    path = split_events_hash_dir(spark, sf_dir, n_batches)
     return (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -205,7 +204,7 @@ EMB_SCHEMA = "vec_id bigint, embedding array<float>, label int"
 
 
 def split_embeddings_dir(
-    spark: SparkSession, sf_dir: str, n_batches: int = 2, tag: str = "emb"
+    spark: SparkSession, sf_dir: str, n_batches: int = 2
 ) -> str:
     """Materialize the embeddings table as ``n_batches`` vec_id-sliced
     parquet files — the arrival schedule for streaming vector-index
@@ -234,10 +233,10 @@ def split_embeddings_dir(
 
 
 def stream_embeddings(
-    spark: SparkSession, sf_dir: str, n_batches: int = 2, tag: str = "emb"
+    spark: SparkSession, sf_dir: str, n_batches: int = 2
 ) -> DataFrame:
     """Streaming DataFrame replaying embeddings in n micro-batches."""
-    path = split_embeddings_dir(spark, sf_dir, n_batches, tag)
+    path = split_embeddings_dir(spark, sf_dir, n_batches)
     return (
         spark.readStream.schema(EMB_SCHEMA)
         .option("maxFilesPerTrigger", 1)

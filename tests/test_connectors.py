@@ -42,7 +42,7 @@ def test_rate_source_produces_rows(spark, tmp_path):
 def test_conf_driven_ttl_resolves_through_state_timeout(spark, sf_dir, tmp_path):
     """EP3 closed loop: stateTimeout writes the per-query conf; the fold
     builder reads it back and applies the TTL fold for that query name."""
-    ev = stream_events(spark, sf_dir, 4, tag="ep3")
+    ev = stream_events(spark, sf_dir, 4)
     out = user_statistics_stream_for_query(ev, None)  # placeholder writer
     writer = out.writeStream
     state_timeout(
@@ -71,7 +71,7 @@ def test_conf_driven_ttl_resolves_through_state_timeout(spark, sf_dir, tmp_path)
         "spark.sql.streaming.stateStore.stateExpirySecs.ep3_query"
     )
     out2 = user_statistics_stream_for_query(
-        stream_events(spark, sf_dir, 2, tag="ep3b"), "ep3_query"
+        stream_events(spark, sf_dir, 2), "ep3_query"
     )
     rows2 = run_upsert_table(out2, ["user_id"]).collect()
     assert {r["user_id"]: r["total_visits"] for r in rows2} == batch

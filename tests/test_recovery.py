@@ -52,7 +52,7 @@ def test_stateful_query_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     slices = sorted(
         (
             e
-            for e in os.scandir(split_events_dir(spark, sf_dir, 4, tag="rec4"))
+            for e in os.scandir(split_events_dir(spark, sf_dir, 4))
             if e.is_dir()
         ),
         key=lambda e: e.name,
@@ -131,7 +131,7 @@ def test_corrupted_checkpoint_fails_fast_and_degrades_explicitly(
     slices = sorted(
         (
             e
-            for e in os.scandir(split_events_dir(spark, sf_dir, 4, tag="cor4"))
+            for e in os.scandir(split_events_dir(spark, sf_dir, 4))
             if e.is_dir()
         ),
         key=lambda e: e.name,
@@ -184,7 +184,7 @@ def test_degrade_to_empty_when_all_versions_corrupt(spark, sf_dir, tmp_path):
     slices = sorted(
         (
             e
-            for e in os.scandir(split_events_dir(spark, sf_dir, 4, tag="cor1"))
+            for e in os.scandir(split_events_dir(spark, sf_dir, 4))
             if e.is_dir()
         ),
         key=lambda e: e.name,

@@ -45,7 +45,7 @@ def test_export_snapshot_equals_state_reader(spark, sf_dir, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "export")
     os.makedirs(src)
-    for e in os.scandir(split_events_dir(spark, sf_dir, 2, tag="exp2")):
+    for e in os.scandir(split_events_dir(spark, sf_dir, 2)):
         if e.is_dir():
             shutil.copytree(e.path, os.path.join(src, e.name))
 
@@ -79,7 +79,7 @@ def test_attach_state_export_publishes_during_run(spark, sf_dir, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "export")
     os.makedirs(src)
-    for e in os.scandir(split_events_dir(spark, sf_dir, 3, tag="exp3")):
+    for e in os.scandir(split_events_dir(spark, sf_dir, 3)):
         if e.is_dir():
             shutil.copytree(e.path, os.path.join(src, e.name))
 

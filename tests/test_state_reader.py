@@ -23,7 +23,7 @@ from spark_state_provider_spark.tables import load_table
 
 
 def _run_dedup_query(spark, sf_dir, ckpt):
-    ev = stream_events(spark, sf_dir, 2, tag="sr")
+    ev = stream_events(spark, sf_dir, 2)
     q = (
         ev.select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
@@ -92,7 +92,7 @@ def test_state_change_feed_versions(spark, sf_dir):
     )
     # running count per event_type: every micro-batch UPDATES every key, so
     # the change feed provably carries both versions' deltas
-    ev = stream_events(spark, sf_dir, 2, tag="cf")
+    ev = stream_events(spark, sf_dir, 2)
     q = (
         ev.groupBy("event_type")
         .agg(F.count("*").alias("n"))
@@ -179,7 +179,7 @@ def test_join_state_reader_sees_both_buffers(spark, sf_dir):
         build_click_purchase_join,
     )
 
-    joined = build_click_purchase_join(spark, sf_dir, ("jsr1", "jsr2"))
+    joined = build_click_purchase_join(spark, sf_dir)
     q = (
         joined.writeStream.format("memory")
         .queryName("mem_jsr")

@@ -90,7 +90,7 @@ def test_stream_ttl_resets_long_idle_users(spark, sf_dir):
 def test_state_timeout_writer_helper(spark, sf_dir, tmp_path):
     """EP3 parity: stateTimeout forces queryName + checkpoint and records the
     per-query TTL conf; the streaming query then runs under those settings."""
-    ev = stream_events(spark, sf_dir, 2, tag="sth")
+    ev = stream_events(spark, sf_dir, 2)
     counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
     writer = counts.writeStream.format("memory").outputMode("complete")
     ckpt = str(tmp_path / "ckpt")
@@ -119,7 +119,7 @@ def test_state_timeout_writer_helper(spark, sf_dir, tmp_path):
 
 
 def test_state_timeout_requires_checkpoint(spark, sf_dir):
-    ev = stream_events(spark, sf_dir, 2, tag="sth2")
+    ev = stream_events(spark, sf_dir, 2)
     writer = ev.writeStream.format("memory")
     spark.conf.unset("spark.sql.streaming.checkpointLocation")
     with pytest.raises(ValueError, match="checkpointLocation"):

@@ -37,7 +37,7 @@ def test_timer_eviction_fires_between_batches(spark, sf_dir):
     """Register an already-due processing-time timer in batch 1; Spark must
     fire handleExpiredTimer before batch 2, clearing state — so users with
     events in both batches restart their fold, and tombstone rows appear."""
-    ev = stream_events(spark, sf_dir, 2, tag="twsevict")
+    ev = stream_events(spark, sf_dir, 2)
     out = user_statistics_transform(ev, evict_after_ms=0)
     rows = run_upsert_table(out, ["user_id", "total_visits"]).collect()
 
