@@ -301,6 +301,35 @@ def main() -> None:
         print(f"# {label}: {memo[label]:.3f}s", file=sys.stderr)
 
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+
+    # --- DRIFT TELEMETRY (round-7 verdict #2): the graded capture runs on
+    # a shared host whose load drifts 10-40% within a round; round 7's
+    # graded artifact recorded three streaming queries at 2-4x their
+    # committed clean numbers and only out-of-band control analysis could
+    # prove it was the host. So the bench now self-adjudicates: three
+    # pinned batch controls (scan / TPC-H Q1 / TPC-H Q3 — untouched,
+    # stable plans) are timed min-of-3 at bench START and again at bench
+    # END; controls.drift = end/start total ratio. A graded capture with
+    # drift >> 1 indicts the host, not the code. ---
+    CONTROLS = ["q01_pruned_scan", "q63_tpch_q1", "q33_tpch_q3"]
+
+    def run_controls() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for cname in CONTROLS:
+            cfn = registry.get(cname).fn
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                cfn(spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+            out[cname] = round(min(runs), 3)
+        return out
+
+    controls_start = run_controls()
+    print(f"# controls@start: {controls_start}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
@@ -324,6 +353,32 @@ def main() -> None:
         timings[name] = min(runs)
         print(f"# {name}: {timings[name]:.3f}s (cold {runs[0]:.3f}s)", file=sys.stderr)
 
+    controls_end = run_controls()
+    drift = round(
+        sum(controls_end.values()) / max(sum(controls_start.values()), 1e-9), 3
+    )
+    controls = {
+        "start": controls_start,
+        "end": controls_end,
+        "drift": drift,
+    }
+    print(f"# controls@end: {controls_end} drift={drift}", file=sys.stderr)
+
+    # Streaming-floor watch (round-7 verdict #3): the three queries whose
+    # round-7 DRIVER capture ran 2-4x their committed clean numbers. Each
+    # bench records current/clean; a ratio tracking controls.drift is host
+    # noise, a ratio far above it names a code cause to chase.
+    FLOOR_WATCH_CLEAN = {
+        "q158_state_change_feed": 1.35,
+        "q160_stream_fanout_consistency": 1.27,
+        "q163_late_data_accounting": 1.79,
+    }
+    floor_watch = {
+        n: round(timings[n] / c, 2)
+        for n, c in FLOOR_WATCH_CLEAN.items()
+        if n in timings
+    }
+
     total = round(sum(timings.values()), 3)
     # Full detail (long names, cold timings) goes to a side file + stderr;
     # the driver's capture truncated round 1's single long stdout line
@@ -337,6 +392,8 @@ def main() -> None:
         "cold_queries": cold,
         "cold_total": round(sum(cold.values()), 3),
         "memo_builds": memo,
+        "controls": controls,
+        "floor_watch_vs_clean": floor_watch,
         "sf": float(sf),
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -344,7 +401,7 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     print(f"# full detail written to {detail_path}", file=sys.stderr)
-    line = budgeted_stdout_line(timings, memo, total, float(sf))
+    line = budgeted_stdout_line(timings, memo, total, float(sf), controls)
     print(line)
     spark.stop()
 
@@ -363,6 +420,7 @@ def budgeted_stdout_line(
     memo: dict[str, float],
     total: float,
     sf: float,
+    controls: dict | None = None,
 ) -> str:
     base = {
         "metric": "headline_queries_total_wall_clock",
@@ -377,6 +435,20 @@ def budgeted_stdout_line(
         "sf": sf,
         "detail": "BENCH_DETAIL.json",
     }
+    if controls is not None:
+        # host-drift self-adjudication: [start, end] min-of-3 seconds per
+        # pinned control + end/start total ratio — a drift far above 1.0
+        # marks the capture as host-degraded without out-of-band evidence
+        base["controls"] = {
+            **{
+                n.split("_", 1)[0]: [
+                    controls["start"][n],
+                    controls["end"][n],
+                ]
+                for n in controls["start"]
+            },
+            "drift": controls["drift"],
+        }
     by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
     listed: dict[str, float] = {}
     for n, s in by_cost:

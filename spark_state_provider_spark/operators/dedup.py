@@ -1982,6 +1982,29 @@ def q226_substring_lcs_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     node; at cluster scale the sorted-anchor join IS the distributed
     suffix sort, expressed as shuffles Catalyst can plan.
     """
+    runs = _substring_runs(spark, sf_dir)
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg((F.lit(_SUB_K) + F.max("run") - F.lit(1)).cast("long").alias("lcs_len"))
+        .where(F.col("lcs_len") >= _SUB_MIN)
+    )
+
+
+def _substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared anchor-match run table: one row per maximal diagonal run of
+    surviving {_SUB_K}-char anchors per (doc_a < doc_b) pair, with the run
+    length and the run's start position in each doc. q226 thresholds the
+    max run (pairwise LCS); q231 turns every ≥{_SUB_MIN} run into a
+    removal span in the later doc.
+
+    Plan notes (round 8): the old ``.distinct()`` on the match table was
+    removed — it was a full-width shuffle of the widest intermediate
+    (3.8M rows at sf0.1) deduplicating a provably unique set: for a given
+    (doc_a, pa) the gram is determined, so each joined (doc_a, doc_b, pa,
+    diag) combination is emitted exactly once (anchor positions are
+    unique per doc). The oracle keeps SELECT DISTINCT harmlessly (no-op
+    over the same unique set).
+    """
     # repartition: the documents table arrives as ONE parquet file, so
     # without this the anchor explode (the widest narrow stage) runs on a
     # single core — measured 8.9s → 3.4s min-of-3 at sf0.1 on local[32]
@@ -2009,15 +2032,225 @@ def q226_substring_lcs_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "gram")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
-        .distinct()
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     isl = m.withColumn("grp", F.col("pa") - F.row_number().over(w))
-    runs = isl.groupBy("doc_a", "doc_b", "diag", "grp").agg(
-        F.count("*").cast("long").alias("run")
+    return isl.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+        F.count("*").cast("long").alias("run"),
+        F.min("pa").alias("start_pa"),
     )
-    return (
-        runs.groupBy("doc_a", "doc_b")
-        .agg((F.lit(_SUB_K) + F.max("run") - F.lit(1)).cast("long").alias("lcs_len"))
-        .where(F.col("lcs_len") >= _SUB_MIN)
+
+
+# ---------------------------------------------------------------------------
+# q231 — span-removal corpus REWRITE: the output side of ExactSubstr dedup.
+# q226 emits the decision quantity (pairwise LCS); Lee et al. 2022's actual
+# product is the deduplicated corpus with every duplicated span of
+# ≥ threshold chars CUT from all but the first occurrence (reference
+# semantics §4.1: remove the span, keep the surrounding text). Keep rule
+# here: the id-earlier doc keeps the span; every id-later doc sharing it
+# loses its copy. Removal decisions are computed on the ORIGINAL texts
+# (like the paper), so overlapping spans from different partners simply
+# union before cutting.
+# ---------------------------------------------------------------------------
+
+# shared CTE chain: anchors → df cap → diagonal runs → removal spans in the
+# id-later doc → per-doc merged intervals. Interpolated into q231's (and
+# q233's streaming-twin) oracle.
+# interval-merge CTEs (gaps-and-islands) on top of a `spans(doc_id, s, e)`
+# CTE — shared by q231's batch oracle and q233's streaming-twin oracle.
+_MERGE_CTES = """
+    ordd AS (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_max
+        FROM (SELECT DISTINCT doc_id, s, e FROM spans)
+    ),
+    isl2 AS (
+        SELECT doc_id, s, e,
+               sum(CASE WHEN prev_max IS NULL OR s > prev_max + 1
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+        FROM ordd
+    ),
+    merged AS (
+        SELECT doc_id, island, min(s) AS s, max(e) AS e
+        FROM isl2 GROUP BY doc_id, island
     )
+"""
+
+_SPAN_CTES = f"""
+    g AS (
+        SELECT doc_id, i, substr(text, i, {_SUB_K}) AS gram
+        FROM documents,
+             unnest(generate_series(1, length(text) - {_SUB_K - 1})) AS t(i)
+        WHERE length(text) >= {_SUB_K}
+    ),
+    df AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram),
+    gk AS (SELECT g.* FROM g JOIN df USING (gram) WHERE df.df <= {_SUB_DF_CAP}),
+    m AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.i AS pa, a.i - b.i AS diag
+        FROM gk a JOIN gk b USING (gram)
+        WHERE a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT doc_a, doc_b, diag, pa,
+               pa - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+        FROM m
+    ),
+    spans AS (
+        SELECT doc_b AS doc_id,
+               min(pa) - diag AS s,
+               min(pa) - diag + ({_SUB_K} + count(*) - 1) - 1 AS e
+        FROM isl GROUP BY doc_a, doc_b, diag, grp
+        HAVING {_SUB_K} + count(*) - 1 >= {_SUB_MIN}
+    ),
+    {_MERGE_CTES}
+"""
+
+# rebuild CTEs on top of `merged`: kept pieces = head/gap before each
+# removed interval + the tail after the last one; string_agg in position
+# order reassembles the cleaned text.
+_REBUILD_SQL = """
+    pieces AS (
+        SELECT doc_id, COALESCE(prev_e, 0) + 1 AS ps, s - 1 AS pe
+        FROM (SELECT doc_id, s, e,
+                     lag(e) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+              FROM merged)
+        UNION ALL
+        SELECT doc_id, max(e) + 1 AS ps, NULL AS pe
+        FROM merged GROUP BY doc_id
+    ),
+    rebuilt AS (
+        SELECT d.doc_id,
+               string_agg(
+                   CASE WHEN p.pe IS NULL THEN substr(d.text, p.ps)
+                        ELSE substr(d.text, p.ps, p.pe - p.ps + 1) END,
+                   '' ORDER BY p.ps) AS cleaned_text
+        FROM documents d JOIN pieces p USING (doc_id)
+        GROUP BY d.doc_id
+    ),
+    removed AS (
+        SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS removed_chars
+        FROM merged GROUP BY doc_id
+    )
+"""
+
+
+def _merged_removal_intervals(spans: DataFrame) -> DataFrame:
+    """(doc_id, s, e) spans → per-doc merged disjoint intervals (the same
+    gaps-and-islands construction as the oracle's ordd/isl2/merged CTEs).
+    Overlapping AND adjacent intervals merge; output intervals are
+    pairwise disjoint with at least one kept char between them."""
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordd = spans.distinct().withColumn("prev_max", F.max("e").over(w_prev))
+    isl2 = ordd.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull()
+                | (F.col("s") > F.col("prev_max") + 1),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    return isl2.groupBy("doc_id", "island").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+
+
+def _rewrite_with_intervals(docs: DataFrame, merged: DataFrame) -> DataFrame:
+    """Cut merged removal intervals out of each doc's text: one JVM-side
+    ``aggregate`` fold over the per-doc sorted interval array builds the
+    cleaned text from substring pieces — no per-character explode, no
+    Python, O(text + intervals) per doc."""
+    iv = merged.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("s").cast("int").alias("s"),
+                    F.col("e").cast("int").alias("e"),
+                )
+            )
+        ).alias("ivs"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("removed_chars"),
+    )
+    rebuilt = F.expr(
+        "aggregate(ivs, "
+        "struct(CAST('' AS STRING) AS t, CAST(1 AS INT) AS c), "
+        "(acc, iv) -> struct(concat(acc.t, substring(text, acc.c, iv.s - acc.c)), "
+        "CAST(iv.e + 1 AS INT)), "
+        "acc -> concat(acc.t, substring(text, acc.c, length(text) - acc.c + 1)))"
+    )
+    return docs.join(iv, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("ivs").isNotNull(), rebuilt)
+        .otherwise(F.col("text"))
+        .alias("cleaned_text"),
+        F.coalesce(F.col("removed_chars"), F.lit(0).cast("long")).alias(
+            "removed_chars"
+        ),
+    )
+
+
+@register(
+    "q231_span_removal_rewrite",
+    oracle=f"""
+    WITH {_SPAN_CTES},
+    {_REBUILD_SQL}
+    SELECT d.doc_id,
+           COALESCE(r.cleaned_text, d.text) AS cleaned_text,
+           COALESCE(rm.removed_chars, CAST(0 AS BIGINT)) AS removed_chars
+    FROM documents d
+    LEFT JOIN rebuilt r USING (doc_id)
+    LEFT JOIN removed rm USING (doc_id)
+    """,
+    fuzz=("text", "multibyte"),
+)
+def q231_span_removal_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself: every shared substring of ≥
+    {_SUB_MIN} chars (q226's runs) is CUT from the id-later doc of each
+    sharing pair — the id-earliest occurrence corpus-wide survives — and
+    the doc is reassembled around the cut. Emits EVERY document:
+    (doc_id, cleaned_text, removed_chars), untouched docs pass through
+    with removed_chars = 0 (NULL-text docs stay NULL).
+
+    Scale shape: rides q226's bounded anchor-match plan (df-capped
+    equijoin, per-(pair,diag) windows — never corpus×corpus); the new
+    work is per-DOC only: interval merge is one window over each doc's
+    spans (gaps-and-islands), and the text surgery is one JVM
+    ``aggregate`` fold over the doc's sorted interval array — no
+    per-character explode, no Python, cost O(text + spans) per doc. At
+    100 TB the rewrite joins intervals back to the corpus on doc_id (the
+    table's natural key), so it co-partitions with any doc-keyed layout.
+    """
+    runs = _substring_runs(spark, sf_dir)
+    spans = (
+        runs.where(
+            F.lit(_SUB_K) + F.col("run") - F.lit(1) >= F.lit(_SUB_MIN)
+        )
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            (F.col("start_pa") - F.col("diag")).alias("s"),
+            (
+                F.col("start_pa")
+                - F.col("diag")
+                + (F.lit(_SUB_K) + F.col("run") - F.lit(1))
+                - F.lit(1)
+            ).alias("e"),
+        )
+    )
+    merged = _merged_removal_intervals(spans)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _rewrite_with_intervals(docs, merged)

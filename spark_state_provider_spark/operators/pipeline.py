@@ -3464,3 +3464,196 @@ def q227_packing_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("straddles").cast("long").alias("n_straddling"),
         F.count_distinct("pack_id").cast("long").alias("n_packs_touched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q232 — dedup-impact report: how much of the corpus each dedup family
+# would remove, in one table. The number every curation run publishes
+# before committing a rewrite: docs / chars / whitespace-tokens removed by
+# exact dedup (q28's keep-min-id groups), near-dup clustering (q28b→q28e
+# connected components, keep-min-id), substring span removal (q231's
+# partial cuts), and semantic dedup (q112's SemDeDup verdicts, embeddings
+# id-aligned with documents: vec_id == doc_id by testdata convention).
+# Families are reported INDEPENDENTLY — each is the impact of running that
+# family alone on the original corpus (the paper-style ablation view), not
+# a sequential funnel (q218/q220 own the composed-funnel semantics).
+# ---------------------------------------------------------------------------
+
+
+def _register_q232() -> None:
+    from spark_state_provider_spark.operators.dedup import (
+        _clusters_persisted,
+        q231_span_removal_rewrite,
+    )
+    from spark_state_provider_spark.operators.registry import _REGISTRY as _R
+
+    clusters_sql = _R["q28e_dedup_clusters"].oracle
+    semdedup_sql = _R["q112_semdedup"].oracle
+    rewrite_sql = _R["q231_span_removal_rewrite"].oracle
+
+    @register(
+        "q232_dedup_impact_report",
+        oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   length(text) AS n_ch,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM documents
+        ),
+        exact_rm AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep
+                FROM documents
+            ) WHERE doc_id <> keep
+        ),
+        near_rm AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY cluster_id) AS keep
+                FROM ({clusters_sql}) c
+            ) WHERE doc_id <> keep
+        ),
+        sem_rm AS (
+            SELECT vec_id AS doc_id FROM ({semdedup_sql}) WHERE dropped
+        ),
+        sub AS (
+            SELECT doc_id, cleaned_text, removed_chars
+            FROM ({rewrite_sql})
+        )
+        SELECT 'exact' AS family,
+               CAST(count(*) AS BIGINT) AS docs_affected,
+               CAST(COALESCE(sum(t.n_ch), 0) AS BIGINT) AS chars_removed,
+               CAST(COALESCE(sum(t.n_tok), 0) AS BIGINT) AS tokens_removed
+        FROM exact_rm JOIN tok t USING (doc_id)
+        UNION ALL
+        SELECT 'near',
+               CAST(count(*) AS BIGINT),
+               CAST(COALESCE(sum(t.n_ch), 0) AS BIGINT),
+               CAST(COALESCE(sum(t.n_tok), 0) AS BIGINT)
+        FROM near_rm JOIN tok t USING (doc_id)
+        UNION ALL
+        SELECT 'substring',
+               CAST(COALESCE(sum(CASE WHEN s.removed_chars > 0
+                                      THEN 1 END), 0) AS BIGINT),
+               CAST(COALESCE(sum(s.removed_chars), 0) AS BIGINT),
+               CAST(COALESCE(sum(CASE WHEN s.removed_chars > 0
+                        THEN t.n_tok
+                             - len(string_split(s.cleaned_text, ' '))
+                        END), 0) AS BIGINT)
+        FROM sub s JOIN tok t USING (doc_id)
+        UNION ALL
+        SELECT 'semantic',
+               CAST(count(*) AS BIGINT),
+               CAST(COALESCE(sum(t.n_ch), 0) AS BIGINT),
+               CAST(COALESCE(sum(t.n_tok), 0) AS BIGINT)
+        FROM sem_rm JOIN tok t USING (doc_id)
+        """,
+        fuzz=("text",),
+    )
+    def q232_dedup_impact_report(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per dedup family (exact / near / substring / semantic): docs
+        affected, chars removed, whitespace-tokens removed — each family
+        measured independently against the original corpus. Substring is
+        a PARTIAL removal (token delta = tokens(text) − tokens(cleaned));
+        the other three remove whole docs (keep-min-id per exact-text
+        group / near-dup cluster; q112's dropped verdict with vec_id ==
+        doc_id). NULL-text docs count in docs_affected but contribute no
+        chars/tokens (both engines' sums skip NULL).
+
+        Scale shape: pure composition — every family input is a query
+        this engine already runs at scale (hash groupBy, LSH bucket join
+        + CC, df-capped anchor join, cluster-local SemDeDup); the report
+        adds four doc_id equijoins against a 2-column width table and
+        four global one-row aggregates. Nothing here is a new shuffle
+        shape; at 100 TB you'd materialize the family verdicts once and
+        point all downstream reports at them.
+        """
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        tok = docs.select(
+            "doc_id",
+            F.length("text").alias("n_ch"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+        )
+
+        def removed_by_window(df: DataFrame, part_col: str) -> DataFrame:
+            w = Window.partitionBy(part_col)
+            return (
+                df.withColumn("keep", F.min("doc_id").over(w))
+                .where(F.col("doc_id") != F.col("keep"))
+                .select("doc_id")
+            )
+
+        exact_rm = removed_by_window(docs, "text")
+        near_rm = removed_by_window(
+            _clusters_persisted(spark, sf_dir), "cluster_id"
+        )
+        sem_rm = (
+            _R["q112_semdedup"]
+            .fn(spark, sf_dir)
+            .where(F.col("dropped"))
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+        sub = q231_span_removal_rewrite(spark, sf_dir)
+
+        zero = F.lit(0).cast("long")
+
+        def whole_doc_row(name: str, rm: DataFrame) -> DataFrame:
+            return rm.join(tok, "doc_id").agg(
+                F.count("*").cast("long").alias("docs_affected"),
+                F.coalesce(F.sum("n_ch"), zero)
+                .cast("long")
+                .alias("chars_removed"),
+                F.coalesce(F.sum("n_tok"), zero)
+                .cast("long")
+                .alias("tokens_removed"),
+            ).select(
+                F.lit(name).alias("family"),
+                "docs_affected",
+                "chars_removed",
+                "tokens_removed",
+            )
+
+        affected = F.col("removed_chars") > 0
+        sub_row = (
+            sub.join(tok, "doc_id")
+            .agg(
+                F.coalesce(F.sum(F.when(affected, 1)), zero)
+                .cast("long")
+                .alias("docs_affected"),
+                F.coalesce(F.sum("removed_chars"), zero)
+                .cast("long")
+                .alias("chars_removed"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            affected,
+                            F.col("n_tok")
+                            - F.size(F.split("cleaned_text", " ")),
+                        )
+                    ),
+                    zero,
+                )
+                .cast("long")
+                .alias("tokens_removed"),
+            )
+            .select(
+                F.lit("substring").alias("family"),
+                "docs_affected",
+                "chars_removed",
+                "tokens_removed",
+            )
+        )
+
+        return (
+            whole_doc_row("exact", exact_rm)
+            .unionByName(whole_doc_row("near", near_rm))
+            .unionByName(sub_row)
+            .unionByName(whole_doc_row("semantic", sem_rm))
+        )
+
+
+_register_q232()

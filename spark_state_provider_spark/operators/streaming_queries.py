@@ -2879,6 +2879,74 @@ _register_q220()
 _Q230_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+
+def _substr_anchors(df: DataFrame) -> DataFrame:
+    """Every {K}-char anchor of every doc: (doc_id, i, gram) — the shared
+    explode for the streaming ExactSubstr family (q230 probe side, q233
+    rewrite side, and the corpus index build)."""
+    from spark_state_provider_spark.operators.dedup import _SUB_K
+
+    return (
+        df.where(F.length("text") >= _SUB_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {_SUB_K - 1}), "
+                    f"i -> struct(i AS i, substring(text, i, {_SUB_K}) AS gram))"
+                )
+            ).alias("x"),
+        )
+        .select(
+            "doc_id",
+            F.col("x.i").alias("i"),
+            F.col("x.gram").alias("gram"),
+        )
+    )
+
+
+def _corpus_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted corpus anchor index shared by q230 and q233: grams +
+    positions of all corpus docs (doc_id % _INC_MOD != 0), stop-anchors
+    (df > cap) removed, hash-partitioned on the gram, built ONCE per
+    (application, sf_dir) and probed by every micro-batch of either
+    query."""
+    from pyspark.storagelevel import StorageLevel
+
+    from spark_state_provider_spark.dfcache import get_or_build
+    from spark_state_provider_spark.operators.dedup import (
+        _INC_MOD,
+        _SUB_DF_CAP,
+    )
+    from spark_state_provider_spark.tables import load_table
+
+    def build_index() -> DataFrame:
+        corpus = load_table(spark, sf_dir, "documents").where(
+            F.col("doc_id") % _INC_MOD != 0
+        )
+        g = _substr_anchors(corpus.select("doc_id", "text"))
+        df_tbl = g.groupBy("gram").agg(
+            F.count_distinct("doc_id").alias("df")
+        )
+        idx = (
+            g.join(df_tbl, "gram")
+            .where(F.col("df") <= _SUB_DF_CAP)
+            .select(
+                "gram",
+                F.col("doc_id").alias("corpus_doc"),
+                F.col("i").alias("ci"),
+            )
+            .repartition("gram")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        idx.count()  # materialize once; every micro-batch probes it
+        return idx
+
+    return get_or_build(
+        _Q230_INDEX_CACHE, spark, (sf_dir,), build_index, exclusive=True
+    )
+
+
 def _register_q230() -> None:
     from spark_state_provider_spark.operators.dedup import (
         _INC_MOD,
@@ -2950,63 +3018,21 @@ def _register_q230() -> None:
         """
         import shutil
 
-        from pyspark.storagelevel import StorageLevel
-
-        from spark_state_provider_spark.dfcache import get_or_build
         from spark_state_provider_spark.streaming.sources import stream_docs
-        from spark_state_provider_spark.tables import load_table
 
-        def _anchors(df: DataFrame) -> DataFrame:
-            return (
-                df.where(F.length("text") >= _SUB_K)
-                .select(
-                    "doc_id",
-                    F.explode(
-                        F.expr(
-                            f"transform(sequence(1, length(text) - {_SUB_K - 1}), "
-                            f"i -> struct(i AS i, substring(text, i, {_SUB_K}) AS gram))"
-                        )
-                    ).alias("x"),
-                )
-                .select(
-                    "doc_id",
-                    F.col("x.i").alias("i"),
-                    F.col("x.gram").alias("gram"),
-                )
-            )
-
-        def build_index() -> DataFrame:
-            corpus = load_table(spark, sf_dir, "documents").where(
-                F.col("doc_id") % _INC_MOD != 0
-            )
-            g = _anchors(corpus.select("doc_id", "text"))
-            df_tbl = g.groupBy("gram").agg(
-                F.count_distinct("doc_id").alias("df")
-            )
-            idx = (
-                g.join(df_tbl, "gram")
-                .where(F.col("df") <= _SUB_DF_CAP)
-                .select(
-                    "gram",
-                    F.col("doc_id").alias("corpus_doc"),
-                    F.col("i").alias("ci"),
-                )
-                .repartition("gram")
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            )
-            idx.count()  # materialize once; every micro-batch probes it
-            return idx
-
-        idx = get_or_build(
-            _Q230_INDEX_CACHE, spark, (sf_dir,), build_index, exclusive=True
-        )
+        idx = _corpus_anchor_index(spark, sf_dir)
 
         out_dir, ckpt = _fresh_run_dirs("q230", sf_dir, "out", "ckpt")
 
         def probe(batch_df: DataFrame, batch_id: int) -> None:
             from pyspark.sql.window import Window
 
-            b = _anchors(batch_df.select("doc_id", "text"))
+            b = _substr_anchors(batch_df.select("doc_id", "text"))
+            # no distinct: for a given (doc_id, pa) the gram is determined
+            # and index rows are unique per (corpus_doc, ci), so each
+            # (doc_id, corpus_doc, pa, diag) is emitted exactly once —
+            # deduplicating it was a full-width shuffle of the widest
+            # per-batch intermediate (round-8 plan fix, same as q226's)
             m = (
                 b.join(idx, "gram")
                 .select(
@@ -3015,7 +3041,6 @@ def _register_q230() -> None:
                     F.col("i").alias("pa"),
                     (F.col("i") - F.col("ci")).alias("diag"),
                 )
-                .distinct()
             )
             w = Window.partitionBy("doc_id", "corpus_doc", "diag").orderBy("pa")
             runs = (
@@ -3063,3 +3088,171 @@ def _register_q230() -> None:
 
 
 _register_q230()
+
+
+# ---------------------------------------------------------------------------
+# q233 — STREAMING span-removal rewrite: q231's corpus surgery applied AT
+# INGEST. Each incoming doc (one micro-batch each) has every substring of
+# ≥ threshold chars that it shares with the CORPUS cut out before it is
+# admitted — the corpus copy is the first occurrence and survives. Spans
+# are computed against the persisted corpus anchor index only (never
+# batch×batch), so each doc's removal set is complete within its own
+# batch and the drained result equals the batch oracle under any
+# micro-batch schedule.
+# ---------------------------------------------------------------------------
+
+
+def _register_q233() -> None:
+    from spark_state_provider_spark.operators.dedup import (
+        _INC_MOD,
+        _MERGE_CTES,
+        _REBUILD_SQL,
+        _SUB_DF_CAP,
+        _SUB_K,
+        _SUB_MIN,
+        _merged_removal_intervals,
+        _rewrite_with_intervals,
+    )
+
+    @register(
+        "q233_stream_span_removal",
+        oracle=f"""
+        WITH g AS (
+            SELECT doc_id, i, substr(text, i, {_SUB_K}) AS gram
+            FROM documents,
+                 unnest(generate_series(1, length(text) - {_SUB_K - 1}))
+                     AS t(i)
+            WHERE length(text) >= {_SUB_K}
+        ),
+        corpus AS (SELECT * FROM g WHERE doc_id % {_INC_MOD} <> 0),
+        df AS (
+            SELECT gram, count(DISTINCT doc_id) AS df
+            FROM corpus GROUP BY gram
+        ),
+        idx AS (
+            SELECT c.* FROM corpus c JOIN df USING (gram)
+            WHERE df.df <= {_SUB_DF_CAP}
+        ),
+        inc AS (SELECT * FROM g WHERE doc_id % {_INC_MOD} = 0),
+        m AS (
+            SELECT DISTINCT i.doc_id AS doc_id, x.doc_id AS corpus_doc,
+                   i.i AS pa, i.i - x.i AS diag
+            FROM inc i JOIN idx x USING (gram)
+        ),
+        isl AS (
+            SELECT doc_id, corpus_doc, diag, pa,
+                   pa - row_number() OVER (
+                       PARTITION BY doc_id, corpus_doc, diag
+                       ORDER BY pa) AS grp
+            FROM m
+        ),
+        spans AS (
+            SELECT doc_id, min(pa) AS s,
+                   min(pa) + ({_SUB_K} + count(*) - 1) - 1 AS e
+            FROM isl GROUP BY doc_id, corpus_doc, diag, grp
+            HAVING {_SUB_K} + count(*) - 1 >= {_SUB_MIN}
+        ),
+        {_MERGE_CTES},
+        {_REBUILD_SQL}
+        SELECT d.doc_id,
+               COALESCE(r.cleaned_text, d.text) AS cleaned_text,
+               COALESCE(rm.removed_chars, CAST(0 AS BIGINT))
+                   AS removed_chars
+        FROM documents d
+        LEFT JOIN rebuilt r USING (doc_id)
+        LEFT JOIN removed rm USING (doc_id)
+        WHERE d.doc_id % {_INC_MOD} = 0
+        """,
+        fuzz=("multibyte",),
+    )
+    def q233_stream_span_removal(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Cleaned text per incoming doc ({N_BATCHES} crawl micro-batches):
+        every substring of ≥ {_SUB_MIN} chars shared with the corpus is
+        cut (q231's surgery), emitting (doc_id, cleaned_text,
+        removed_chars) for every incoming doc — untouched docs pass
+        through with 0.
+
+        Scale shape: probes the same persisted gram-partitioned corpus
+        anchor index as q230 (built once per corpus snapshot, only the
+        small batch side shuffles per trigger). The per-doc interval
+        merge and the JVM ``aggregate``-fold text surgery ride inside the
+        batch — each incoming doc's spans are complete in its own batch
+        because pairs never form between two incoming docs, so the result
+        is micro-batch-schedule-independent and batch-oracle-equal.
+        """
+        import shutil
+
+        from spark_state_provider_spark.streaming.sources import stream_docs
+
+        idx = _corpus_anchor_index(spark, sf_dir)
+
+        out_dir, ckpt = _fresh_run_dirs("q233", sf_dir, "out", "ckpt")
+
+        def rewrite(batch_df: DataFrame, batch_id: int) -> None:
+            from pyspark.sql.window import Window
+
+            b = _substr_anchors(batch_df.select("doc_id", "text"))
+            # no distinct: unique by construction (see q230's probe)
+            m = b.join(idx, "gram").select(
+                "doc_id",
+                "corpus_doc",
+                F.col("i").alias("pa"),
+                (F.col("i") - F.col("ci")).alias("diag"),
+            )
+            w = Window.partitionBy("doc_id", "corpus_doc", "diag").orderBy(
+                "pa"
+            )
+            runs = (
+                m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+                .groupBy("doc_id", "corpus_doc", "diag", "grp")
+                .agg(
+                    F.count("*").cast("long").alias("run"),
+                    F.min("pa").alias("start_pa"),
+                )
+            )
+            spans = runs.where(
+                F.lit(_SUB_K) + F.col("run") - F.lit(1) >= F.lit(_SUB_MIN)
+            ).select(
+                "doc_id",
+                F.col("start_pa").alias("s"),
+                (
+                    F.col("start_pa")
+                    + (F.lit(_SUB_K) + F.col("run") - F.lit(1))
+                    - F.lit(1)
+                ).alias("e"),
+            )
+            out = _rewrite_with_intervals(
+                batch_df.select("doc_id", "text"),
+                _merged_removal_intervals(spans),
+            )
+            out.write.mode("overwrite").parquet(
+                _batch_subdir(out_dir, batch_id)
+            )
+
+        with _streaming_session(spark):
+            docs = stream_docs(spark, sf_dir, N_BATCHES, mod=_INC_MOD)
+            q = (
+                docs.writeStream.foreachBatch(rewrite)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                finished = q.awaitTermination(180)
+            finally:
+                q.stop()
+                shutil.rmtree(ckpt, ignore_errors=True)
+            if not finished:
+                raise TimeoutError("q233 stream did not drain within 180s")
+        return _pinned(
+            spark.read.schema(
+                "doc_id bigint, cleaned_text string, removed_chars bigint"
+            )
+            .option("recursiveFileLookup", "true")
+            .parquet(out_dir)
+        )
+
+
+_register_q233()

@@ -11,8 +11,12 @@ import random
 import pandas as pd
 import pytest
 
+from spark_state_provider_spark import operators
+from spark_state_provider_spark.operators import registry
 from tests.oracle import compare_query
 from tests.test_advice_edges import _docs, _fixture_dir
+
+operators.load_all()
 
 _WORDS = [
     "the", "and", "of", "to", "a", "quick", "brown", "fox", "jumps",
@@ -87,7 +91,7 @@ _TEXT_FAMILY = [
     "q206_lsh_dedup_recall", "q210_self_repetition", "q211_profile_lang_id",
     "q213_golden_record", "q215_proximity_search", "q218_curation_pipeline",
     "q221_dsir_importance", "q222_gopher_rules", "q224_minhash_calibration",
-]
+] + registry.fuzz_family("text")
 
 
 def test_fuzz_corpus_hash_matches_oracles(spark, tmp_path):
@@ -163,7 +167,7 @@ _EVENTS_FAMILY = [
     "q24_user_statistics", "q25_ttl_liveness", "q44_merge_upsert",
     "q44b_state_as_of", "q67_incremental_agg", "q161_dynamic_gap_sessions",
     "q204_asof_nearest", "q53_histogram", "q100_equidepth_histogram",
-]
+] + registry.fuzz_family("events")
 
 
 def test_fuzz_events_tie_storm_matches_oracles(spark, tmp_path):
@@ -256,7 +260,7 @@ _TPCH_FAMILY = [
     "q69_correlation", "q71_null_safe_join", "q73_tpch_q2",
     "q73b_tpch_q11", "q73c_tpch_q16", "q73d_tpch_q20", "q73e_tpch_q22",
     "q75_heavy_hitters", "q76_dynamic_partition_pruning",
-]
+] + registry.fuzz_family("tpch")
 
 
 def test_fuzz_tpch_decimal_boundaries_match_oracles(spark, tmp_path):
@@ -314,7 +318,7 @@ _EMBEDDING_FAMILY = [
     "q126_maxsim_late_interaction", "q150_hamming_topk",
     "q193_hard_negatives", "q200_ann_recall_eval", "q214_knn_label_eval",
     "q219_ivfpq_ann", "q223_embedding_norm_qa",
-]
+] + registry.fuzz_family("embeddings")
 
 
 def test_fuzz_embeddings_magnitudes_match_oracles(spark, tmp_path):
@@ -343,7 +347,7 @@ _STREAMING_FAMILY = [
     "q179_stream_output_modes", "q181_session_timeout_state",
     "q182_stream_stream_full_outer", "q203_stream_ewma",
     "q217_stream_cusum",
-]
+] + registry.fuzz_family("streaming")
 
 
 def test_fuzz_streaming_twins_on_tie_storm(spark, tmp_path):
@@ -490,7 +494,7 @@ _NULLJOIN_FAMILY = [
     # NOT-IN / anti-join shaped probes over the poked keys (q95's
     # FK-orphan leg diverged on first run — fixed, pinned here)
     "q95_data_quality_audit", "q73c_tpch_q16",
-]
+] + registry.fuzz_family("nulljoin")
 
 
 @pytest.mark.parametrize("seed", [7, 42, 1337])
