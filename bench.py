@@ -258,6 +258,11 @@ HEADLINE = [
     "q228_retrieval_metrics",
     "q229_maxp_chunk_retrieval",
     "q230_stream_substring_dedup",
+    # round-8 additions: the dedup OUTPUT side — span-removal corpus
+    # rewrite (batch + at-ingest twin) and the per-family impact report
+    "q231_span_removal_rewrite",
+    "q232_dedup_impact_report",
+    "q233_stream_span_removal",
 ]
 
 

@@ -159,6 +159,11 @@ QUERIES = [
     "q222_gopher_rules",
     "q223_embedding_norm_qa",
     "q224_minhash_calibration",
+    # round-8: the dedup OUTPUT side (span-removal rewrite batch + ingest
+    # twin, per-family impact report)
+    "q231_span_removal_rewrite",
+    "q232_dedup_impact_report",
+    "q233_stream_span_removal",
 ]
 
 
@@ -191,7 +196,15 @@ def build(spark) -> None:
 def timed(fn, spark, sf_dir) -> tuple[float, int]:
     t0 = time.time()
     df = fn(spark, sf_dir)
-    n = df.count()
+    if os.environ.get("SSPS_SCALE_SINK") == "noop":
+        # count() lets Catalyst prune projections and eliminate
+        # provably-row-preserving joins — for rewrite-shaped queries
+        # (q231: left join + string surgery) that measures a skeleton,
+        # not the query. noop materializes every column like the bench.
+        df.write.format("noop").mode("overwrite").save()
+        n = -1
+    else:
+        n = df.count()
     return time.time() - t0, n
 
 

@@ -1972,14 +1972,19 @@ def q226_substring_lcs_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied identically in the oracle, so the two engines agree by
     construction (the q206 bounded-truth discipline).
 
-    Scale shape: anchor extraction is a narrow codegen map (substring over
-    a sequence — no Python); the df cap bounds the anchor-join fan-out to
-    ≤ C({_SUB_DF_CAP},2) pairs per anchor, the same role LSH banding plays
-    in q28b; the diagonal run-length is ONE window keyed on (pair, diag) —
-    partitions are per-pair, never corpus-wide. At 100 TB you stride the
-    anchors on one side (detect-at-K+stride−1 guarantee) and shard the df
-    table; the plan shape is unchanged. Suffix arrays beat this on one
-    node; at cluster scale the sorted-anchor join IS the distributed
+    Scale shape (see _substring_runs for the round-8 plan): anchor
+    extraction is a narrow codegen map (substring over a sequence — no
+    Python); ONE groupBy(gram) is simultaneously the df cap (bounding
+    fan-out to ≤ C({_SUB_DF_CAP},2) pairs per anchor, the role LSH
+    banding plays in q28b) and the pair expansion (JVM array transform
+    inside the grouped row — the old self-join and its no-op distinct
+    are gone, 4.8s → 2.1s min-of-3 at sf0.1); diagonal run-length is a
+    fold over each (pair, diag)'s sorted positions. The strided
+    candidate path (detect-at-K+stride−1 guarantee, implemented and
+    equality-pinned in test_round8_ops) is available for corpora where
+    candidate pairs ≪ anchor-sharing pairs; on this fixture it costs
+    more than it saves, so the dense plan runs. Suffix arrays beat this
+    on one node; at cluster scale the gram groupBy IS the distributed
     suffix sort, expressed as shuffles Catalyst can plan.
     """
     runs = _substring_runs(spark, sf_dir)
@@ -1990,20 +1995,88 @@ def q226_substring_lcs_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared anchor-match run table: one row per maximal diagonal run of
-    surviving {_SUB_K}-char anchors per (doc_a < doc_b) pair, with the run
-    length and the run's start position in each doc. q226 thresholds the
-    max run (pairwise LCS); q231 turns every ≥{_SUB_MIN} run into a
-    removal span in the later doc.
+# pair expansion inside a grouped gram row: every (a, b) occurrence pair
+# with a.doc_id < b.doc_id becomes one match struct — the self-join's
+# output without the self-join's shuffle (the grouped row already holds
+# every occurrence of the gram).
+_SUB_EXPAND = """
+flatten(transform(os, a ->
+  transform(filter(os, b -> a.doc_id < b.doc_id), b ->
+    struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.i AS pa, a.i - b.i AS diag))))
+"""
 
-    Plan notes (round 8): the old ``.distinct()`` on the match table was
-    removed — it was a full-width shuffle of the widest intermediate
-    (3.8M rows at sf0.1) deduplicating a provably unique set: for a given
-    (doc_a, pa) the gram is determined, so each joined (doc_a, doc_b, pa,
-    diag) combination is emitted exactly once (anchor positions are
-    unique per doc). The oracle keeps SELECT DISTINCT harmlessly (no-op
-    over the same unique set).
+# fold over the per-(pair, diag) SORTED position list: emit every maximal
+# run of consecutive positions as (start, length) — the gaps-and-islands
+# window, computed inside one aggregation buffer instead of a sort-based
+# window exec.
+_SUB_RUNS_FOLD = """
+aggregate(ps,
+  struct(CAST(array() AS ARRAY<STRUCT<s: INT, l: INT>>) AS runs,
+         CAST(-2147483648 AS INT) AS prev,
+         CAST(0 AS INT) AS cs, CAST(0 AS INT) AS cl),
+  (s, x) -> IF(x = s.prev + 1,
+     named_struct('runs', s.runs, 'prev', x, 'cs', s.cs, 'cl', s.cl + 1),
+     named_struct(
+        'runs', IF(s.cl > 0,
+                   array_append(s.runs, named_struct('s', s.cs, 'l', s.cl)),
+                   s.runs),
+        'prev', x, 'cs', x, 'cl', 1)),
+  s -> IF(s.cl > 0,
+          array_append(s.runs, named_struct('s', s.cs, 'l', s.cl)),
+          s.runs))
+"""
+
+# phase-1 strided candidate pairs: one struct per (a, b) occurrence pair
+# where the b-side anchor sits on the stride lattice. Detection
+# guarantee: a maximal surviving run of R ≥ stride consecutive anchors
+# contains ≥ 1 lattice position on EITHER doc's coordinates, so every
+# pair the dense plan would report (R ≥ _SUB_MIN − _SUB_K + 1 = stride)
+# appears here; sub-threshold pairs may be missed — which is the point.
+_SUB_CAND_FMT = """
+flatten(transform(os, a ->
+  transform(filter(os, b -> b.doc_id != a.doc_id
+                            AND b.i % {stride} = 1), b ->
+    struct(least(a.doc_id, b.doc_id) AS doc_a,
+           greatest(a.doc_id, b.doc_id) AS doc_b))))
+"""
+
+
+def _substring_runs(
+    spark: SparkSession, sf_dir: str, stride: int | None = None
+) -> DataFrame:
+    """Shared anchor-match run table: one row per maximal diagonal run of
+    surviving {_SUB_K}-char anchors per (doc_a < doc_b) pair — (doc_a,
+    doc_b, diag, start_pa, run). q226 thresholds the max run (pairwise
+    LCS); q231 turns every ≥{_SUB_MIN}-char run into a removal span in
+    the later doc.
+
+    Plan (round-8 shootout, min-of-3 at sf0.1 on local[32]; committed in
+    SCALE.md): ONE groupBy(gram) collects every occurrence of a gram into
+    a single row — simultaneously the stop-anchor df cap (df = distinct
+    docs in the collected list, applied identically to the oracle's df
+    CTE) and the pair "join" (the expansion is a JVM-side array transform
+    inside the grouped row; the old gk⋈gk self-join and its provably
+    no-op .distinct() are gone — 4.78s → 2.1s). Run detection is a fold
+    over the per-(pair, diag) sorted position list instead of a
+    sort-based window (one groupBy, no window exec). Shuffles: gram
+    groupBy (O(total chars) slim rows — the distributed suffix-sort
+    analog, same asymptotics as Lee et al.'s suffix array build), match
+    groupBy (bounded by the df cap), final per-pair agg.
+
+    ``stride`` enables the two-phase candidate filter: phase 1 detects
+    candidate pairs from anchors on a stride lattice of ONE side
+    (detect-at-(K + stride − 1) guarantee), phase 2 computes dense runs
+    only for matches of candidate pairs. OUTPUT-EQUIVALENT to the dense
+    plan whenever stride ≤ _SUB_MIN − _SUB_K + 1: every reported pair
+    needs a run of ≥ stride consecutive surviving anchors, and any
+    stride consecutive integers contain a lattice point, so phase 1
+    cannot miss a reportable pair (pytest pins equality). Worth it when
+    candidate pairs ≪ anchor-sharing pairs (loose df caps / heavy shared
+    vocabulary); on the driver fixture cand = 396k of 1.2M sharing pairs
+    and the broadcast-semi costs more than it saves (2.6s vs 2.1s), so
+    q226 runs the dense plan and the stride path stays available for
+    corpora where the fan-out, not the scan, dominates.
     """
     # repartition: the documents table arrives as ONE parquet file, so
     # without this the anchor explode (the widest narrow stage) runs on a
@@ -2022,22 +2095,44 @@ def _substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("x"),
     ).select("doc_id", F.col("x.i").alias("i"), F.col("x.gram").alias("gram"))
-    df_tbl = g.groupBy("gram").agg(
-        F.count_distinct("doc_id").alias("df")
+    occ = (
+        g.groupBy("gram")
+        .agg(F.collect_list(F.struct("doc_id", "i")).alias("os"))
+        .where(
+            F.size(F.expr("array_distinct(transform(os, o -> o.doc_id))"))
+            <= _SUB_DF_CAP
+        )
     )
-    gk = g.join(df_tbl, "gram").where(F.col("df") <= _SUB_DF_CAP)
-    a = gk.select("gram", F.col("doc_id").alias("doc_a"), F.col("i").alias("pa"))
-    b = gk.select("gram", F.col("doc_id").alias("doc_b"), F.col("i").alias("pb"))
-    m = (
-        a.join(b, "gram")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    m = occ.select(F.explode(F.expr(_SUB_EXPAND)).alias("p")).select("p.*")
+    if stride is not None:
+        assert stride <= _SUB_MIN - _SUB_K + 1, (
+            f"stride {stride} breaks the detect-at-(K+stride-1) guarantee"
+            f" for threshold {_SUB_MIN}"
+        )
+        cand = (
+            occ.select(
+                F.explode(F.expr(_SUB_CAND_FMT.format(stride=stride))).alias(
+                    "c"
+                )
+            )
+            .select("c.*")
+            .distinct()
+        )
+        m = m.join(F.broadcast(cand), ["doc_a", "doc_b"], "left_semi")
+    per_diag = m.groupBy("doc_a", "doc_b", "diag").agg(
+        F.sort_array(F.collect_list("pa")).alias("ps")
     )
-    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    isl = m.withColumn("grp", F.col("pa") - F.row_number().over(w))
-    return isl.groupBy("doc_a", "doc_b", "diag", "grp").agg(
-        F.count("*").cast("long").alias("run"),
-        F.min("pa").alias("start_pa"),
+    return per_diag.select(
+        "doc_a",
+        "doc_b",
+        "diag",
+        F.explode(F.expr(_SUB_RUNS_FOLD)).alias("r"),
+    ).select(
+        "doc_a",
+        "doc_b",
+        "diag",
+        F.col("r.s").alias("start_pa"),
+        F.col("r.l").cast("long").alias("run"),
     )
 
 

@@ -731,7 +731,13 @@ def q77_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("l"))
+    # NULL-text docs emit no chunks: the oracle's generate_series over a
+    # NULL length yields no rows, but Spark's greatest(size(NULL), 1)
+    # ignores the NULL and would manufacture one phantom NULL chunk —
+    # divergence found by the round-8 multibyte/NULL fuzz family
+    toks = d.where(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
     exploded = toks.select(
         "doc_id",
         "l",

@@ -683,7 +683,9 @@ _register_q119()
     WITH cleaned AS (
         SELECT lang, n_chars,
                trim(regexp_replace(
-                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   regexp_replace(lower(regexp_replace(
+                       text, '[^A-Za-z0-9 ]', ' ', 'g')),
+                   '[^a-z0-9 ]', ' ', 'g'),
                    ' +', ' ', 'g')) AS ctext
         FROM documents
     )
@@ -700,16 +702,30 @@ def q123_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalize text (lower → strip non-[a-z0-9 ] → collapse runs of
     spaces → trim) and roll up char/token counts per language.
 
-    Both engines apply the same three regexes in the same order; the
-    patterns use only literal classes ('[^a-z0-9 ]', ' +') so Java and
-    RE2 semantics agree. The map is whole-stage-codegen'd (no UDF);
+    Both engines apply the same regexes in the same order — ASCII strip
+    first, THEN lower — so Unicode full-vs-simple case-mapping
+    differences (Java's İ → i+U+0307 vs utf8proc's İ → i) can never
+    reach the case map; the patterns use only literal classes
+    ('[^A-Za-z0-9 ]', ' +') so Java and RE2 semantics agree. The map is whole-stage-codegen'd (no UDF);
     at 100 TB this is the canonical scan-bound pass — bytes in, bytes
     out, zero shuffle until the per-lang rollup of a handful of rows.
     """
     d = load_table(spark, sf_dir, "documents")
+    # strip to ASCII BEFORE lowercasing: Java's lower() applies full
+    # Unicode case mapping (Turkish İ → 'i' + combining dot, TWO code
+    # points) while DuckDB's applies simple per-codepoint mapping (İ →
+    # 'i'), so lowering first diverges on such chars — found by the
+    # round-8 multibyte fuzz family. Pre-stripping makes lower() operate
+    # on pure ASCII, where both engines agree; on ASCII corpora the
+    # reordering is a no-op. The inner [^a-z0-9 ] pass is kept for
+    # oracle symmetry (it matches nothing after the ASCII strip+lower).
     ctext = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            F.regexp_replace(
+                F.lower(F.regexp_replace(F.col("text"), "[^A-Za-z0-9 ]", " ")),
+                "[^a-z0-9 ]",
+                " ",
+            ),
             " +",
             " ",
         )

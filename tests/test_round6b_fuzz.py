@@ -507,3 +507,105 @@ def test_fuzz_null_key_join_storm_matches_oracles(spark, tmp_path, seed):
         except Exception as e:
             failures.append(f"{name}: {str(e)[:160]}")
     assert not failures, "\n".join(failures)
+
+
+# ---------------------------------------------------------------------------
+# Eighth family (round 8): non-ASCII / multibyte text. The text queries
+# lean on length / substr / split / regex / md5 — all character-semantics
+# ops where UTF-8 multibyte (CJK), astral-plane emoji, combining marks,
+# RTL scripts, zero-width joiners, and full-width punctuation are the
+# remaining cross-engine hazard class: both engines claim code-point
+# character semantics; this family proves it.
+# ---------------------------------------------------------------------------
+
+_MB_WORDS = [
+    # CJK (3-byte UTF-8)
+    "数据", "空白", "模型", "训练", "数据处理流水线",
+    # emoji incl. astral-plane (4-byte, beyond BMP) and ZWJ families
+    "😀", "🎉🔥", "🚀🚀🚀", "👨‍👩‍👧‍👦", "🇺🇳",
+    # combining marks: precomposed é vs e + U+0301 (distinct code points!)
+    "café", "café", "naïve", "naïve",
+    # RTL Arabic + Hebrew
+    "البيانات", "نموذج", "שלום", "עולם",
+    # Cyrillic / Greek / mixed-script
+    "данные", "μοντέλο", "spark数据", "völlig",
+    # full-width punctuation / NBSP / ideographic space
+    "！？。", "ＡＢＣ", "x y", "甲　乙",
+    # Turkish dotted/dotless i (case-mapping hazard)
+    "İstanbul", "ırmak",
+    # plain anchors so retrieval queries produce rows
+    "spark", "table", "hash", "join", "the", "and", "of",
+]
+_MB_LANGS = ["en", "zh", "ar", "he", "ru", "tr"]
+
+
+def _fuzz_multibyte_docs(seed: int = 42, n: int = 120):
+    r = random.Random(seed)
+    rows = []
+    for i in range(1, n + 1):
+        kind = r.random()
+        if kind < 0.05:
+            text = ""
+        elif kind < 0.10:
+            text = r.choice(_MB_WORDS)  # single multibyte token
+        else:
+            text = " ".join(r.choices(_MB_WORDS, k=r.randint(2, 80)))
+        rows.append((i, text, r.choice(_MB_LANGS), f"src{r.randint(0, 5)}"))
+    # planted multibyte NEAR-DUP twins (LSH / cluster / golden-record
+    # paths must fire on non-ASCII content, not just detect nothing)
+    for k in range(6):
+        base = r.choices(_MB_WORDS, k=40)
+        twin = list(base)
+        twin[20] = "altered改"
+        rows.append((n + 10 + 2 * k, " ".join(base), "zh", f"src{k % 6}"))
+        rows.append((n + 11 + 2 * k, " ".join(twin), "zh", f"src{(k + 1) % 6}"))
+    # planted SHARED MULTIBYTE SUBSTRING (≥ 32 code points spanning CJK +
+    # emoji + combining marks): the q226/q230/q231/q233 span family must
+    # count positions in code points identically on both engines
+    span = "数据处理流水线🚀训练数据😀café与café数据模型验证完成🎉"
+    assert len(span) >= 32
+    rows.append((n + 50, f"前缀文字 {span} 后缀文字", "zh", "src0"))
+    rows.append((n + 51, f"другой префикс {span} конец", "ru", "src1"))
+    rows.append((n + 52, span, "zh", "src2"))
+    docs = _docs(rows)
+    nulls = pd.DataFrame(
+        {
+            "doc_id": pd.Series(range(n + 60, n + 63), dtype="int64"),
+            "text": [None] * 3,
+            "lang": ["zh"] * 3,
+            "source": ["src0"] * 3,
+            "n_chars": pd.Series([0] * 3, dtype="int64"),
+        }
+    )
+    return pd.concat([docs, nulls], ignore_index=True)
+
+
+# text family + the substring/span family; registry-declared members
+# (q231+, the round-8 gate) join automatically.
+_MULTIBYTE_FAMILY = sorted(
+    set(
+        _TEXT_FAMILY
+        + [
+            "q111_span_dedup",
+            "q226_substring_lcs_dedup",
+            "q230_stream_substring_dedup",
+            "q77_doc_chunking",
+            "q123_text_normalize",
+        ]
+        + registry.fuzz_family("multibyte")
+    )
+)
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1337])
+def test_fuzz_multibyte_matches_oracles(spark, tmp_path, seed):
+    sf = _fixture_dir(tmp_path, _fuzz_multibyte_docs(seed))
+    failures = []
+    for name in _MULTIBYTE_FAMILY:
+        try:
+            compare_query(spark, sf, name)
+        except Exception as e:
+            failures.append(f"{name}: {str(e)[:160]}")
+    assert not failures, (
+        f"{len(failures)} multibyte divergences:\n" + "\n".join(failures)
+    )

@@ -1,0 +1,159 @@
+"""Round-8 adds: span-removal corpus rewrite (q231), dedup-impact report
+(q232), streaming span removal at ingest (q233), and the strided
+candidate path of the shared anchor-run helper. Cross-engine agreement is
+covered by test_full_registry_oracle; these tests pin the SEMANTICS on
+constructed corpora where the expected answer is known by hand."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_state_provider_spark import operators
+from spark_state_provider_spark.operators import registry
+from spark_state_provider_spark.operators.dedup import (
+    _SUB_K,
+    _SUB_MIN,
+    _substring_runs,
+)
+from tests.oracle import compare_query
+from tests.test_advice_edges import SF_SRC, _docs, _fixture_dir
+
+operators.load_all()
+
+
+def _run(spark, sf_dir, name):
+    return registry.get(name).fn(spark, sf_dir)
+
+
+# A 60-char span shared verbatim by three docs; doc 1 is id-earliest and
+# must keep it, docs 2 and 3 must lose exactly that span. Doc 4 is
+# untouched; doc 5 is an exact clone of doc 4 (loses EVERYTHING).
+_SHARED = "the quick brown fox jumps over the lazy dog again and again" + "!"
+_PRE2, _POST2 = "doc two starts differently here then quotes: ", " and ends."
+_UNIQ4 = "totally unrelated content that nobody else shares in any way four"
+
+
+def _span_corpus():
+    return _docs(
+        [
+            (1, f"intro one. {_SHARED} outro one.", "en", "web"),
+            (2, f"{_PRE2}{_SHARED}{_POST2}", "en", "web"),
+            (3, _SHARED, "en", "web"),
+            (4, _UNIQ4, "en", "web"),
+            (5, _UNIQ4, "en", "web"),
+        ]
+    )
+
+
+def test_q231_hand_corpus_exact_surgery(spark, tmp_path):
+    sf = _fixture_dir(tmp_path, _span_corpus())
+    out = {r.doc_id: r for r in _run(spark, sf, "q231_span_removal_rewrite").collect()}
+    assert len(out) == 5
+    # doc 1: id-earliest sharer keeps the span verbatim
+    assert out[1].removed_chars == 0
+    assert out[1].cleaned_text == f"intro one. {_SHARED} outro one."
+    # doc 2 loses the MAXIMAL shared span — both docs surround the quote
+    # with spaces, so the space before and after are part of the shared
+    # substring and go with it
+    assert out[2].cleaned_text == _PRE2[:-1] + _POST2[1:]
+    assert out[2].removed_chars == len(_SHARED) + 2
+    assert out[3].cleaned_text == ""
+    assert out[3].removed_chars == len(_SHARED)
+    # doc 4 keeps, its id-later exact clone 5 is erased
+    assert out[4].removed_chars == 0 and out[4].cleaned_text == _UNIQ4
+    assert out[5].cleaned_text == "" and out[5].removed_chars == len(_UNIQ4)
+    # cross-engine on the same corpus
+    compare_query(spark, sf, "q231_span_removal_rewrite")
+
+
+def test_q231_length_conservation_on_stock_corpus(spark):
+    """kept + removed == original length for every doc (the surgery cuts
+    exactly the merged intervals, nothing else)."""
+    docs = {
+        r.doc_id: r.n_chars
+        for r in spark.read.parquet(f"{SF_SRC}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    for r in _run(spark, SF_SRC, "q231_span_removal_rewrite").collect():
+        assert len(r.cleaned_text) + r.removed_chars == docs[r.doc_id], r
+
+
+def test_q233_removes_only_corpus_shared_spans(spark, tmp_path):
+    """Incoming docs (id % 5 == 0) lose spans shared with the CORPUS
+    (id % 5 != 0) but NOT spans shared only with other incoming docs."""
+    shared_inc = "incoming docs share this long phrase between themselves!!"
+    assert len(shared_inc) >= _SUB_MIN
+    corpus_span = _SHARED
+    rows = _docs(
+        [
+            (1, f"corpus doc holding: {corpus_span}", "en", "web"),
+            (5, f"alpha {corpus_span} omega {shared_inc}", "en", "web"),
+            (10, f"beta {shared_inc} gamma unique tail here", "en", "web"),
+            (7, "another corpus doc, wholly unrelated text.", "en", "web"),
+        ]
+    )
+    sf = _fixture_dir(tmp_path, rows)
+    out = {r.doc_id: r for r in _run(spark, sf, "q233_stream_span_removal").collect()}
+    assert set(out) == {5, 10}
+    # doc 5 loses the corpus span only (maximal: the shared leading space
+    # goes with it) — the inc-shared phrase survives
+    assert out[5].cleaned_text == f"alpha omega {shared_inc}"
+    assert out[5].removed_chars == len(corpus_span) + 1
+    # doc 10 shares nothing with the corpus — untouched
+    assert out[10].removed_chars == 0
+    compare_query(spark, sf, "q233_stream_span_removal")
+
+
+def test_q232_substring_row_ties_to_q231(spark):
+    """The report's substring row must equal q231's aggregate — the
+    report is a composition, not a re-derivation."""
+    rep = {
+        r.family: r for r in _run(spark, SF_SRC, "q232_dedup_impact_report").collect()
+    }
+    assert set(rep) == {"exact", "near", "substring", "semantic"}
+    rw = _run(spark, SF_SRC, "q231_span_removal_rewrite")
+    agg = rw.agg(
+        F.sum(F.when(F.col("removed_chars") > 0, 1)).alias("d"),
+        F.sum("removed_chars").alias("c"),
+    ).collect()[0]
+    assert rep["substring"].docs_affected == (agg.d or 0)
+    assert rep["substring"].chars_removed == (agg.c or 0)
+    # exact row: docs_affected == total docs − distinct texts
+    docs = spark.read.parquet(f"{SF_SRC}/documents.parquet")
+    n, nd = docs.count(), docs.select("text").distinct().count()
+    assert rep["exact"].docs_affected == n - nd
+
+
+def test_strided_runs_equal_dense(spark):
+    """stride ≤ MIN − K + 1 must be output-equivalent to the dense plan
+    (the detect-at-(K+stride−1) guarantee) at the reporting threshold."""
+    stride = _SUB_MIN - _SUB_K + 1
+
+    def lcs(stride_arg):
+        r = _substring_runs(spark, SF_SRC, stride=stride_arg)
+        return sorted(
+            map(
+                tuple,
+                r.groupBy("doc_a", "doc_b")
+                .agg(
+                    (F.lit(_SUB_K) + F.max("run") - F.lit(1))
+                    .cast("long")
+                    .alias("lcs_len")
+                )
+                .where(F.col("lcs_len") >= _SUB_MIN)
+                .collect(),
+            )
+        )
+
+    dense, strided = lcs(None), lcs(stride)
+    assert dense, "stock corpus must contain reportable pairs"
+    assert dense == strided
+
+
+def test_stride_guard_rejects_unsound_stride(spark):
+    with pytest.raises(AssertionError):
+        _substring_runs(spark, SF_SRC, stride=_SUB_MIN - _SUB_K + 2)
