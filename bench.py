@@ -299,6 +299,8 @@ def main() -> None:
             "spark_state_provider_spark.operators.text",
             fromlist=["_chartri_counts_persisted"],
         )._chartri_counts_persisted(spark, SF_DIR)),
+        # anchor-run table (round 8): q226/q231/q232 all read it
+        ("memo:runs", lambda: _dedup._runs_persisted(spark, SF_DIR)),
     ):
         t0 = time.perf_counter()
         builder().count()
@@ -335,9 +337,19 @@ def main() -> None:
     controls_start = run_controls()
     print(f"# controls@start: {controls_start}", file=sys.stderr)
 
+    # mid-run checkpoint: the first final-capture of round 8 caught a
+    # transient host spike that hit four CONSECUTIVE queries mid-run
+    # (q216-q219 at 2-3x) while start/end controls stayed flat — a
+    # mid-run control sample makes that window visible in the artifact
+    controls_mid: dict[str, float] = {}
+    mid_at = len(HEADLINE) // 2
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
+        if qi == mid_at:
+            controls_mid = run_controls()
+            print(f"# controls@mid: {controls_mid}", file=sys.stderr)
         fn = registry.get(name).fn
         # Warm protocol (BASELINE.md): run three times, report min. The first
         # run pays one-time JIT/codegen-compile + Python-worker-fork costs
@@ -359,15 +371,22 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s (cold {runs[0]:.3f}s)", file=sys.stderr)
 
     controls_end = run_controls()
-    drift = round(
-        sum(controls_end.values()) / max(sum(controls_start.values()), 1e-9), 3
+    s0 = max(sum(controls_start.values()), 1e-9)
+    drift = round(sum(controls_end.values()) / s0, 3)
+    drift_mid = (
+        round(sum(controls_mid.values()) / s0, 3) if controls_mid else None
     )
     controls = {
         "start": controls_start,
+        "mid": controls_mid,
         "end": controls_end,
         "drift": drift,
+        "drift_mid": drift_mid,
     }
-    print(f"# controls@end: {controls_end} drift={drift}", file=sys.stderr)
+    print(
+        f"# controls@end: {controls_end} drift={drift} mid={drift_mid}",
+        file=sys.stderr,
+    )
 
     # Streaming-floor watch (round-7 verdict #3): the three queries whose
     # round-7 DRIVER capture ran 2-4x their committed clean numbers. Each
@@ -441,18 +460,21 @@ def budgeted_stdout_line(
         "detail": "BENCH_DETAIL.json",
     }
     if controls is not None:
-        # host-drift self-adjudication: [start, end] min-of-3 seconds per
-        # pinned control + end/start total ratio — a drift far above 1.0
-        # marks the capture as host-degraded without out-of-band evidence
+        # host-drift self-adjudication: [start, mid, end] min-of-3 seconds
+        # per pinned control + mid/start and end/start total ratios — a
+        # drift far above 1.0 at ANY checkpoint marks the capture as
+        # host-degraded without out-of-band evidence
         base["controls"] = {
             **{
                 n.split("_", 1)[0]: [
                     controls["start"][n],
+                    controls.get("mid", {}).get(n),
                     controls["end"][n],
                 ]
                 for n in controls["start"]
             },
             "drift": controls["drift"],
+            "drift_mid": controls.get("drift_mid"),
         }
     by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
     listed: dict[str, float] = {}
