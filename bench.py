@@ -263,6 +263,9 @@ HEADLINE = [
     "q231_span_removal_rewrite",
     "q232_dedup_impact_report",
     "q233_stream_span_removal",
+    # round-8 second tranche: decontamination rewrite + residual audit
+    "q234_decontamination_rewrite",
+    "q235_rewrite_residual_audit",
 ]
 
 

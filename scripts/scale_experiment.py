@@ -164,6 +164,8 @@ QUERIES = [
     "q231_span_removal_rewrite",
     "q232_dedup_impact_report",
     "q233_stream_span_removal",
+    "q234_decontamination_rewrite",
+    "q235_rewrite_residual_audit",
 ]
 
 

@@ -2081,11 +2081,19 @@ def _substring_runs(
     # repartition: the documents table arrives as ONE parquet file, so
     # without this the anchor explode (the widest narrow stage) runs on a
     # single core — measured 8.9s → 3.4s min-of-3 at sf0.1 on local[32]
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.length("text") >= _SUB_K)
-        .repartition(spark.sparkContext.defaultParallelism)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    return _runs_for_docs(docs, stride=stride)
+
+
+def _runs_for_docs(
+    docs: DataFrame, stride: int | None = None
+) -> DataFrame:
+    """_substring_runs over an arbitrary (doc_id, text) frame — q235
+    audits the REBUILT corpus (q231's output) with exactly the plan the
+    original corpus was deduplicated with."""
+    d = docs.where(F.length("text") >= _SUB_K)
     g = d.select(
         "doc_id",
         F.explode(
@@ -2371,3 +2379,118 @@ def q231_span_removal_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = _merged_removal_intervals(spans)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return _rewrite_with_intervals(docs, merged)
+
+
+# ---------------------------------------------------------------------------
+# q235 — post-rewrite residual audit: run the ExactSubstr detector over
+# q231's REBUILT corpus and report what survives. Span removal is not
+# idempotent in general — cutting X+S+Y down to X+Y can create a brand-new
+# duplicate against a doc that was already X+Y (Lee et al. 2022 run
+# ExactSubstr iteratively for exactly this reason) — so the audit is the
+# pipeline step that decides whether another pass is needed.
+# ---------------------------------------------------------------------------
+
+
+def _register_q235() -> None:
+    rewrite_sql = q231_span_removal_rewrite and _REGISTRY_ORACLE(
+        "q231_span_removal_rewrite"
+    )
+
+    @register(
+        "q235_rewrite_residual_audit",
+        oracle=f"""
+        WITH rc AS (
+            SELECT doc_id, cleaned_text AS text FROM ({rewrite_sql})
+        ),
+        g2 AS (
+            SELECT doc_id, i, substr(text, i, {_SUB_K}) AS gram
+            FROM rc,
+                 unnest(generate_series(1, length(text) - {_SUB_K - 1}))
+                     AS t(i)
+            WHERE length(text) >= {_SUB_K}
+        ),
+        df2 AS (
+            SELECT gram, count(DISTINCT doc_id) AS df
+            FROM g2 GROUP BY gram
+        ),
+        gk2 AS (
+            SELECT g2.* FROM g2 JOIN df2 USING (gram)
+            WHERE df2.df <= {_SUB_DF_CAP}
+        ),
+        m2 AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.i AS pa, a.i - b.i AS diag
+            FROM gk2 a JOIN gk2 b USING (gram)
+            WHERE a.doc_id < b.doc_id
+        ),
+        isl3 AS (
+            SELECT doc_a, doc_b, diag, pa,
+                   pa - row_number() OVER (
+                       PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+            FROM m2
+        ),
+        runs2 AS (
+            SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS run
+            FROM isl3 GROUP BY doc_a, doc_b, diag, grp
+        ),
+        resid AS (
+            SELECT doc_a, doc_b,
+                   CAST({_SUB_K} + max(run) - 1 AS BIGINT) AS lcs_len
+            FROM runs2 GROUP BY doc_a, doc_b
+            HAVING {_SUB_K} + max(run) - 1 >= {_SUB_MIN}
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_residual_pairs,
+               CAST(COALESCE(max(lcs_len), 0) AS BIGINT)
+                   AS max_residual_lcs,
+               CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_needing_pass2
+        FROM resid
+        """,
+        fuzz=("text", "multibyte"),
+    )
+    def q235_rewrite_residual_audit(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """One-row audit of the deduplicated corpus: how many doc pairs
+        STILL share an exact substring of ≥ {_SUB_MIN} chars after
+        q231's rewrite, the longest such residue, and how many docs a
+        second pass would touch. Nonzero is legitimate — cutting a span
+        can concatenate its flanks into a new duplicate (why ExactSubstr
+        is run iteratively); the audit is the convergence check.
+
+        Scale shape: exactly q231's detector plan replayed over the
+        rebuilt frame (one gram groupBy that is both the df cap and the
+        pair expansion, fold-based runs) — auditing costs one more pass
+        of the same shape, nothing new; the final rollup is a one-row
+        global aggregate.
+        """
+        rebuilt = q231_span_removal_rewrite(spark, sf_dir).select(
+            "doc_id", F.col("cleaned_text").alias("text")
+        )
+        runs = _runs_for_docs(rebuilt)
+        resid = (
+            runs.groupBy("doc_a", "doc_b")
+            .agg(
+                (F.lit(_SUB_K) + F.max("run") - F.lit(1))
+                .cast("long")
+                .alias("lcs_len")
+            )
+            .where(F.col("lcs_len") >= _SUB_MIN)
+        )
+        return resid.agg(
+            F.count("*").cast("long").alias("n_residual_pairs"),
+            F.coalesce(F.max("lcs_len"), F.lit(0))
+            .cast("long")
+            .alias("max_residual_lcs"),
+            F.count_distinct("doc_b")
+            .cast("long")
+            .alias("n_docs_needing_pass2"),
+        )
+
+
+def _REGISTRY_ORACLE(name: str) -> str:
+    from spark_state_provider_spark.operators.registry import _REGISTRY
+
+    return _REGISTRY[name].oracle
+
+
+_register_q235()

@@ -3663,3 +3663,174 @@ def _register_q232() -> None:
 
 
 _register_q232()
+
+
+# ---------------------------------------------------------------------------
+# q234 — benchmark DECONTAMINATION rewrite: the output side of q46. The
+# GPT-3 decontamination procedure (Brown et al. 2020, Appendix C) removes
+# the colliding n-gram occurrences from training documents rather than
+# reporting them; here every corpus token position covered by a word
+# trigram that also occurs in any benchmark doc (doc_id % 97 == 0, q46's
+# convention) is cut, and the doc is reassembled from the surviving
+# tokens. q46 stays the doc-level REPORT (with its ≥-shared gate); q234
+# is the span-level surgery that removes every collision unconditionally.
+# ---------------------------------------------------------------------------
+
+
+def _register_q234() -> None:
+    from spark_state_provider_spark.operators.dedup import (
+        _MERGE_CTES,
+        _merged_removal_intervals,
+    )
+
+    @register(
+        "q234_decontamination_rewrite",
+        oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS l
+            FROM documents WHERE doc_id % 97 <> 0
+        ),
+        bt AS (
+            SELECT DISTINCT b.l[i] || ' ' || b.l[i+1] || ' ' || b.l[i+2]
+                       AS tri
+            FROM (SELECT string_split(text, ' ') AS l FROM documents
+                  WHERE doc_id % 97 = 0) b,
+                 unnest(generate_series(1, len(b.l) - 2)) AS t(i)
+        ),
+        spans AS (
+            SELECT p.doc_id, p.j AS s, p.j + 2 AS e
+            FROM (
+                SELECT tok.doc_id, u.j,
+                       l[u.j] || ' ' || l[u.j+1] || ' ' || l[u.j+2] AS tri
+                FROM tok, unnest(generate_series(1, len(l) - 2)) AS u(j)
+            ) p JOIN bt USING (tri)
+        ),
+        {_MERGE_CTES},
+        kept AS (
+            -- positions materialized in a subquery first: DuckDB cannot
+            -- LEFT JOIN against a column correlated with a lateral unnest
+            SELECT q.doc_id,
+                   string_agg(q.tokval, ' ' ORDER BY q.j) AS cleaned_text
+            FROM (
+                SELECT t.doc_id, p.j, t.l[p.j] AS tokval
+                FROM tok t,
+                     unnest(generate_series(1, len(t.l))) AS p(j)
+            ) q
+            LEFT JOIN merged m
+                   ON m.doc_id = q.doc_id AND q.j BETWEEN m.s AND m.e
+            WHERE m.doc_id IS NULL
+            GROUP BY q.doc_id
+        ),
+        rm AS (
+            SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS removed_tokens
+            FROM merged GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN rm.removed_tokens IS NULL THEN d.text
+                    ELSE COALESCE(k.cleaned_text, '') END AS cleaned_text,
+               COALESCE(rm.removed_tokens, CAST(0 AS BIGINT))
+                   AS removed_tokens
+        FROM documents d
+        LEFT JOIN kept k USING (doc_id)
+        LEFT JOIN rm USING (doc_id)
+        WHERE d.doc_id % 97 <> 0
+        """,
+        fuzz=("text", "multibyte"),
+    )
+    def q234_decontamination_rewrite(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per corpus doc (non-benchmark): text with every token position
+        covered by a benchmark-colliding word trigram removed, plus the
+        count of tokens cut — (doc_id, cleaned_text, removed_tokens),
+        untouched docs pass through (NULL text stays NULL). The q231
+        interval surgery transplanted to TOKEN space.
+
+        Scale shape: the benchmark trigram set BROADCASTS (benchmark
+        suites are KBs against a 100 TB corpus), so contamination
+        detection is a narrow scan + hash probe — no corpus shuffle; the
+        shuffled volume is only the HITS (bounded by benchmark size).
+        Interval merge is per-doc gaps-and-islands over those hits; the
+        rebuild is one JVM aggregate fold over the doc's token array
+        slicing around the merged intervals — no per-token explode on
+        the rebuild path, no Python anywhere.
+        """
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        corpus = docs.where(F.col("doc_id") % 97 != 0)
+        bench = docs.where(F.col("doc_id") % 97 == 0)
+        bt = (
+            bench.select(F.split("text", " ").alias("l"))
+            .select(
+                F.explode(
+                    F.expr(
+                        # IF-guard, not greatest(...): sequence(1, 0)
+                        # DESCENDS in Spark ([1, 0]) and would emit bogus
+                        # positions for docs with < 3 tokens (found by the
+                        # round-8 multibyte/short-doc fuzz corpora)
+                        "transform(IF(size(l) >= 3, sequence(1, size(l) - 2), "
+                        "array()), "
+                        "i -> concat_ws(' ', element_at(l, i), "
+                        "element_at(l, i + 1), element_at(l, i + 2)))"
+                    )
+                ).alias("tri")
+            )
+            .distinct()
+        )
+        tok = corpus.select("doc_id", F.split("text", " ").alias("l"))
+        hits = (
+            tok.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(IF(size(l) >= 3, sequence(1, size(l) - 2), "
+                        "array()), "
+                        "j -> struct(j AS j, concat_ws(' ', element_at(l, j), "
+                        "element_at(l, j + 1), element_at(l, j + 2)) AS tri))"
+                    )
+                ).alias("x"),
+            )
+            .select("doc_id", F.col("x.j").alias("j"), F.col("x.tri").alias("tri"))
+            .join(F.broadcast(bt), "tri")
+            .select("doc_id", F.col("j").alias("s"), (F.col("j") + 2).alias("e"))
+        )
+        merged = _merged_removal_intervals(hits)
+        iv = merged.groupBy("doc_id").agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("s").cast("int").alias("s"),
+                        F.col("e").cast("int").alias("e"),
+                    )
+                )
+            ).alias("ivs"),
+            F.sum(F.col("e") - F.col("s") + 1)
+            .cast("long")
+            .alias("removed_tokens"),
+        )
+        rebuilt = F.expr(
+            "aggregate(ivs, "
+            "struct(CAST(array() AS ARRAY<STRING>) AS a, CAST(1 AS INT) AS c), "
+            "(acc, iv) -> struct("
+            "  IF(iv.s > acc.c, concat(acc.a, slice(l, acc.c, iv.s - acc.c)), acc.a), "
+            "  CAST(iv.e + 1 AS INT)), "
+            "acc -> array_join("
+            "  IF(size(l) >= acc.c, concat(acc.a, slice(l, acc.c, size(l) - acc.c + 1)), acc.a), "
+            "  ' '))"
+        )
+        return (
+            corpus.join(iv, "doc_id", "left")
+            .withColumn("l", F.split("text", " "))
+            .select(
+                "doc_id",
+                F.when(F.col("ivs").isNotNull(), rebuilt)
+                .otherwise(F.col("text"))
+                .alias("cleaned_text"),
+                F.coalesce(F.col("removed_tokens"), F.lit(0).cast("long"))
+                .alias("removed_tokens"),
+            )
+        )
+
+
+_register_q234()

@@ -157,3 +157,77 @@ def test_strided_runs_equal_dense(spark):
 def test_stride_guard_rejects_unsound_stride(spark):
     with pytest.raises(AssertionError):
         _substring_runs(spark, SF_SRC, stride=_SUB_MIN - _SUB_K + 2)
+
+
+# ---------------------------------------------------------------------------
+# q234 — decontamination rewrite
+# ---------------------------------------------------------------------------
+
+
+def test_q234_cuts_benchmark_collisions_only(spark, tmp_path):
+    """Tokens covered by a benchmark trigram are cut (merged across
+    overlapping hits); clean docs pass through; benchmark docs are not
+    emitted."""
+    rows = _docs(
+        [
+            (97, "alpha beta gamma delta", "en", "bench"),
+            (1, "x alpha beta gamma delta y", "en", "web"),
+            (2, "nothing shared here at all", "en", "web"),
+        ]
+    )
+    sf = _fixture_dir(tmp_path, rows)
+    out = {
+        r.doc_id: r
+        for r in _run(spark, sf, "q234_decontamination_rewrite").collect()
+    }
+    assert set(out) == {1, 2}
+    # doc 1: positions 2-4 and 3-5 hit -> merged [2,5] -> 4 tokens cut
+    assert out[1].cleaned_text == "x y"
+    assert out[1].removed_tokens == 4
+    assert out[2].removed_tokens == 0
+    assert out[2].cleaned_text == "nothing shared here at all"
+    compare_query(spark, sf, "q234_decontamination_rewrite")
+
+
+# ---------------------------------------------------------------------------
+# q235 — post-rewrite residual audit (non-idempotence is REAL: cutting a
+# span can concatenate its flanks into a brand-new duplicate)
+# ---------------------------------------------------------------------------
+
+_X = "ABCDEFGHIJKLMNOPQRST"          # 20 chars — below threshold alone
+_Y = "UVWXYZabcdefghijklmn"          # 20 chars — below threshold alone
+_S = "the#shared#secret#span#goes#right#here!!"  # 40 chars — above
+
+
+def test_q235_detects_rewrite_created_duplicate(spark, tmp_path):
+    assert len(_S) >= _SUB_MIN and len(_X + _Y) >= _SUB_MIN
+    rows = _docs(
+        [
+            (1, f"zzz {_S} qqq", "en", "web"),   # id-earliest S holder
+            (2, _X + _Y, "en", "web"),            # already X+Y
+            (3, _X + _S + _Y, "en", "web"),       # loses S -> becomes X+Y
+        ]
+    )
+    sf = _fixture_dir(tmp_path, rows)
+    # sanity: the rewrite cuts exactly S from doc 3
+    rw = {
+        r.doc_id: r
+        for r in _run(spark, sf, "q231_span_removal_rewrite").collect()
+    }
+    assert rw[3].cleaned_text == _X + _Y
+    assert rw[3].removed_chars == len(_S)
+    assert rw[2].removed_chars == 0
+    # the audit sees the NEW duplicate the rewrite manufactured
+    audit = _run(spark, sf, "q235_rewrite_residual_audit").collect()[0]
+    assert audit.n_residual_pairs == 1
+    assert audit.max_residual_lcs == len(_X + _Y)
+    assert audit.n_docs_needing_pass2 == 1
+    compare_query(spark, sf, "q235_rewrite_residual_audit")
+
+
+def test_q235_converges_on_stock_corpus(spark):
+    """The driver corpus deduplicates in ONE pass (residual 0) — pinned
+    so a plan change that breaks the surgery shows up here first."""
+    audit = _run(spark, SF_SRC, "q235_rewrite_residual_audit").collect()[0]
+    assert audit.n_residual_pairs == 0
+    assert audit.max_residual_lcs == 0
