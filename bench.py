@@ -266,6 +266,7 @@ HEADLINE = [
     # round-8 second tranche: decontamination rewrite + residual audit
     "q234_decontamination_rewrite",
     "q235_rewrite_residual_audit",
+    "q236_stream_decontamination",
 ]
 
 

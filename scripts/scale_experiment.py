@@ -166,6 +166,7 @@ QUERIES = [
     "q233_stream_span_removal",
     "q234_decontamination_rewrite",
     "q235_rewrite_residual_audit",
+    "q236_stream_decontamination",
 ]
 
 

@@ -3677,11 +3677,96 @@ _register_q232()
 # ---------------------------------------------------------------------------
 
 
-def _register_q234() -> None:
+
+_TRI_POS_EXPR = (
+    # IF-guard, not greatest(...): sequence(1, 0) DESCENDS in Spark
+    # ([1, 0]) and would emit bogus positions for docs with < 3 tokens
+    # (found by the round-8 multibyte/short-doc fuzz corpora)
+    "transform(IF(size(l) >= 3, sequence(1, size(l) - 2), array()), "
+    "j -> struct(j AS j, concat_ws(' ', element_at(l, j), "
+    "element_at(l, j + 1), element_at(l, j + 2)) AS tri))"
+)
+
+_TOKEN_REBUILD_EXPR = (
+    "aggregate(ivs, "
+    "struct(CAST(array() AS ARRAY<STRING>) AS a, CAST(1 AS INT) AS c), "
+    "(acc, iv) -> struct("
+    "  IF(iv.s > acc.c, concat(acc.a, slice(l, acc.c, iv.s - acc.c)), acc.a), "
+    "  CAST(iv.e + 1 AS INT)), "
+    "acc -> array_join("
+    "  IF(size(l) >= acc.c, concat(acc.a, slice(l, acc.c, size(l) - acc.c + 1)), acc.a), "
+    "  ' '))"
+)
+
+
+def benchmark_trigrams(docs: DataFrame) -> DataFrame:
+    """DISTINCT word trigrams of the benchmark slice — the broadcast
+    probe side of q234/q236."""
+    return (
+        docs.select(F.split("text", " ").alias("l"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(IF(size(l) >= 3, sequence(1, size(l) - 2), "
+                    "array()), "
+                    "i -> concat_ws(' ', element_at(l, i), "
+                    "element_at(l, i + 1), element_at(l, i + 2)))"
+                )
+            ).alias("tri")
+        )
+        .distinct()
+    )
+
+
+def decontaminate(corpus: DataFrame, bt: DataFrame) -> DataFrame:
+    """Cut every token position of ``corpus`` (doc_id, text) covered by a
+    trigram in ``bt`` and reassemble each doc from the surviving tokens —
+    the shared surgery behind q234 (batch) and q236 (per micro-batch).
+    Emits (doc_id, cleaned_text, removed_tokens) for EVERY corpus doc."""
     from spark_state_provider_spark.operators.dedup import (
-        _MERGE_CTES,
         _merged_removal_intervals,
     )
+
+    tok = corpus.select("doc_id", F.split("text", " ").alias("l"))
+    hits = (
+        tok.select(
+            "doc_id",
+            F.explode(F.expr(_TRI_POS_EXPR)).alias("x"),
+        )
+        .select("doc_id", F.col("x.j").alias("j"), F.col("x.tri").alias("tri"))
+        .join(F.broadcast(bt), "tri")
+        .select("doc_id", F.col("j").alias("s"), (F.col("j") + 2).alias("e"))
+    )
+    merged = _merged_removal_intervals(hits)
+    iv = merged.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("s").cast("int").alias("s"),
+                    F.col("e").cast("int").alias("e"),
+                )
+            )
+        ).alias("ivs"),
+        F.sum(F.col("e") - F.col("s") + 1)
+        .cast("long")
+        .alias("removed_tokens"),
+    )
+    return (
+        corpus.join(iv, "doc_id", "left")
+        .withColumn("l", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.when(F.col("ivs").isNotNull(), F.expr(_TOKEN_REBUILD_EXPR))
+            .otherwise(F.col("text"))
+            .alias("cleaned_text"),
+            F.coalesce(F.col("removed_tokens"), F.lit(0).cast("long"))
+            .alias("removed_tokens"),
+        )
+    )
+
+
+def _register_q234() -> None:
+    from spark_state_provider_spark.operators.dedup import _MERGE_CTES
 
     @register(
         "q234_decontamination_rewrite",
@@ -3758,78 +3843,9 @@ def _register_q234() -> None:
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text"
         )
-        corpus = docs.where(F.col("doc_id") % 97 != 0)
-        bench = docs.where(F.col("doc_id") % 97 == 0)
-        bt = (
-            bench.select(F.split("text", " ").alias("l"))
-            .select(
-                F.explode(
-                    F.expr(
-                        # IF-guard, not greatest(...): sequence(1, 0)
-                        # DESCENDS in Spark ([1, 0]) and would emit bogus
-                        # positions for docs with < 3 tokens (found by the
-                        # round-8 multibyte/short-doc fuzz corpora)
-                        "transform(IF(size(l) >= 3, sequence(1, size(l) - 2), "
-                        "array()), "
-                        "i -> concat_ws(' ', element_at(l, i), "
-                        "element_at(l, i + 1), element_at(l, i + 2)))"
-                    )
-                ).alias("tri")
-            )
-            .distinct()
-        )
-        tok = corpus.select("doc_id", F.split("text", " ").alias("l"))
-        hits = (
-            tok.select(
-                "doc_id",
-                F.explode(
-                    F.expr(
-                        "transform(IF(size(l) >= 3, sequence(1, size(l) - 2), "
-                        "array()), "
-                        "j -> struct(j AS j, concat_ws(' ', element_at(l, j), "
-                        "element_at(l, j + 1), element_at(l, j + 2)) AS tri))"
-                    )
-                ).alias("x"),
-            )
-            .select("doc_id", F.col("x.j").alias("j"), F.col("x.tri").alias("tri"))
-            .join(F.broadcast(bt), "tri")
-            .select("doc_id", F.col("j").alias("s"), (F.col("j") + 2).alias("e"))
-        )
-        merged = _merged_removal_intervals(hits)
-        iv = merged.groupBy("doc_id").agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("s").cast("int").alias("s"),
-                        F.col("e").cast("int").alias("e"),
-                    )
-                )
-            ).alias("ivs"),
-            F.sum(F.col("e") - F.col("s") + 1)
-            .cast("long")
-            .alias("removed_tokens"),
-        )
-        rebuilt = F.expr(
-            "aggregate(ivs, "
-            "struct(CAST(array() AS ARRAY<STRING>) AS a, CAST(1 AS INT) AS c), "
-            "(acc, iv) -> struct("
-            "  IF(iv.s > acc.c, concat(acc.a, slice(l, acc.c, iv.s - acc.c)), acc.a), "
-            "  CAST(iv.e + 1 AS INT)), "
-            "acc -> array_join("
-            "  IF(size(l) >= acc.c, concat(acc.a, slice(l, acc.c, size(l) - acc.c + 1)), acc.a), "
-            "  ' '))"
-        )
-        return (
-            corpus.join(iv, "doc_id", "left")
-            .withColumn("l", F.split("text", " "))
-            .select(
-                "doc_id",
-                F.when(F.col("ivs").isNotNull(), rebuilt)
-                .otherwise(F.col("text"))
-                .alias("cleaned_text"),
-                F.coalesce(F.col("removed_tokens"), F.lit(0).cast("long"))
-                .alias("removed_tokens"),
-            )
+        return decontaminate(
+            docs.where(F.col("doc_id") % 97 != 0),
+            benchmark_trigrams(docs.where(F.col("doc_id") % 97 == 0)),
         )
 
 

@@ -3256,3 +3256,140 @@ def _register_q233() -> None:
 
 
 _register_q233()
+
+
+# ---------------------------------------------------------------------------
+# q236 — STREAMING decontamination: q234's benchmark-collision surgery
+# applied AT INGEST. The benchmark trigram set is static (benchmark
+# suites change on release cadence, not per batch) and broadcasts into
+# every micro-batch; each incoming doc is rewritten within its own batch,
+# so the drained result equals the batch oracle under any schedule.
+# ---------------------------------------------------------------------------
+
+
+def _register_q236() -> None:
+    from spark_state_provider_spark.operators.dedup import (
+        _INC_MOD,
+        _MERGE_CTES,
+    )
+
+    @register(
+        "q236_stream_decontamination",
+        oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS l
+            FROM documents
+            WHERE doc_id % {_INC_MOD} = 0 AND doc_id % 97 <> 0
+        ),
+        bt AS (
+            SELECT DISTINCT b.l[i] || ' ' || b.l[i+1] || ' ' || b.l[i+2]
+                       AS tri
+            FROM (SELECT string_split(text, ' ') AS l FROM documents
+                  WHERE doc_id % 97 = 0) b,
+                 unnest(generate_series(1, len(b.l) - 2)) AS t(i)
+        ),
+        spans AS (
+            SELECT p.doc_id, p.j AS s, p.j + 2 AS e
+            FROM (
+                SELECT tok.doc_id, u.j,
+                       l[u.j] || ' ' || l[u.j+1] || ' ' || l[u.j+2] AS tri
+                FROM tok, unnest(generate_series(1, len(l) - 2)) AS u(j)
+            ) p JOIN bt USING (tri)
+        ),
+        {_MERGE_CTES},
+        kept AS (
+            SELECT q.doc_id,
+                   string_agg(q.tokval, ' ' ORDER BY q.j) AS cleaned_text
+            FROM (
+                SELECT t.doc_id, p.j, t.l[p.j] AS tokval
+                FROM tok t,
+                     unnest(generate_series(1, len(t.l))) AS p(j)
+            ) q
+            LEFT JOIN merged m
+                   ON m.doc_id = q.doc_id AND q.j BETWEEN m.s AND m.e
+            WHERE m.doc_id IS NULL
+            GROUP BY q.doc_id
+        ),
+        rm AS (
+            SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS removed_tokens
+            FROM merged GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN rm.removed_tokens IS NULL THEN d.text
+                    ELSE COALESCE(k.cleaned_text, '') END AS cleaned_text,
+               COALESCE(rm.removed_tokens, CAST(0 AS BIGINT))
+                   AS removed_tokens
+        FROM documents d
+        LEFT JOIN kept k USING (doc_id)
+        LEFT JOIN rm USING (doc_id)
+        WHERE d.doc_id % {_INC_MOD} = 0 AND d.doc_id % 97 <> 0
+        """,
+        fuzz=("multibyte",),
+    )
+    def q236_stream_decontamination(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per incoming doc ({N_BATCHES} crawl micro-batches, benchmark
+        docs excluded): text with every token position covered by a
+        benchmark-colliding word trigram cut at INGEST — (doc_id,
+        cleaned_text, removed_tokens), untouched docs pass through.
+
+        Scale shape: the benchmark trigram frame broadcasts into every
+        micro-batch (benchmark suites are KBs against the stream), so
+        the per-trigger cost is a narrow batch-side scan + hash probe +
+        per-doc interval fold — no stream-side state at all, which is
+        exactly why this gate belongs at ingest: it needs no cross-batch
+        memory, unlike the dedup twins (q230/q233) that carry a corpus
+        index.
+        """
+        import shutil
+
+        from spark_state_provider_spark.streaming.sources import stream_docs
+        from spark_state_provider_spark.tables import load_table
+
+        from spark_state_provider_spark.operators.pipeline import (
+            benchmark_trigrams,
+            decontaminate,
+        )
+
+        bt = benchmark_trigrams(
+            load_table(spark, sf_dir, "documents").where(
+                F.col("doc_id") % 97 == 0
+            )
+        )
+
+        out_dir, ckpt = _fresh_run_dirs("q236", sf_dir, "out", "ckpt")
+
+        def decontam(batch_df: DataFrame, batch_id: int) -> None:
+            corpus = batch_df.where(F.col("doc_id") % 97 != 0).select(
+                "doc_id", "text"
+            )
+            decontaminate(corpus, bt).write.mode("overwrite").parquet(
+                _batch_subdir(out_dir, batch_id)
+            )
+
+        with _streaming_session(spark):
+            docs = stream_docs(spark, sf_dir, N_BATCHES, mod=_INC_MOD)
+            q = (
+                docs.writeStream.foreachBatch(decontam)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                finished = q.awaitTermination(180)
+            finally:
+                q.stop()
+                shutil.rmtree(ckpt, ignore_errors=True)
+            if not finished:
+                raise TimeoutError("q236 stream did not drain within 180s")
+        return _pinned(
+            spark.read.schema(
+                "doc_id bigint, cleaned_text string, removed_tokens bigint"
+            )
+            .option("recursiveFileLookup", "true")
+            .parquet(out_dir)
+        )
+
+
+_register_q236()

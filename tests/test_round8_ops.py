@@ -231,3 +231,34 @@ def test_q235_converges_on_stock_corpus(spark):
     audit = _run(spark, SF_SRC, "q235_rewrite_residual_audit").collect()[0]
     assert audit.n_residual_pairs == 0
     assert audit.max_residual_lcs == 0
+
+
+def test_q236_streaming_matches_q234_on_incoming(spark, tmp_path):
+    """The ingest twin must equal the batch rewrite restricted to the
+    incoming slice (benchmark docs excluded), on a corpus where the
+    collision is known by hand."""
+    rows = _docs(
+        [
+            (97, "alpha beta gamma delta", "en", "bench"),
+            (5, "x alpha beta gamma delta y", "en", "web"),       # incoming
+            (10, "nothing shared here at all", "en", "web"),      # incoming
+            (3, "alpha beta gamma in corpus too", "en", "web"),   # NOT incoming
+        ]
+    )
+    sf = _fixture_dir(tmp_path, rows)
+    out = {
+        r.doc_id: r
+        for r in _run(spark, sf, "q236_stream_decontamination").collect()
+    }
+    assert set(out) == {5, 10}
+    assert out[5].cleaned_text == "x y" and out[5].removed_tokens == 4
+    assert out[10].removed_tokens == 0
+    batch = {
+        r.doc_id: r
+        for r in _run(spark, sf, "q234_decontamination_rewrite").collect()
+        if r.doc_id % 5 == 0
+    }
+    assert {k: (v.cleaned_text, v.removed_tokens) for k, v in out.items()} == {
+        k: (v.cleaned_text, v.removed_tokens) for k, v in batch.items()
+    }
+    compare_query(spark, sf, "q236_stream_decontamination")
