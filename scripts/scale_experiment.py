@@ -167,6 +167,7 @@ QUERIES = [
     "q234_decontamination_rewrite",
     "q235_rewrite_residual_audit",
     "q236_stream_decontamination",
+    "q237_iterative_span_removal",
 ]
 
 

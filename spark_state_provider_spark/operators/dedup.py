@@ -2360,24 +2360,31 @@ def q231_span_removal_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the rewrite joins intervals back to the corpus on doc_id (the
     table's natural key), so it co-partitions with any doc-keyed layout.
     """
-    runs = _runs_persisted(spark, sf_dir)
-    spans = (
-        runs.where(
-            F.lit(_SUB_K) + F.col("run") - F.lit(1) >= F.lit(_SUB_MIN)
-        )
-        .select(
-            F.col("doc_b").alias("doc_id"),
-            (F.col("start_pa") - F.col("diag")).alias("s"),
-            (
-                F.col("start_pa")
-                - F.col("diag")
-                + (F.lit(_SUB_K) + F.col("run") - F.lit(1))
-                - F.lit(1)
-            ).alias("e"),
-        )
-    )
-    merged = _merged_removal_intervals(spans)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _span_rewrite(docs, _runs_persisted(spark, sf_dir))
+
+
+def _spans_from_runs(runs: DataFrame) -> DataFrame:
+    """Every ≥-threshold run as a removal interval in the id-later doc."""
+    return runs.where(
+        F.lit(_SUB_K) + F.col("run") - F.lit(1) >= F.lit(_SUB_MIN)
+    ).select(
+        F.col("doc_b").alias("doc_id"),
+        (F.col("start_pa") - F.col("diag")).alias("s"),
+        (
+            F.col("start_pa")
+            - F.col("diag")
+            + (F.lit(_SUB_K) + F.col("run") - F.lit(1))
+            - F.lit(1)
+        ).alias("e"),
+    )
+
+
+def _span_rewrite(docs: DataFrame, runs: DataFrame) -> DataFrame:
+    """runs → spans → merged intervals → rebuilt corpus: the full
+    surgery over any (doc_id, text) frame — q231 uses it on the original
+    corpus, q237 applies it AGAIN to the pass-1 output."""
+    merged = _merged_removal_intervals(_spans_from_runs(runs))
     return _rewrite_with_intervals(docs, merged)
 
 
@@ -2494,3 +2501,162 @@ def _REGISTRY_ORACLE(name: str) -> str:
 
 
 _register_q235()
+
+
+# ---------------------------------------------------------------------------
+# q237 — iterative span removal, pass 2: ExactSubstr as Lee et al. 2022
+# actually run it. q235 proved the rewrite can MANUFACTURE new duplicates
+# (cutting X+S+Y to X+Y may equal an existing X+Y); the remedy is another
+# pass over the rebuilt corpus. q237 emits the corpus after TWO passes
+# with per-pass removal accounting — the convergence step q235's audit
+# asks for.
+# ---------------------------------------------------------------------------
+
+
+def _span_chain_sql(src: str, sfx: str) -> str:
+    """The full anchor → df-cap → matches → runs → spans → merged →
+    rebuilt/removed CTE chain over relation ``src``, every CTE name
+    suffixed with ``sfx`` so TWO passes compose inside one WITH (CTE
+    names cannot shadow across nesting levels in the pass-2 oracle)."""
+    return f"""
+    g{sfx} AS (
+        SELECT doc_id, i, substr(text, i, {_SUB_K}) AS gram
+        FROM {src},
+             unnest(generate_series(1, length(text) - {_SUB_K - 1})) AS t(i)
+        WHERE length(text) >= {_SUB_K}
+    ),
+    df{sfx} AS (
+        SELECT gram, count(DISTINCT doc_id) AS df
+        FROM g{sfx} GROUP BY gram
+    ),
+    gk{sfx} AS (
+        SELECT g{sfx}.* FROM g{sfx} JOIN df{sfx} USING (gram)
+        WHERE df{sfx}.df <= {_SUB_DF_CAP}
+    ),
+    m{sfx} AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.i AS pa, a.i - b.i AS diag
+        FROM gk{sfx} a JOIN gk{sfx} b USING (gram)
+        WHERE a.doc_id < b.doc_id
+    ),
+    isl{sfx} AS (
+        SELECT doc_a, doc_b, diag, pa,
+               pa - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+        FROM m{sfx}
+    ),
+    spans{sfx} AS (
+        SELECT doc_b AS doc_id,
+               min(pa) - diag AS s,
+               min(pa) - diag + ({_SUB_K} + count(*) - 1) - 1 AS e
+        FROM isl{sfx} GROUP BY doc_a, doc_b, diag, grp
+        HAVING {_SUB_K} + count(*) - 1 >= {_SUB_MIN}
+    ),
+    ordd{sfx} AS (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_max
+        FROM (SELECT DISTINCT doc_id, s, e FROM spans{sfx})
+    ),
+    isl2{sfx} AS (
+        SELECT doc_id, s, e,
+               sum(CASE WHEN prev_max IS NULL OR s > prev_max + 1
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+        FROM ordd{sfx}
+    ),
+    merged{sfx} AS (
+        SELECT doc_id, island, min(s) AS s, max(e) AS e
+        FROM isl2{sfx} GROUP BY doc_id, island
+    ),
+    pieces{sfx} AS (
+        SELECT doc_id, COALESCE(prev_e, 0) + 1 AS ps, s - 1 AS pe
+        FROM (SELECT doc_id, s, e,
+                     lag(e) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+              FROM merged{sfx})
+        UNION ALL
+        SELECT doc_id, max(e) + 1 AS ps, NULL AS pe
+        FROM merged{sfx} GROUP BY doc_id
+    ),
+    rebuilt{sfx} AS (
+        SELECT d.doc_id,
+               string_agg(
+                   CASE WHEN p.pe IS NULL THEN substr(d.text, p.ps)
+                        ELSE substr(d.text, p.ps, p.pe - p.ps + 1) END,
+                   '' ORDER BY p.ps) AS cleaned_text
+        FROM {src} d JOIN pieces{sfx} p USING (doc_id)
+        GROUP BY d.doc_id
+    ),
+    removed{sfx} AS (
+        SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS removed_chars
+        FROM merged{sfx} GROUP BY doc_id
+    )"""
+
+
+def _register_q237() -> None:
+    @register(
+        "q237_iterative_span_removal",
+        oracle=f"""
+        WITH {_span_chain_sql("documents", "_p1")},
+        rc1 AS (
+            SELECT d.doc_id,
+                   COALESCE(r.cleaned_text, d.text) AS text,
+                   COALESCE(rm.removed_chars, CAST(0 AS BIGINT)) AS rem1
+            FROM documents d
+            LEFT JOIN rebuilt_p1 r USING (doc_id)
+            LEFT JOIN removed_p1 rm USING (doc_id)
+        ),
+        {_span_chain_sql("rc1", "_p2")}
+        SELECT rc1.doc_id,
+               COALESCE(r2.cleaned_text, rc1.text) AS cleaned_text,
+               CAST(rc1.rem1 AS BIGINT) AS removed_pass1,
+               COALESCE(rm2.removed_chars, CAST(0 AS BIGINT))
+                   AS removed_pass2
+        FROM rc1
+        LEFT JOIN rebuilt_p2 r2 USING (doc_id)
+        LEFT JOIN removed_p2 rm2 USING (doc_id)
+        """,
+        fuzz=("text", "multibyte"),
+    )
+    def q237_iterative_span_removal(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The corpus after TWO ExactSubstr passes — pass 2 removes the
+        duplicates pass 1 can manufacture (q235's finding) — with
+        per-pass removal accounting: (doc_id, cleaned_text,
+        removed_pass1, removed_pass2). Untouched docs pass through
+        (NULL text stays NULL); removed_pass2 > 0 marks exactly the
+        docs the q235 audit flags.
+
+        Scale shape: pass 1 rides the memoized anchor-run frame; pass 2
+        is one more detector pass of the identical plan over the rebuilt
+        frame (the q235 cost class). At 100 TB this is how the paper's
+        pipeline actually runs — detector and surgery alternate until
+        the residual audit reads zero, each pass the same bounded
+        shuffles; nothing about iteration changes the per-pass shape.
+        """
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        p1 = _span_rewrite(docs, _runs_persisted(spark, sf_dir))
+        rc1 = p1.select(
+            "doc_id",
+            F.col("cleaned_text").alias("text"),
+            F.col("removed_chars").alias("removed_pass1"),
+        )
+        p2 = _span_rewrite(
+            rc1.select("doc_id", "text"),
+            _runs_for_docs(rc1.select("doc_id", "text")),
+        )
+        return p2.join(
+            rc1.select("doc_id", "removed_pass1"), "doc_id"
+        ).select(
+            "doc_id",
+            "cleaned_text",
+            F.col("removed_pass1").cast("long").alias("removed_pass1"),
+            F.col("removed_chars").cast("long").alias("removed_pass2"),
+        )
+
+
+_register_q237()

@@ -262,3 +262,40 @@ def test_q236_streaming_matches_q234_on_incoming(spark, tmp_path):
         k: (v.cleaned_text, v.removed_tokens) for k, v in batch.items()
     }
     compare_query(spark, sf, "q236_stream_decontamination")
+
+
+def test_q237_pass2_removes_manufactured_duplicate(spark, tmp_path):
+    """On the q235 non-idempotence corpus, pass 2 must erase the X+Y
+    duplicate pass 1 manufactured in doc 3 (doc 2 keeps: lower id)."""
+    rows = _docs(
+        [
+            (1, f"zzz {_S} qqq", "en", "web"),
+            (2, _X + _Y, "en", "web"),
+            (3, _X + _S + _Y, "en", "web"),
+        ]
+    )
+    sf = _fixture_dir(tmp_path, rows)
+    out = {
+        r.doc_id: r
+        for r in _run(spark, sf, "q237_iterative_span_removal").collect()
+    }
+    assert out[1].removed_pass1 == 0 and out[1].removed_pass2 == 0
+    assert out[2].removed_pass1 == 0 and out[2].removed_pass2 == 0
+    assert out[2].cleaned_text == _X + _Y
+    # doc 3: pass 1 cut S, pass 2 cut the X+Y residue entirely
+    assert out[3].removed_pass1 == len(_S)
+    assert out[3].removed_pass2 == len(_X + _Y)
+    assert out[3].cleaned_text == ""
+    compare_query(spark, sf, "q237_iterative_span_removal")
+
+
+def test_q237_pass2_noop_on_stock_corpus(spark):
+    """Stock corpus converges in one pass (q235's pinned 0 residual), so
+    pass 2 must remove nothing and pass-1 totals must equal q231's."""
+    out = _run(spark, SF_SRC, "q237_iterative_span_removal")
+    agg = out.agg(
+        F.sum("removed_pass1").alias("p1"), F.sum("removed_pass2").alias("p2")
+    ).collect()[0]
+    assert agg.p2 == 0
+    q231 = _run(spark, SF_SRC, "q231_span_removal_rewrite")
+    assert agg.p1 == q231.agg(F.sum("removed_chars")).collect()[0][0]
