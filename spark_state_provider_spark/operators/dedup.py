@@ -2036,7 +2036,7 @@ aggregate(ps,
 _SUB_CAND_FMT = """
 flatten(transform(os, a ->
   transform(filter(os, b -> b.doc_id != a.doc_id
-                            AND b.i % {stride} = 1), b ->
+                            AND b.i % {stride} = 0), b ->
     struct(least(a.doc_id, b.doc_id) AS doc_a,
            greatest(a.doc_id, b.doc_id) AS doc_b))))
 """
@@ -2052,17 +2052,23 @@ def _substring_runs(
     the later doc.
 
     Plan (round-8 shootout, min-of-3 at sf0.1 on local[32]; committed in
-    SCALE.md): ONE groupBy(gram) collects every occurrence of a gram into
-    a single row — simultaneously the stop-anchor df cap (df = distinct
-    docs in the collected list, applied identically to the oracle's df
-    CTE) and the pair "join" (the expansion is a JVM-side array transform
-    inside the grouped row; the old gk⋈gk self-join and its provably
-    no-op .distinct() are gone — 4.78s → 2.1s). Run detection is a fold
-    over the per-(pair, diag) sorted position list instead of a
-    sort-based window (one groupBy, no window exec). Shuffles: gram
-    groupBy (O(total chars) slim rows — the distributed suffix-sort
-    analog, same asymptotics as Lee et al.'s suffix array build), match
-    groupBy (bounded by the df cap), final per-pair agg.
+    SCALE.md; round-9 skew hardening per ADVICE): the stop-anchor df cap
+    is a count_distinct df table left_semi-joined on gram BEFORE the
+    collect — so no grouped row ever materializes a stop-anchor's
+    corpus-wide occurrence list (the round-8 post-group filter's
+    single-row OOM hazard on boilerplate-heavy corpora). One
+    groupBy(gram) then collects the SURVIVING (≤ df-cap docs) grams and
+    the pair "join" is a JVM-side array transform inside the grouped row
+    (the old gk⋈gk self-join and its provably no-op .distinct() are gone
+    — 4.78s → 2.1s). Run detection is a fold over the per-(pair, diag)
+    sorted position list instead of a sort-based window (one groupBy, no
+    window exec). Shuffles: gram df-agg + semi join + gram groupBy
+    (O(total chars) slim rows — the distributed suffix-sort analog, same
+    asymptotics as Lee et al.'s suffix array build), match groupBy
+    (bounded by the df cap), final per-pair agg. Residual bound: a
+    grouped row holds ≤ cap docs × per-doc occurrences of ONE gram —
+    within-doc repetition (e.g. "aaaa…") is the only remaining fat-row
+    source, identical to the oracle's gk CTE semantics.
 
     ``stride`` enables the two-phase candidate filter: phase 1 detects
     candidate pairs from anchors on a stride lattice of ONE side
@@ -2103,17 +2109,37 @@ def _runs_for_docs(
             )
         ).alias("x"),
     ).select("doc_id", F.col("x.i").alias("i"), F.col("x.gram").alias("gram"))
-    occ = (
+    # Stop-anchor df cap applied BEFORE collect_list (round-8 ADVICE):
+    # filtering after the group would first materialize every occurrence
+    # of a high-frequency gram corpus-wide inside ONE aggregation row —
+    # a single-row skew/OOM hazard on boilerplate-heavy corpora. The
+    # left_semi against the count_distinct df table keeps grouped rows
+    # bounded by the cap (≤ _SUB_DF_CAP docs per gram reach the
+    # collect), matching the oracle's df-CTE-then-join shape exactly.
+    # Cost: one extra slim (gram, doc_id) aggregation pass over g —
+    # measured +~7s on the once-per-corpus memo:runs build at sf0.1,
+    # per-query consumers unchanged (SCALE.md round 9); a tiered
+    # count-then-distinct variant re-scanned g a third time and lost.
+    df_ok = (
         g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") <= _SUB_DF_CAP)
+        .select("gram")
+    )
+    occ = (
+        g.join(df_ok, "gram", "left_semi")
+        .groupBy("gram")
         .agg(F.collect_list(F.struct("doc_id", "i")).alias("os"))
-        .where(
-            F.size(F.expr("array_distinct(transform(os, o -> o.doc_id))"))
-            <= _SUB_DF_CAP
-        )
     )
     m = occ.select(F.explode(F.expr(_SUB_EXPAND)).alias("p")).select("p.*")
     if stride is not None:
-        assert stride <= _SUB_MIN - _SUB_K + 1, (
+        # residue-0 lattice (round-8 ADVICE): every positive-integer
+        # window of `stride` consecutive anchor positions contains an
+        # i ≡ 0 (mod stride), for ANY stride ≥ 1 — stride=1 degenerates
+        # to the dense plan (all anchors are lattice points) instead of
+        # silently emitting an empty candidate set as the old residue-1
+        # lattice did.
+        assert 1 <= stride <= _SUB_MIN - _SUB_K + 1, (
             f"stride {stride} breaks the detect-at-(K+stride-1) guarantee"
             f" for threshold {_SUB_MIN}"
         )
@@ -2399,9 +2425,10 @@ def _span_rewrite(docs: DataFrame, runs: DataFrame) -> DataFrame:
 
 
 def _register_q235() -> None:
-    rewrite_sql = q231_span_removal_rewrite and _REGISTRY_ORACLE(
-        "q231_span_removal_rewrite"
-    )
+    # _REGISTRY_ORACLE raises KeyError if q231 has not registered yet, so
+    # registration order is enforced by the lookup itself (round-8 ADVICE:
+    # the old `q231_span_removal_rewrite and ...` guard was a no-op).
+    rewrite_sql = _REGISTRY_ORACLE("q231_span_removal_rewrite")
 
     @register(
         "q235_rewrite_residual_audit",

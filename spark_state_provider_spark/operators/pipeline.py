@@ -3507,9 +3507,13 @@ def _register_q232() -> None:
             FROM documents
         ),
         exact_rm AS (
+            -- NULL-text docs are excluded by CHOICE (round-8 ADVICE):
+            -- window partitioning groups NULLs together in both engines,
+            -- so without the filter two NULL-text docs would count each
+            -- other as "exact duplicates" while contributing 0 chars.
             SELECT doc_id FROM (
                 SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep
-                FROM documents
+                FROM documents WHERE text IS NOT NULL
             ) WHERE doc_id <> keep
         ),
         near_rm AS (
@@ -3593,7 +3597,11 @@ def _register_q232() -> None:
                 .select("doc_id")
             )
 
-        exact_rm = removed_by_window(docs, "text")
+        # exact family: NULL-text docs are not duplicates of each other —
+        # filter before the window (both engines; see oracle comment)
+        exact_rm = removed_by_window(
+            docs.where(F.col("text").isNotNull()), "text"
+        )
         near_rm = removed_by_window(
             _clusters_persisted(spark, sf_dir), "cluster_id"
         )

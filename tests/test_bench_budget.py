@@ -35,6 +35,21 @@ def test_line_fits_and_parses_at_every_scale():
         assert d["unit"] == "sec"
 
 
+def test_suspect_list_capped_within_budget():
+    timings = {
+        f"q{i}_some_longish_operator_name": (i % 97) / 9.7 + 0.01
+        for i in range(400)
+    }
+    suspects = list(timings)  # pathological: every query suspect
+    line = bench.budgeted_stdout_line(
+        timings, {}, 1.0, 0.1, n_rescued=400, suspects=suspects
+    )
+    assert len(line) <= bench.STDOUT_BUDGET
+    d = json.loads(line)
+    assert d["n_suspect"] == 400
+    assert len(d["suspect"]) <= 12
+
+
 def test_slowest_queries_listed_first():
     d = json.loads(_line(400))
     # the listed subset must be the globally slowest ones: every listed

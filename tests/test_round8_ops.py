@@ -152,11 +152,17 @@ def test_strided_runs_equal_dense(spark):
     dense, strided = lcs(None), lcs(stride)
     assert dense, "stock corpus must contain reportable pairs"
     assert dense == strided
+    # stride=1 must degenerate to the dense plan (residue-0 lattice,
+    # round-8 ADVICE: the old residue-1 lattice silently emitted an
+    # EMPTY candidate set at stride=1, dropping every reportable pair)
+    assert lcs(1) == dense
 
 
 def test_stride_guard_rejects_unsound_stride(spark):
     with pytest.raises(AssertionError):
         _substring_runs(spark, SF_SRC, stride=_SUB_MIN - _SUB_K + 2)
+    with pytest.raises(AssertionError):
+        _substring_runs(spark, SF_SRC, stride=0)
 
 
 # ---------------------------------------------------------------------------
