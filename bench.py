@@ -268,6 +268,12 @@ HEADLINE = [
     "q235_rewrite_residual_audit",
     "q236_stream_decontamination",
     "q237_iterative_span_removal",
+    # round-9 additions: embedding-space decontamination (batch + ingest
+    # twin), cross-snapshot incremental rewrite ledger, span provenance
+    "q238_semantic_contamination",
+    "q239_incremental_decontamination",
+    "q240_span_removal_provenance",
+    "q241_stream_semantic_decontamination",
 ]
 
 

@@ -168,6 +168,12 @@ QUERIES = [
     "q235_rewrite_residual_audit",
     "q236_stream_decontamination",
     "q237_iterative_span_removal",
+    # round-9: embedding-space decontamination (batch + ingest twin),
+    # incremental rewrite ledger, span provenance
+    "q238_semantic_contamination",
+    "q239_incremental_decontamination",
+    "q240_span_removal_provenance",
+    "q241_stream_semantic_decontamination",
 ]
 
 

@@ -2687,3 +2687,97 @@ def _register_q237() -> None:
 
 
 _register_q237()
+
+
+# ---------------------------------------------------------------------------
+# q240 — span-removal provenance (round-9 verdict #6c): the WHY behind
+# every cut. Each removal span as a first-class queryable row —
+# (doc_id, partner, s, e, pass_no): which earlier doc caused the cut,
+# where, and in which surgery pass (pass 2 coordinates are in the
+# pass-1-rebuilt text, as production provenance would record). Spans are
+# PRE-merge: one row per (partner, diagonal run), so audits can ask "which
+# partner contributed most removals" — information the merged intervals
+# (q231) deliberately collapse.
+# ---------------------------------------------------------------------------
+
+
+def _provenance_from_runs(runs: DataFrame, pass_no: int) -> DataFrame:
+    """Reportable runs → provenance rows with the causing partner kept."""
+    return (
+        runs.where(F.lit(_SUB_K) + F.col("run") - F.lit(1) >= F.lit(_SUB_MIN))
+        .select(
+            F.col("doc_b").cast("long").alias("doc_id"),
+            F.col("doc_a").cast("long").alias("partner"),
+            (F.col("start_pa") - F.col("diag")).cast("long").alias("s"),
+            (
+                F.col("start_pa")
+                - F.col("diag")
+                + (F.lit(_SUB_K) + F.col("run") - F.lit(1))
+                - F.lit(1)
+            ).cast("long").alias("e"),
+        )
+        .distinct()
+        .withColumn("pass_no", F.lit(pass_no).cast("int"))
+    )
+
+
+def _register_q240() -> None:
+    def _prov_sql(sfx: str, pass_no: int) -> str:
+        return f"""
+        SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(partner AS BIGINT) AS partner,
+               CAST(s AS BIGINT) AS s, CAST(e AS BIGINT) AS e,
+               CAST({pass_no} AS INT) AS pass_no
+        FROM (
+            SELECT doc_b AS doc_id, doc_a AS partner,
+                   min(pa) - diag AS s,
+                   min(pa) - diag + ({_SUB_K} + count(*) - 1) - 1 AS e
+            FROM isl{sfx} GROUP BY doc_a, doc_b, diag, grp
+            HAVING {_SUB_K} + count(*) - 1 >= {_SUB_MIN}
+        )"""
+
+    @register(
+        "q240_span_removal_provenance",
+        oracle=f"""
+        WITH {_span_chain_sql("documents", "_p1")},
+        rc1 AS (
+            SELECT d.doc_id, COALESCE(r.cleaned_text, d.text) AS text
+            FROM documents d
+            LEFT JOIN rebuilt_p1 r USING (doc_id)
+        ),
+        {_span_chain_sql("rc1", "_p2")}
+        {_prov_sql("_p1", 1)}
+        UNION ALL
+        {_prov_sql("_p2", 2)}
+        """,
+        fuzz=("text", "multibyte"),
+    )
+    def q240_span_removal_provenance(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Every ExactSubstr removal span with its causing partner and
+        surgery pass: (doc_id, partner, s, e, pass_no). Pass 1 spans are
+        in original-text coordinates, pass 2 (the q237 iteration) in
+        pass-1-rebuilt coordinates — exactly what a production provenance
+        ledger records so a removal can be traced to the duplicate that
+        triggered it.
+
+        Scale shape: pass 1 is a projection of the memoized anchor-run
+        frame (zero new shuffles beyond its build); pass 2 re-runs the
+        identical detector over the rebuilt frame (q235/q237's cost
+        class). The distinct() dedupes per-(pair, diag) rows — bounded
+        by the run table itself, never corpus².
+        """
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        runs1 = _runs_persisted(spark, sf_dir)
+        p1 = _span_rewrite(docs, runs1)
+        rc1 = p1.select("doc_id", F.col("cleaned_text").alias("text"))
+        runs2 = _runs_for_docs(rc1)
+        return _provenance_from_runs(runs1, 1).unionAll(
+            _provenance_from_runs(runs2, 2)
+        )
+
+
+_register_q240()

@@ -3858,3 +3858,154 @@ def _register_q234() -> None:
 
 
 _register_q234()
+
+
+# ---------------------------------------------------------------------------
+# q239 — incremental decontamination across corpus snapshots (round-9
+# verdict #6b). A re-crawl lands as snapshot v2 (q105's diff convention:
+# doc_id % 131 removed, % 89 upper-cased, % 83 re-added at +1e6); the
+# rewrite LEDGER carries v1's per-doc surgery verdicts forward, so only
+# ADDED/MODIFIED docs re-run token surgery — the output side's analog of
+# q78/q92's incremental detection. The oracle recomputes v2 from scratch;
+# hash-equality proves incremental ≡ full recompute.
+# ---------------------------------------------------------------------------
+
+
+def _register_q239() -> None:
+    from spark_state_provider_spark.operators.dedup import _MERGE_CTES
+
+    # v2 corpus (non-benchmark docs only), shared by both dialects:
+    # remove % 131, upper-case % 89, re-add % 83 under doc_id + 1e6
+    _V2 = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 89 = 0 THEN upper(text) ELSE text END
+                   AS text
+        FROM documents
+        WHERE doc_id % 131 <> 0 AND doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+        WHERE doc_id % 83 = 0 AND (doc_id + 1000000) % 97 <> 0
+    """
+
+    @register(
+        "q239_incremental_decontamination",
+        oracle=f"""
+        WITH v2 AS ({_V2}),
+        v1 AS (
+            SELECT doc_id, md5(text) AS h FROM documents
+            WHERE doc_id % 97 <> 0
+        ),
+        bt AS (
+            SELECT DISTINCT b.l[i] || ' ' || b.l[i+1] || ' ' || b.l[i+2]
+                       AS tri
+            FROM (SELECT string_split(text, ' ') AS l FROM documents
+                  WHERE doc_id % 97 = 0) b,
+                 unnest(generate_series(1, len(b.l) - 2)) AS t(i)
+        ),
+        tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM v2),
+        spans AS (
+            SELECT p.doc_id, p.j AS s, p.j + 2 AS e
+            FROM (
+                SELECT tok.doc_id, u.j,
+                       l[u.j] || ' ' || l[u.j+1] || ' ' || l[u.j+2] AS tri
+                FROM tok, unnest(generate_series(1, len(l) - 2)) AS u(j)
+            ) p JOIN bt USING (tri)
+        ),
+        {_MERGE_CTES},
+        kept AS (
+            SELECT q.doc_id,
+                   string_agg(q.tokval, ' ' ORDER BY q.j) AS cleaned_text
+            FROM (
+                SELECT t.doc_id, p.j, t.l[p.j] AS tokval
+                FROM tok t,
+                     unnest(generate_series(1, len(t.l))) AS p(j)
+            ) q
+            LEFT JOIN merged m
+                   ON m.doc_id = q.doc_id AND q.j BETWEEN m.s AND m.e
+            WHERE m.doc_id IS NULL
+            GROUP BY q.doc_id
+        ),
+        rm AS (
+            SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS removed_tokens
+            FROM merged GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN rm.removed_tokens IS NULL THEN d.text
+                    ELSE COALESCE(k.cleaned_text, '') END AS cleaned_text,
+               COALESCE(rm.removed_tokens, CAST(0 AS BIGINT))
+                   AS removed_tokens,
+               CASE WHEN v1.h IS NOT NULL AND v1.h = md5(d.text)
+                    THEN 'reused' ELSE 'recomputed' END AS surgery
+        FROM v2 d
+        LEFT JOIN v1 USING (doc_id)
+        LEFT JOIN kept k USING (doc_id)
+        LEFT JOIN rm USING (doc_id)
+        """,
+        fuzz=("text", "multibyte"),
+    )
+    def q239_incremental_decontamination(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The v2 snapshot's decontamination ledger, computed
+        INCREMENTALLY: docs whose (doc_id, md5) survive from v1 reuse
+        v1's surgery verdict untouched; only added/modified docs run the
+        q234 token surgery — (doc_id, cleaned_text, removed_tokens,
+        surgery ∈ {{'reused','recomputed'}}). The oracle recomputes v2
+        from scratch, so the hash match proves the incremental plan is
+        output-equivalent to a full re-run.
+
+        Scale shape: the v1↔v2 reconciliation is q105's (doc_id, md5)
+        equijoin — scan-stage hashes, no text bodies shuffle; the
+        benchmark trigram set broadcasts as in q234; surgery cost is
+        proportional to the CHANGED slice (adds + modifications), not
+        the corpus — the property that makes re-crawl decontamination
+        affordable when 99% of a 100 TB corpus is unchanged. The
+        'reused' arm re-derives v1 verdicts here because the harness is
+        single-snapshot; in production they are read back from the
+        materialized v1 ledger, making the recompute slice the ONLY
+        surgery cost.
+        """
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        bt = benchmark_trigrams(docs.where(F.col("doc_id") % 97 == 0))
+        v1 = docs.where(F.col("doc_id") % 97 != 0)
+        v2 = (
+            v1.where(F.col("doc_id") % 131 != 0)
+            .select(
+                "doc_id",
+                F.when(F.col("doc_id") % 89 == 0, F.upper("text"))
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+            .unionAll(
+                docs.where(
+                    (F.col("doc_id") % 83 == 0)
+                    & ((F.col("doc_id") + 1_000_000) % 97 != 0)
+                ).select(
+                    (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+                )
+            )
+        )
+        v1h = v1.select("doc_id", F.md5("text").alias("h1"))
+        classified = v2.join(v1h, "doc_id", "left").withColumn(
+            "reused",
+            F.col("h1").isNotNull() & (F.col("h1") == F.md5("text")),
+        )
+        changed = classified.where(~F.col("reused")).select(
+            "doc_id", "text"
+        )
+        unchanged = classified.where(F.col("reused")).select("doc_id")
+        # v1 ledger verdicts (materialized-table stand-in), probed only
+        # for the unchanged slice
+        v1_ledger = decontaminate(v1, bt)
+        reused_rows = v1_ledger.join(unchanged, "doc_id", "left_semi")
+        recomputed_rows = decontaminate(changed, bt)
+        return reused_rows.withColumn(
+            "surgery", F.lit("reused")
+        ).unionAll(
+            recomputed_rows.withColumn("surgery", F.lit("recomputed"))
+        )
+
+
+_register_q239()

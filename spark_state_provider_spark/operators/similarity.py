@@ -2267,3 +2267,99 @@ def _register_q228() -> None:
 
 
 _register_q228()
+
+
+# ---------------------------------------------------------------------------
+# q238 — semantic contamination detection (round-9 verdict #6a). q234/q236
+# decontaminate by EXACT token n-grams; the known evasion is paraphrase —
+# a benchmark item reworded sails through trigram matching but lands next
+# to the benchmark in embedding space. Detection = benchmark-embedding
+# cosine against the corpus via the proven q29 broadcast machinery,
+# emitting (vec_id, matched_benchmark, sim) for every corpus vector whose
+# BEST benchmark similarity clears the threshold. Benchmark slice =
+# vec_id % 97 == 0, the same mod-97 convention q234 uses for benchmark
+# DOCUMENTS, so the exact and semantic gates partition the same corpus.
+# ---------------------------------------------------------------------------
+
+_SEMCON_MOD = 97   # vec_id % 97 == 0 → benchmark vector (q234's convention)
+_SEMCON_TAU = 0.35  # flag threshold; the synthetic embeddings' best
+# cross-pair cosine is ≈0.47, so 0.35 yields a small, nonzero flag set
+
+
+@register(
+    "q238_semantic_contamination",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id AS bid, v AS bv FROM e WHERE vec_id % {_SEMCON_MOD} = 0
+    ),
+    c AS (SELECT vec_id, v FROM e WHERE vec_id % {_SEMCON_MOD} <> 0),
+    s AS (
+        SELECT c.vec_id, b.bid,
+               list_dot_product(c.v, b.bv) /
+               NULLIF(sqrt(list_dot_product(c.v, c.v)) *
+                      sqrt(list_dot_product(b.bv, b.bv)), 0.0) AS sim
+        FROM c, b
+    ),
+    hits AS (SELECT * FROM s WHERE sim >= {_SEMCON_TAU}),
+    r AS (
+        SELECT vec_id, bid, sim, row_number() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, bid) AS rn
+        FROM hits
+    )
+    SELECT vec_id, bid AS matched_benchmark, sim FROM r WHERE rn = 1
+    """,
+    fuzz=("embeddings",),
+)
+def q238_semantic_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus vectors semantically too close to a benchmark item: for
+    each corpus embedding whose best benchmark cosine clears τ=0.35,
+    the (vec_id, matched_benchmark, sim) verdict — the paraphrase
+    complement to q234's exact-trigram decontamination.
+
+    Scale shape: identical to q29's — benchmark embeddings BROADCAST
+    (benchmark suites are KBs against a 100 TB corpus; at mod-97 the
+    slice is bounded by the benchmark, not the corpus), similarities are
+    one narrow scan-side pass with prenormed vectors (one dot fold per
+    pair), the τ filter runs BEFORE the per-vector argmax window so only
+    flagged rows shuffle. No corpus-side self-join anywhere; at larger
+    benchmark sets the q29b LSH bucketing drops in unchanged.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("nrm", norm(F.col("v")))
+    )
+    bench = emb.where(F.col("vec_id") % _SEMCON_MOD == 0).select(
+        F.col("vec_id").alias("matched_benchmark"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+    )
+    corpus = emb.where(F.col("vec_id") % _SEMCON_MOD != 0)
+    hits = (
+        corpus.join(
+            F.broadcast(bench),
+            F.col("vec_id") != F.col("matched_benchmark"),
+        )
+        .select(
+            "vec_id",
+            "matched_benchmark",
+            cosine_prenormed(
+                F.col("v"), F.col("bv"), F.col("nrm"), F.col("bnrm")
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= _SEMCON_TAU)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("matched_benchmark")
+    )
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "matched_benchmark", "sim")
+    )

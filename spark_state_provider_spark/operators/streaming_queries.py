@@ -3393,3 +3393,150 @@ def _register_q236() -> None:
 
 
 _register_q236()
+
+
+# ---------------------------------------------------------------------------
+# q241 — streaming semantic decontamination at ingest (round-9: the q238
+# gate as a crawl-time filter, the embedding-space twin of q236). Each
+# arriving corpus embedding is scored against the BROADCAST benchmark
+# embedding set; vectors whose best benchmark cosine clears τ are flagged
+# with their matched benchmark. Stateless across batches — a vector's
+# verdict depends only on itself and the static benchmark — so the
+# micro-batch union equals the batch run and no store is carried.
+# ---------------------------------------------------------------------------
+
+
+def _register_q241() -> None:
+    from spark_state_provider_spark.operators.similarity import (
+        _SEMCON_MOD,
+        _SEMCON_TAU,
+    )
+    from spark_state_provider_spark.operators.registry import _REGISTRY
+
+    @register(
+        "q241_stream_semantic_decontamination",
+        # stateless per-batch gate ⇒ the stream's union over batches is
+        # exactly q238's batch answer; reuse its oracle verbatim
+        oracle=_REGISTRY["q238_semantic_contamination"].oracle,
+        fuzz=("embeddings", "streaming"),
+    )
+    def q241_stream_semantic_decontamination(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per arriving corpus embedding ({N_BATCHES} crawl micro-batches,
+        benchmark vectors excluded batch-side): the best-benchmark cosine
+        verdict at INGEST — (vec_id, matched_benchmark, sim) for vectors
+        over τ, exactly q238's rows.
+
+        Scale shape: the benchmark embedding frame persists once and
+        broadcasts into every micro-batch (benchmark suites are KBs
+        against the stream), so per-trigger cost is a narrow batch-side
+        scan + one prenormed dot fold per (vector, benchmark) pair +
+        a batch-local argmax — no stream-side state, no corpus index,
+        which is why this gate belongs at ingest alongside q236's
+        trigram surgery rather than behind a corpus-scale detector.
+        """
+        import shutil
+
+        from spark_state_provider_spark.functions.vector import (
+            as_double_vec,
+            cosine_prenormed,
+            norm,
+        )
+        from spark_state_provider_spark.streaming.sources import (
+            stream_embeddings,
+        )
+        from spark_state_provider_spark.tables import load_table
+
+        bench = (
+            load_table(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") % _SEMCON_MOD == 0)
+            .select(
+                F.col("vec_id").alias("matched_benchmark"),
+                as_double_vec("embedding").alias("bv"),
+            )
+            .withColumn("bnrm", norm(F.col("bv")))
+            .persist()
+        )
+        bench.count()  # materialize once; every micro-batch broadcasts it
+
+        out_dir, ckpt = _fresh_run_dirs("q241", sf_dir, "out", "ckpt")
+
+        def gate(batch_df: DataFrame, batch_id: int) -> None:
+            # repartition: with maxFilesPerTrigger=1 the micro-batch is ONE
+            # parquet file = ONE partition, so without this every
+            # (vector × benchmark) dot fold of the batch runs on a single
+            # core — the round-9 10x probe measured 14.6x for 10x data
+            # before, 2x-class after (SCALE.md), q238's scan rule applied
+            # per-trigger
+            b = (
+                batch_df.where(F.col("vec_id") % _SEMCON_MOD != 0)
+                .repartition(spark.sparkContext.defaultParallelism)
+                .select("vec_id", as_double_vec("embedding").alias("v"))
+                .withColumn("nrm", norm(F.col("v")))
+            )
+            hits = (
+                b.join(
+                    F.broadcast(bench),
+                    F.col("vec_id") != F.col("matched_benchmark"),
+                )
+                .select(
+                    "vec_id",
+                    "matched_benchmark",
+                    cosine_prenormed(
+                        F.col("v"), F.col("bv"), F.col("nrm"), F.col("bnrm")
+                    ).alias("sim"),
+                )
+                .where(F.col("sim") >= _SEMCON_TAU)
+            )
+            best = (
+                hits.groupBy("vec_id")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("sim")).alias("ns"),
+                            F.col("matched_benchmark").alias("bid"),
+                            F.col("sim").alias("sim"),
+                        )
+                    ).alias("m")
+                )
+                .select(
+                    "vec_id",
+                    F.col("m.bid").alias("matched_benchmark"),
+                    F.col("m.sim").alias("sim"),
+                )
+            )
+            best.write.mode("overwrite").parquet(
+                _batch_subdir(out_dir, batch_id)
+            )
+
+        try:
+            with _streaming_session(spark):
+                sdf = stream_embeddings(spark, sf_dir, N_BATCHES)
+                q = (
+                    sdf.writeStream.foreachBatch(gate)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                try:
+                    finished = q.awaitTermination(180)
+                finally:
+                    q.stop()
+                    shutil.rmtree(ckpt, ignore_errors=True)
+                if not finished:
+                    raise TimeoutError(
+                        "q241 stream did not drain within 180s"
+                    )
+        finally:
+            bench.unpersist()
+        return _pinned(
+            spark.read.schema(
+                "vec_id bigint, matched_benchmark bigint, sim double"
+            )
+            .option("recursiveFileLookup", "true")
+            .parquet(out_dir)
+        )
+
+
+_register_q241()
