@@ -312,6 +312,11 @@ def main() -> None:
         )._chartri_counts_persisted(spark, SF_DIR)),
         # anchor-run table (round 8): q226/q231/q232 all read it
         ("memo:runs", lambda: _dedup._runs_persisted(spark, SF_DIR)),
+        # pass-1 rebuilt corpus + its pass-2 run table (round 9):
+        # q235/q237/q240 all audit the same rebuilt snapshot — priced
+        # once here instead of once per consumer
+        ("memo:rebuilt1", lambda: _dedup._rebuilt1_persisted(spark, SF_DIR)),
+        ("memo:runs2", lambda: _dedup._runs2_persisted(spark, SF_DIR)),
     ):
         t0 = time.perf_counter()
         builder().count()
