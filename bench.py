@@ -274,6 +274,10 @@ HEADLINE = [
     "q239_incremental_decontamination",
     "q240_span_removal_provenance",
     "q241_stream_semantic_decontamination",
+    # round-9 second tranche: combined contamination verdicts and the
+    # per-partner removal-attribution leaderboard
+    "q242_contamination_verdicts",
+    "q243_partner_attribution",
 ]
 
 

@@ -174,6 +174,8 @@ QUERIES = [
     "q239_incremental_decontamination",
     "q240_span_removal_provenance",
     "q241_stream_semantic_decontamination",
+    "q242_contamination_verdicts",
+    "q243_partner_attribution",
 ]
 
 

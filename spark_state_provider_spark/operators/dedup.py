@@ -2816,3 +2816,60 @@ def _register_q240() -> None:
 
 
 _register_q240()
+
+
+# ---------------------------------------------------------------------------
+# q243 — per-partner dedup attribution: the question q240's docstring
+# promises an answer to — "which partner contributed most removals".
+# Grouped over the pre-merge provenance spans so attribution is per
+# causing doc; chars_attributed is per-span (overlapping spans from
+# different partners each claim their span — NET removal is q231/q232's
+# number, attribution is deliberately gross).
+# ---------------------------------------------------------------------------
+
+
+def _register_q243() -> None:
+    prov_sql = _REGISTRY_ORACLE("q240_span_removal_provenance")
+
+    @register(
+        "q243_partner_attribution",
+        oracle=f"""
+        SELECT partner, pass_no,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_victim_docs,
+               CAST(sum(e - s + 1) AS BIGINT) AS chars_attributed
+        FROM ({prov_sql})
+        GROUP BY partner, pass_no
+        """,
+        fuzz=("text", "multibyte"),
+    )
+    def q243_partner_attribution(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Removal attribution per CAUSING doc and surgery pass:
+        (partner, pass_no, n_spans, n_victim_docs, chars_attributed) —
+        the boilerplate-source leaderboard (a template doc that seeds
+        thousands of cuts shows up here first). Gross per-span
+        attribution by design; net corpus shrinkage is q231/q232's
+        accounting.
+
+        Scale shape: one groupBy over q240's provenance rows, which ride
+        the memoized pass-1/pass-2 run tables — no new detector pass,
+        no corpus scan; the aggregate is combinable (count/sum +
+        count_distinct on the bounded victim set).
+        """
+        prov = _provenance_from_runs(
+            _runs_persisted(spark, sf_dir), 1
+        ).unionAll(
+            _provenance_from_runs(_runs2_persisted(spark, sf_dir), 2)
+        )
+        return prov.groupBy("partner", "pass_no").agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.count_distinct("doc_id").cast("long").alias("n_victim_docs"),
+            F.sum(F.col("e") - F.col("s") + 1)
+            .cast("long")
+            .alias("chars_attributed"),
+        )
+
+
+_register_q243()

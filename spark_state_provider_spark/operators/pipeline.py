@@ -4009,3 +4009,100 @@ def _register_q239() -> None:
 
 
 _register_q239()
+
+
+# ---------------------------------------------------------------------------
+# q242 — combined contamination verdict: the two decontamination gates
+# (q234 exact trigram, q238 semantic cosine) joined into one per-doc
+# status — the table a pipeline operator actually pages through when a
+# benchmark regression smells like leakage. verdict ∈ {both, exact,
+# semantic, clean}; embeddings join documents on vec_id = doc_id (the
+# q112/q232 convention).
+# ---------------------------------------------------------------------------
+
+
+def _register_q242() -> None:
+    from spark_state_provider_spark.operators.registry import _REGISTRY
+
+    exact_sql = _REGISTRY["q234_decontamination_rewrite"].oracle
+    sem_sql = _REGISTRY["q238_semantic_contamination"].oracle
+
+    @register(
+        "q242_contamination_verdicts",
+        oracle=f"""
+        WITH ex AS (
+            SELECT doc_id, removed_tokens FROM ({exact_sql})
+        ),
+        sem AS (
+            SELECT vec_id AS doc_id, matched_benchmark, sim
+            FROM ({sem_sql})
+        )
+        SELECT ex.doc_id,
+               CAST(ex.removed_tokens AS BIGINT) AS exact_removed_tokens,
+               CAST(sem.matched_benchmark AS BIGINT) AS matched_benchmark,
+               sem.sim AS semantic_sim,
+               CASE WHEN ex.removed_tokens > 0 AND sem.doc_id IS NOT NULL
+                         THEN 'both'
+                    WHEN ex.removed_tokens > 0 THEN 'exact'
+                    WHEN sem.doc_id IS NOT NULL THEN 'semantic'
+                    ELSE 'clean' END AS verdict
+        FROM ex LEFT JOIN sem USING (doc_id)
+        """,
+        fuzz=("text", "embeddings"),
+    )
+    def q242_contamination_verdicts(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per corpus doc, both contamination gates in one row:
+        (doc_id, exact_removed_tokens, matched_benchmark, semantic_sim,
+        verdict ∈ {{both, exact, semantic, clean}}) — q234's surgery
+        count joined with q238's best-benchmark flag on the shared
+        vec_id = doc_id key.
+
+        Scale shape: pure composition of two verified plans plus ONE
+        doc_id equijoin; the semantic side is already bounded by its τ
+        filter (flagged rows only), so the join's right side is tiny and
+        broadcasts. Nothing new shuffles at corpus width beyond q234
+        itself.
+        """
+        from spark_state_provider_spark.operators.registry import (
+            _REGISTRY as _R,
+        )
+
+        ex = (
+            _R["q234_decontamination_rewrite"]
+            .fn(spark, sf_dir)
+            .select("doc_id", "removed_tokens")
+        )
+        sem = (
+            _R["q238_semantic_contamination"]
+            .fn(spark, sf_dir)
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                "matched_benchmark",
+                F.col("sim").alias("semantic_sim"),
+            )
+        )
+        j = ex.join(F.broadcast(sem), "doc_id", "left")
+        return j.select(
+            "doc_id",
+            F.col("removed_tokens")
+            .cast("long")
+            .alias("exact_removed_tokens"),
+            F.col("matched_benchmark").cast("long").alias(
+                "matched_benchmark"
+            ),
+            "semantic_sim",
+            F.when(
+                (F.col("removed_tokens") > 0)
+                & F.col("matched_benchmark").isNotNull(),
+                "both",
+            )
+            .when(F.col("removed_tokens") > 0, "exact")
+            .when(F.col("matched_benchmark").isNotNull(), "semantic")
+            .otherwise("clean")
+            .alias("verdict"),
+        )
+
+
+_register_q242()

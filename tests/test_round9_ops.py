@@ -225,3 +225,106 @@ def test_q240_provenance_names_partner_and_pass(spark, tmp_path):
     assert 4 not in by_doc
     # every later doc's removal traces to SOME earlier partner
     assert all(r.partner < r.doc_id for r in out)
+
+
+# ---------------------------------------------------------------------------
+# q242 — combined contamination verdicts
+# ---------------------------------------------------------------------------
+
+
+def test_q242_verdict_classes(spark, tmp_path):
+    """A doc hit by BOTH gates, one by exact only, one clean; verdicts
+    and counts line up with the underlying q234/q238 outputs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    bench_text = "leaked benchmark answer string"
+    docs = _docs(
+        [
+            (97, bench_text, "en", "bench"),
+            (1, f"pre {bench_text} post", "en", "web"),   # exact hit
+            (2, "totally unrelated content here", "en", "web"),
+            (3, "also clean and unrelated words", "en", "web"),
+        ]
+    )
+    d = tmp_path / "sf_q242"
+    d.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+    ).split():
+        os.symlink(os.path.join(SF_SRC, f"{t}.parquet"), d / f"{t}.parquet")
+    docs.to_parquet(d / "documents.parquet", index=False)
+    # embeddings: vec 0 benchmark; vec 1 near it (semantic hit); vec 2/3 far
+    emb = pd.DataFrame(
+        {
+            "vec_id": pd.array([0, 1, 2, 3], dtype="int64"),
+            "embedding": [
+                _unit(0),
+                _blend(0, 0.9, 5),
+                _unit(2),
+                _unit(3),
+            ],
+            "label": pd.array([0, 1, 1, 1], dtype="int32"),
+        }
+    )
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(emb, schema=schema, preserve_index=False),
+        d / "embeddings.parquet",
+    )
+    sf = str(d)
+    compare_query(spark, sf, "q242_contamination_verdicts")
+    rows = {
+        r.doc_id: r
+        for r in registry.get("q242_contamination_verdicts")
+        .fn(spark, sf)
+        .collect()
+    }
+    assert 97 not in rows  # benchmark doc never in the corpus ledger
+    assert rows[1].verdict == "both"  # exact trigram hit + sim 0.9 to vec 0
+    assert rows[1].exact_removed_tokens > 0
+    assert rows[1].matched_benchmark == 0
+    assert rows[2].verdict == "clean" and rows[3].verdict == "clean"
+
+
+# ---------------------------------------------------------------------------
+# q243 — per-partner attribution
+# ---------------------------------------------------------------------------
+
+
+def test_q243_attribution_counts(spark, tmp_path):
+    """Doc 1's 40-char run seeds cuts in docs 2 and 3 → partner 1
+    attributes 2+ spans across 2 victim docs in pass 1; totals agree
+    with a direct rollup of the q240 provenance rows."""
+    shared = "0123456789abcdefghijklmnopqrstuvwxyzABCD"
+    docs = _docs(
+        [
+            (1, f"first {shared} trailing text here", "en", "web"),
+            (2, f"second copy {shared} more stuff", "en", "web"),
+            (3, f"third copy {shared} other tail", "en", "web"),
+            (4, "nothing shared with anyone else", "en", "web"),
+        ]
+    )
+    sf = _fixture_dir(tmp_path, docs)
+    compare_query(spark, sf, "q243_partner_attribution")
+    att = {
+        (r.partner, r.pass_no): r
+        for r in registry.get("q243_partner_attribution")
+        .fn(spark, sf)
+        .collect()
+    }
+    prov = (
+        registry.get("q240_span_removal_provenance").fn(spark, sf).collect()
+    )
+    p1_victims = {r.doc_id for r in prov if r.partner == 1 and r.pass_no == 1}
+    assert att[(1, 1)].n_victim_docs == len(p1_victims) >= 2
+    assert att[(1, 1)].chars_attributed == sum(
+        r.e - r.s + 1 for r in prov if r.partner == 1 and r.pass_no == 1
+    )
+    assert 4 not in {p for p, _ in att}
