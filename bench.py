@@ -278,6 +278,7 @@ HEADLINE = [
     # per-partner removal-attribution leaderboard
     "q242_contamination_verdicts",
     "q243_partner_attribution",
+    "q244_benchmark_leak_report",
 ]
 
 

@@ -176,6 +176,7 @@ QUERIES = [
     "q241_stream_semantic_decontamination",
     "q242_contamination_verdicts",
     "q243_partner_attribution",
+    "q244_benchmark_leak_report",
 ]
 
 

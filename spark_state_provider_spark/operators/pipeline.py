@@ -4106,3 +4106,137 @@ def _register_q242() -> None:
 
 
 _register_q242()
+
+
+# ---------------------------------------------------------------------------
+# q244 — benchmark leak leaderboard: attribution from the BENCHMARK side.
+# q242 answers "is this corpus doc contaminated"; q244 answers "which
+# benchmark item leaks most" — per benchmark doc, how many corpus docs
+# collide with one of ITS trigrams (exact gate) and how many corpus
+# vectors flag it as their best semantic match (q238's argmax). The
+# number an eval owner reads before deciding which benchmark split to
+# retire.
+# ---------------------------------------------------------------------------
+
+
+def _register_q244() -> None:
+    from spark_state_provider_spark.operators.registry import _REGISTRY
+
+    sem_sql = _REGISTRY["q238_semantic_contamination"].oracle
+
+    @register(
+        "q244_benchmark_leak_report",
+        oracle=f"""
+        WITH bsrc AS (
+            SELECT DISTINCT b.doc_id AS bench_id,
+                   b.l[i] || ' ' || b.l[i+1] || ' ' || b.l[i+2] AS tri
+            FROM (SELECT doc_id, string_split(text, ' ') AS l
+                  FROM documents WHERE doc_id % 97 = 0) b,
+                 unnest(generate_series(1, len(b.l) - 2)) AS t(i)
+        ),
+        hits AS (
+            SELECT DISTINCT p.doc_id, bsrc.bench_id
+            FROM (
+                SELECT c.doc_id,
+                       l[u.j] || ' ' || l[u.j+1] || ' ' || l[u.j+2] AS tri
+                FROM (SELECT doc_id, string_split(text, ' ') AS l
+                      FROM documents WHERE doc_id % 97 <> 0) c,
+                     unnest(generate_series(1, len(l) - 2)) AS u(j)
+            ) p JOIN bsrc USING (tri)
+        ),
+        ex AS (
+            SELECT bench_id,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_exact
+            FROM hits GROUP BY bench_id
+        ),
+        sem AS (
+            SELECT matched_benchmark AS bench_id,
+                   CAST(count(*) AS BIGINT) AS n_docs_semantic
+            FROM ({sem_sql}) GROUP BY matched_benchmark
+        )
+        SELECT b.doc_id AS bench_id,
+               COALESCE(ex.n_docs_exact, CAST(0 AS BIGINT))
+                   AS n_docs_exact,
+               COALESCE(sem.n_docs_semantic, CAST(0 AS BIGINT))
+                   AS n_docs_semantic
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 97 = 0) b
+        LEFT JOIN ex ON ex.bench_id = b.doc_id
+        LEFT JOIN sem ON sem.bench_id = b.doc_id
+        """,
+        fuzz=("text", "embeddings"),
+    )
+    def q244_benchmark_leak_report(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per benchmark DOC (doc_id % 97 == 0): how many corpus docs
+        share one of its word trigrams (n_docs_exact) and how many
+        corpus vectors pick it as their best over-τ semantic match
+        (n_docs_semantic, q238's argmax) — zero rows included, so the
+        leaderboard doubles as a coverage audit. Anchored on benchmark
+        DOCUMENT ids; a semantic match against a benchmark vector with
+        no same-id document would not appear (the synthetic tables share
+        the id space, and production benchmark suites key docs and
+        embeddings identically).
+
+        Scale shape: the per-benchmark trigram SOURCE table is the same
+        KB-scale broadcast as q234's bt (bounded by the benchmark, one
+        extra column); the corpus side is one narrow scan + hash probe,
+        and the DISTINCT (doc_id, bench_id) frame is bounded by
+        benchmark size × collision fan-out, never corpus². The semantic
+        side is q238's already-τ-bounded output grouped once.
+        """
+        from spark_state_provider_spark.operators.registry import (
+            _REGISTRY as _R,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        bench = docs.where(F.col("doc_id") % 97 == 0)
+        corpus = docs.where(F.col("doc_id") % 97 != 0)
+
+        def tri_pos(df: DataFrame, id_alias: str) -> DataFrame:
+            return (
+                df.select(
+                    F.col("doc_id").alias(id_alias),
+                    F.split("text", " ").alias("l"),
+                )
+                .select(
+                    id_alias,
+                    F.explode(F.expr(_TRI_POS_EXPR)).alias("x"),
+                )
+                .select(id_alias, F.col("x.tri").alias("tri"))
+            )
+
+        bsrc = tri_pos(bench, "bench_id").distinct()
+        hits = (
+            tri_pos(corpus, "doc_id")
+            .join(F.broadcast(bsrc), "tri")
+            .select("doc_id", "bench_id")
+            .distinct()
+        )
+        ex = hits.groupBy("bench_id").agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs_exact")
+        )
+        sem = (
+            _R["q238_semantic_contamination"]
+            .fn(spark, sf_dir)
+            .groupBy(F.col("matched_benchmark").alias("bench_id"))
+            .agg(F.count("*").cast("long").alias("n_docs_semantic"))
+        )
+        zero = F.lit(0).cast("long")
+        return (
+            bench.select(F.col("doc_id").alias("bench_id"))
+            .join(F.broadcast(ex), "bench_id", "left")
+            .join(F.broadcast(sem), "bench_id", "left")
+            .select(
+                "bench_id",
+                F.coalesce("n_docs_exact", zero).alias("n_docs_exact"),
+                F.coalesce("n_docs_semantic", zero).alias(
+                    "n_docs_semantic"
+                ),
+            )
+        )
+
+
+_register_q244()

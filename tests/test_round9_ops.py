@@ -328,3 +328,35 @@ def test_q243_attribution_counts(spark, tmp_path):
         r.e - r.s + 1 for r in prov if r.partner == 1 and r.pass_no == 1
     )
     assert 4 not in {p for p, _ in att}
+
+
+# ---------------------------------------------------------------------------
+# q244 — benchmark leak leaderboard
+# ---------------------------------------------------------------------------
+
+
+def test_q244_per_benchmark_counts(spark, tmp_path):
+    """Benchmark doc 97 leaks into two corpus docs exactly; benchmark
+    doc 194 leaks into none — both rows present (zero-leak rows are the
+    coverage audit); semantic counts come from the stock embeddings."""
+    leak = "unique leaked benchmark span"
+    docs = _docs(
+        [
+            (97, leak, "en", "bench"),
+            (194, "pristine benchmark item nothing copies", "en", "bench"),
+            (1, f"first copy {leak} in corpus", "en", "web"),
+            (2, f"{leak} second corpus copy", "en", "web"),
+            (3, "clean corpus document entirely", "en", "web"),
+        ]
+    )
+    sf = _fixture_dir(tmp_path, docs)
+    compare_query(spark, sf, "q244_benchmark_leak_report")
+    rows = {
+        r.bench_id: r
+        for r in registry.get("q244_benchmark_leak_report")
+        .fn(spark, sf)
+        .collect()
+    }
+    assert set(rows) == {97, 194}
+    assert rows[97].n_docs_exact == 2
+    assert rows[194].n_docs_exact == 0
