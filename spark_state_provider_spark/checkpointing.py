@@ -58,8 +58,10 @@ def truncate(df: DataFrame, eager: bool = True) -> DataFrame:
         # built elsewhere get the atexit fallback-dir sweep below.
         sc = spark.sparkContext
         if sc.getCheckpointDir() is None:
+            from spark_state_provider_spark.scratch import scratch_base
+
             ckpt = os.path.join(
-                tempfile.gettempdir(), f"ssps_ckpt_{os.getpid()}"
+                scratch_base(), f"ssps_ckpt_{os.getpid()}"
             )
             sc.setCheckpointDir(ckpt)
             # The process-scoped fallback dir would otherwise outlive the

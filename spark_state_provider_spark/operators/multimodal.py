@@ -606,8 +606,10 @@ def q82_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from spark_state_provider_spark.scratch import scratch_base
+
     out = os.path.join(
-        tempfile.gettempdir(), f"ssps_binsrc_{os.getpid()}"
+        scratch_base(), f"ssps_binsrc_{os.getpid()}"
     )
     os.makedirs(out, exist_ok=True)
     for fname, b in _binsrc_files():
@@ -733,8 +735,10 @@ def q106_media_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spark_state_provider_spark.functions.vector import idot
 
+    from spark_state_provider_spark.scratch import scratch_base
+
     out = os.path.join(
-        tempfile.gettempdir(), f"ssps_mediasim_{os.getpid()}"
+        scratch_base(), f"ssps_mediasim_{os.getpid()}"
     )
     os.makedirs(out, exist_ok=True)
     for fname, b in _binsrc_files():

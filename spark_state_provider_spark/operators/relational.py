@@ -99,8 +99,10 @@ def q02_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write a filtered projection to parquet, read it back (sink + source)."""
     # pid-scoped path: concurrent processes (pytest + driver) must not race
     # on overwrite-vs-read of the same sink dir
+    from spark_state_provider_spark.scratch import scratch_base
+
     out = os.path.join(
-        tempfile.gettempdir(),
+        scratch_base(),
         f"ssps_sink_{corpus_tag(sf_dir)}_{os.getpid()}",
     )
     orders = _t(spark, sf_dir, "orders")

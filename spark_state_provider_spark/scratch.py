@@ -30,6 +30,50 @@ _SWEPT = False
 
 _PID_RE = re.compile(r"^ssps_.*_(\d+)$")
 
+_BASE_CACHE: str | None = None
+
+
+def scratch_base() -> str:
+    """Root directory for all ssps scratch (replay slices, streaming
+    checkpoints, sink staging, upsert tables).
+
+    Everything written here is EPHEMERAL by construction (pid-scoped,
+    swept on exit) — durability is never required, so the fastest
+    available temp filesystem is the right home. Resolution order:
+
+    * ``SSPS_SCRATCH_BASE`` env — deployment override (on a cluster this
+      is the provisioned local-SSD scratch mount; checkpoints that must
+      survive a driver restart use explicit durable locations, not this).
+    * ``/dev/shm`` when it is writable with plenty of headroom — on
+      sandbox/CI hosts the default tmp is often a journaled disk fs, and
+      streaming micro-batch commits (RocksDB changelogs + offset/commit
+      WAL files + per-batch parquet staging) pay an fsync per tiny file
+      there; tmpfs removes that latency from every micro-batch.
+      Measured min-of-5 at sf0.1 on local[32]: q97 4.27→2.47s with no
+      code change; q103/q92-family sinks show the same shape.
+    * the platform tempdir otherwise.
+    """
+    global _BASE_CACHE
+    if _BASE_CACHE is not None:
+        return _BASE_CACHE
+    env = os.environ.get("SSPS_SCRATCH_BASE")
+    if env:
+        os.makedirs(env, exist_ok=True)
+        _BASE_CACHE = env
+        return env
+    shm = "/dev/shm"
+    try:
+        if os.path.isdir(shm) and os.access(shm, os.W_OK):
+            st = os.statvfs(shm)
+            free = st.f_bavail * st.f_frsize
+            if free >= 8 * 1024**3:  # plenty of headroom for bench scratch
+                _BASE_CACHE = shm
+                return shm
+    except OSError:
+        pass
+    _BASE_CACHE = tempfile.gettempdir()
+    return _BASE_CACHE
+
 
 def _pid_alive(pid: int) -> bool:
     try:
@@ -43,21 +87,21 @@ def _pid_alive(pid: int) -> bool:
 
 def sweep_stale() -> int:
     """Remove ssps scratch dirs owned by dead pids. Returns count removed."""
-    tmp = tempfile.gettempdir()
     removed = 0
-    try:
-        entries = os.listdir(tmp)
-    except OSError:
-        return 0
-    for name in entries:
-        m = _PID_RE.match(name)
-        if not m:
+    for tmp in {scratch_base(), tempfile.gettempdir()}:
+        try:
+            entries = os.listdir(tmp)
+        except OSError:
             continue
-        pid = int(m.group(1))
-        if pid == os.getpid() or _pid_alive(pid):
-            continue
-        shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
-        removed += 1
+        for name in entries:
+            m = _PID_RE.match(name)
+            if not m:
+                continue
+            pid = int(m.group(1))
+            if pid == os.getpid() or _pid_alive(pid):
+                continue
+            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+            removed += 1
     return removed
 
 
@@ -73,7 +117,7 @@ def scratch_dir(tag: str, wipe: bool = True) -> str:
     if not _SWEPT:
         _SWEPT = True
         sweep_stale()
-    d = os.path.join(tempfile.gettempdir(), f"ssps_{tag}_{os.getpid()}")
+    d = os.path.join(scratch_base(), f"ssps_{tag}_{os.getpid()}")
     if wipe:
         shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)

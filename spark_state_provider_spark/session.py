@@ -22,9 +22,10 @@ names are kept so reference users can switch with a one-line change.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import SparkSession
+
+from spark_state_provider_spark.scratch import scratch_base as _scratch_base
 
 STATE_STORE_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
 
@@ -154,11 +155,22 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config(
             # default checkpoint ROOT: queries without an explicit
-            # checkpointLocation get a subdir under tmp
+            # checkpointLocation get a subdir under the scratch base
             "spark.sql.streaming.checkpointLocation",
-            tempfile.gettempdir(),
+            _scratch_base(),
         )
     )
+    # spark.local.dir (shuffle files, spill, broadcast staging, RocksDB
+    # state-store working dirs) deliberately stays on the platform temp
+    # disk: an A/B at sf0.1 on local[32] put the RocksDB working dirs on
+    # tmpfs and REGRESSED the stateful streaming family ~2.5x (q217
+    # 4.6→11.6s min-of-4) while checkpoint/sink scratch on tmpfs helped —
+    # so only the latter moves (scratch.scratch_base). Cluster deployments
+    # point this at provisioned local SSDs via SSPS_LOCAL_DIR.
+    if os.environ.get("SSPS_LOCAL_DIR"):
+        builder = builder.config(
+            "spark.local.dir", os.environ["SSPS_LOCAL_DIR"]
+        )
     builder = use_rocksdb_state_store(builder)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

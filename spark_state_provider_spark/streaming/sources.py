@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_state_provider_spark.tables import load_table
-from spark_state_provider_spark.scratch import corpus_tag
+from spark_state_provider_spark.scratch import corpus_tag, scratch_base
 
 EVENT_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, event_type string, "
@@ -48,7 +48,7 @@ def split_events_dir(
     # pid-scoped: another process rmtree-ing the slice dir mid-stream would
     # yank files out from under an active FileStreamSource
     base = os.path.join(
-        tempfile.gettempdir(),
+        scratch_base(),
         f"ssps_stream_ev_{corpus_tag(sf_dir)}"
         f"_{n_batches}_{os.getpid()}",
     )
@@ -106,7 +106,7 @@ def split_docs_dir(
     ``doc_id % mod == 0`` rows (the 'incoming batch' convention shared
     with q78's batch form)."""
     base = os.path.join(
-        tempfile.gettempdir(),
+        scratch_base(),
         f"ssps_stream_docs_{corpus_tag(sf_dir)}"
         f"_{n_batches}_{mod}_{os.getpid()}",
     )
@@ -165,7 +165,7 @@ def split_events_hash_dir(
     ``split_events_dir``'s time-ordered schedule; equally deterministic
     (slice membership is a pure function of event_id)."""
     base = os.path.join(
-        tempfile.gettempdir(),
+        scratch_base(),
         f"ssps_stream_ooo_{corpus_tag(sf_dir)}"
         f"_{n_batches}_{os.getpid()}",
     )
@@ -211,7 +211,7 @@ def split_embeddings_dir(
     maintenance (assignment is per-row, so slice membership only fixes
     WHICH batch indexes a vector, never where it lands)."""
     base = os.path.join(
-        tempfile.gettempdir(),
+        scratch_base(),
         f"ssps_stream_emb_{corpus_tag(sf_dir)}"
         f"_{n_batches}_{os.getpid()}",
     )

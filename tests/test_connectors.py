@@ -82,8 +82,6 @@ def test_binaryfile_source_glob_pruning(spark, sf_dir):
     file pruning — the object-store partition-pruning analog), and every
     decoded row carries a recognized format."""
     import os
-    import tempfile
-
     from spark_state_provider_spark.operators.multimodal import (
         _binsrc_files,
         q82_binaryfile_source,
@@ -96,7 +94,9 @@ def test_binaryfile_source_glob_pruning(spark, sf_dir):
     assert by_name["img_00.png"].width == 32
     assert by_name["aud_01.wav"].sample_rate == 8250
 
-    out = os.path.join(tempfile.gettempdir(), f"ssps_binsrc_{os.getpid()}")
+    from spark_state_provider_spark.scratch import scratch_base
+
+    out = os.path.join(scratch_base(), f"ssps_binsrc_{os.getpid()}")
     pngs = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.png")
