@@ -153,6 +153,13 @@ def user_statistics_stream(
     handler = (
         user_statistics_handler if ttl_secs is None else make_ttl_handler(ttl_secs)
     )
+    # Project to the columns the fold reads BEFORE the stateful shuffle:
+    # the grouped frame is shuffled by key and crosses the JVM→Python
+    # Arrow boundary in full, and Spark cannot prune columns through the
+    # opaque handler (guide: pass only what the function needs). Dropping
+    # the unused value/props columns shrinks both the exchange and every
+    # per-group Arrow slice.
+    events = events.select("user_id", "event_id", "ts", "event_type")
     out = events.groupBy("user_id").applyInPandasWithState(
         handler,
         outputStructType=OUTPUT_SCHEMA,
@@ -239,7 +246,10 @@ def make_session_timeout_handler(gap_secs: int):
 def session_timeout_stream(events: DataFrame, gap_secs: int) -> DataFrame:
     """Per-user timeout-closed sessions over a watermarked event stream."""
     out = (
-        events.withWatermark("ts", f"{gap_secs} seconds")
+        # the session fold reads ONLY ts — don't shuffle or ship the other
+        # five event columns through the stateful exchange + Python boundary
+        events.select("user_id", "ts")
+        .withWatermark("ts", f"{gap_secs} seconds")
         .groupBy("user_id")
         .applyInPandasWithState(
             make_session_timeout_handler(gap_secs),
@@ -301,7 +311,12 @@ def make_quota_handler(cap: int):
 
 def domain_quota_stream(docs: DataFrame, cap: int) -> DataFrame:
     """Admit the first ``cap`` docs per source across micro-batches."""
-    return docs.groupBy("source").applyInPandasWithState(
+    # the admission decision reads (source, doc_id, n_chars) — never the
+    # document text; pruning it here keeps the body bytes out of the
+    # stateful shuffle and the Arrow boundary entirely
+    return docs.select("source", "doc_id", "n_chars").groupBy(
+        "source"
+    ).applyInPandasWithState(
         make_quota_handler(cap),
         outputStructType=QUOTA_OUT_SCHEMA,
         stateStructType=QUOTA_STATE_SCHEMA,
@@ -349,7 +364,11 @@ def ewma_handler(
 
 def ewma_stream(events: DataFrame) -> DataFrame:
     """Per-user running EWMA over a streaming events DataFrame."""
-    return events.groupBy("user_id").applyInPandasWithState(
+    # the fold reads (ts, event_id) for ordering and value for the
+    # recurrence — prune the rest before the stateful shuffle
+    return events.select("user_id", "ts", "event_id", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
         ewma_handler,
         outputStructType=EWMA_OUT_SCHEMA,
         stateStructType=EWMA_STATE_SCHEMA,
@@ -421,7 +440,11 @@ def cusum_stream(
     events: DataFrame, k_cents: int, alarm_cents: int
 ) -> DataFrame:
     """Per-user running max-CUSUM over a streaming events DataFrame."""
-    return events.groupBy("user_id").applyInPandasWithState(
+    # same pruning rationale as ewma_stream: (ts, event_id) order the
+    # slice, value feeds the cents fold — nothing else is read
+    return events.select("user_id", "ts", "event_id", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
         make_cusum_handler(k_cents, alarm_cents),
         outputStructType=CUSUM_OUT_SCHEMA,
         stateStructType=CUSUM_STATE_SCHEMA,
