@@ -341,6 +341,10 @@ def q133_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LPA_ITERS = 3
+# label frames at or below this row count broadcast into the superstep
+# join (same role/threshold as _BFS_BROADCAST_MAX: a few MB of ids);
+# larger graphs fall back to the shuffle join
+_LPA_BROADCAST_MAX = 2_000_000
 
 
 def _lpa_oracle() -> str:
@@ -390,9 +394,23 @@ def q152_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     edges_aug, nodes = _lpa_graph(spark, sf_dir)
     labels = nodes.withColumn("lab", F.col("id"))
+    # Size-adaptive superstep join (the q110 BFS policy): the labels side
+    # is exactly |nodes| rows of (id, lab) — a few MB here — but it is an
+    # aggregate output, so Catalyst's size estimate is useless and the
+    # planner fell back to per-round SortMergeJoin: every superstep
+    # re-exchanged AND re-sorted the persisted edge set (plan before:
+    # 3 SMJs, 12 exchanges). Broadcasting the labels keeps the edges
+    # completely unshuffled across all supersteps — each round is one
+    # broadcast build over the previous round's agg plus one dst
+    # exchange of the aggregated (≤ |nodes|) rows. Past the threshold
+    # the shuffle join returns, partitioned once on src.
+    n_nodes = nodes.count()
     for _ in range(_LPA_ITERS):
+        lab_side = (
+            F.broadcast(labels) if n_nodes <= _LPA_BROADCAST_MAX else labels
+        )
         labels = (
-            edges_aug.join(labels, edges_aug.src == labels.id)
+            edges_aug.join(lab_side, edges_aug.src == lab_side.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("lab").alias("lab"))
         )
