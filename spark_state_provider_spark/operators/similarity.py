@@ -583,11 +583,21 @@ def _kmeans_a1(
             "cid",
             (idot(qq, cc) * F.lit(-2) + idot(qq, qq) + idot(cc, cc)).alias("d2"),
         )
-        w1 = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        # argmin per vector as ONE hash aggregate: min_by over the
+        # (d2, cid) struct is exactly row_number()=1 under ORDER BY
+        # (d2, cid) — struct comparison is lexicographic and (d2, cid)
+        # is unique per group — but it partial-aggregates map-side (k
+        # candidate rows fold to 1 before the exchange) and never sorts;
+        # the window form shuffled all n·k rows then sort-ranked them.
+        # q is constant within a vec_id group (derived from the vector),
+        # so first(q) is value-deterministic.
         return (
-            d1.withColumn("rn", F.row_number().over(w1))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "q", F.col("cid").alias("c1"))
+            d1.groupBy("vec_id")
+            .agg(
+                F.first("q").alias("q"),
+                F.min_by("cid", F.struct("d2", "cid")).alias("c1"),
+            )
+            .select("vec_id", "q", "c1")
             .persist()
         )
 
@@ -683,15 +693,20 @@ def q50_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid2",
         (dot(qd, mv) * F.lit(-2.0) + dot(qd, qd) + dot(mv, mv)).alias("dd2"),
     )
-    w2 = Window.partitionBy("vec_id").orderBy("dd2", "cid2")
+    # same argmin-as-aggregate rewrite as _kmeans_a1: min_by(struct) ≡
+    # row_number()=1 over ORDER BY (dd2, cid2), with map-side partial
+    # aggregation instead of a full sort of the n·k candidate rows
     return (
-        d2t.withColumn("rn", F.row_number().over(w2))
-        .where(F.col("rn") == 1)
+        d2t.groupBy("vec_id")
+        .agg(
+            F.first("c1").alias("c1"),
+            F.min_by("cid2", F.struct("dd2", "cid2")).alias("c2"),
+        )
         .select(
             "vec_id",
             "c1",
-            F.col("cid2").alias("c2"),
-            (F.col("c1") != F.col("cid2")).alias("moved"),
+            "c2",
+            (F.col("c1") != F.col("c2")).alias("moved"),
         )
     )
 
