@@ -28,13 +28,36 @@ N_BATCHES = 2
 
 
 @contextmanager
-def _streaming_session(spark: SparkSession, state_parts: int | None = None):
+def _streaming_session(
+    spark: SparkSession,
+    state_parts: int | None = None,
+    no_data_batch: bool = True,
+):
     """Pin streaming confs for the duration of one streaming run, restoring
     the caller's shuffle parallelism afterwards (a leaked
     shuffle.partitions=8 would under-parallelize every later batch query
-    on the same session)."""
+    on the same session).
+
+    ``no_data_batch=False`` disables the trailing no-data micro-batch for
+    queries whose OUTPUT provably cannot depend on it: NoTimeout stateful
+    maps and watermark-free dedup/aggregation only ever emit on data
+    batches, yet AvailableNow still schedules the extra batch — per-batch
+    profiling (q181: batch 2 rows=0, triggerExecution 1.6-1.7s) shows it
+    costs a full store-load/commit cycle across every state partition.
+    Queries with watermark-driven emission (append windows, timers,
+    stream-stream joins) MUST keep it — the final flush is where their
+    watermark-released rows come out — so the default stays on and call
+    sites opt out individually.
+    """
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    prev_ndb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", None
+    )
     spark.conf.set(STATE_STORE_PROVIDER_CONF, ROCKSDB_PROVIDER)
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if no_data_batch else "false",
+    )
     # State-partition count scales with cores: the stateful hot path is
     # per-partition (Arrow batch → Python handler → RocksDB commit), so
     # with N_BATCHES micro-batches the sweet spot keeps partitions×batches
@@ -47,9 +70,19 @@ def _streaming_session(spark: SparkSession, state_parts: int | None = None):
     # ``state_parts`` overrides for STORE-HEAVY topologies: a
     # stream-stream join keeps FOUR internal stores per partition and its
     # join path is JVM-side (no Python-handler parallelism to win), so
-    # 16 partitions REGRESSED q182 3.3→4.3s / q179 2.3→2.9s min-of-3
-    # where the stateful-map queries improved — those call sites pin 8.
+    # per-partition store commits dominate — round 6 measured 16 partitions
+    # regressing q182/q179 vs 8, and the round-9 re-measurement (tmpfs
+    # checkpoint scratch, control-normalized min-of-5) halved them again
+    # at 4: q182 ~6.8→3.5s, q26 ~5.5→3.5s, q179 ~3.3→2.8s; 2 partitions
+    # bought nothing more — those call sites pin 4.
+    import os as _os
+
     cores = spark.sparkContext.defaultParallelism
+    # SSPS_STREAM_STATE_PARTS: deployment override (cluster sizing / A-B
+    # measurement); explicit call-site pins still win.
+    env = _os.environ.get("SSPS_STREAM_STATE_PARTS")
+    if state_parts is None and env:
+        state_parts = int(env)
     parts = state_parts if state_parts is not None else max(8, cores // 2)
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -58,6 +91,10 @@ def _streaming_session(spark: SparkSession, state_parts: int | None = None):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_ndb is not None:
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -437,7 +474,7 @@ def build_click_purchase_join(
 )
 def q26_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two streams joined on key + event-time range (state on both sides)."""
-    with _streaming_session(spark, state_parts=8):
+    with _streaming_session(spark, state_parts=4):
         joined = build_click_purchase_join(spark, sf_dir).select(
             "click_id", "purchase_id", F.col("c_user").alias("user_id")
         )
@@ -512,7 +549,7 @@ def q20s2_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q26b_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer stream-stream join (watermarks both sides + time bound)."""
-    with _streaming_session(spark, state_parts=8):
+    with _streaming_session(spark, state_parts=4):
         clicks = (
             stream_events(spark, sf_dir, N_BATCHES)
             .where(F.col("event_type") == "click")
@@ -1759,7 +1796,7 @@ def q160_stream_fanout_consistency(spark: SparkSession, sf_dir: str) -> DataFram
         finally:
             delta.unpersist()
 
-    with _streaming_session(spark, state_parts=8):
+    with _streaming_session(spark, state_parts=4):
         sdf = stream_events(spark, sf_dir, N_BATCHES)
         q = (
             sdf.writeStream.foreachBatch(fanout)
@@ -2116,7 +2153,13 @@ def q172_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts for closed windows.
     """
     with _streaming_session(spark):
-        ev = stream_events(spark, sf_dir, N_BATCHES)
+        # project to the three columns the chain reads BEFORE the dedup:
+        # dropDuplicates keeps the whole row in its state store, so the
+        # unused event_id/value/props columns would otherwise sit in
+        # RocksDB and ride both stateful exchanges
+        ev = stream_events(spark, sf_dir, N_BATCHES).select(
+            "user_id", "event_type", "ts"
+        )
         deduped = (
             ev.withWatermark("ts", "1 hour")
             .withColumn("hour", F.date_trunc("hour", "ts"))
@@ -2236,7 +2279,7 @@ def q179_stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. At scale you run ONE mode; this query exists to prove the
     choice is serving-topology-only.
     """
-    with _streaming_session(spark, state_parts=8):
+    with _streaming_session(spark, state_parts=4):
         ev_c = stream_events(spark, sf_dir, N_BATCHES)
         agg_c = ev_c.groupBy("event_type").agg(F.count("*").alias("n"))
         complete = run_to_memory(agg_c, "mem_q179_complete", "complete")
@@ -2396,7 +2439,7 @@ def q182_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     6h window); the asymmetric eviction predicates above are what Spark
     derives from the range condition — certified here value-for-value.
     """
-    with _streaming_session(spark, state_parts=8):
+    with _streaming_session(spark, state_parts=4):
         clicks = (
             stream_events(spark, sf_dir, N_BATCHES)
             .where(F.col("event_type") == "click")
