@@ -523,16 +523,31 @@ def q174_kcore_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     active = nodes  # round 0: already persisted by the shared graph memo
     prev_persisted = None  # never unpersist the memo-owned nodes frame
     deg = None
+    n_active = nodes.count()  # cheap: persisted memo
     for rnd in range(_KCORE_ROUNDS):
         if rnd > 0:
             active = active.persist()
-            active.count()  # materialize: next round reads cache, not lineage
+            # materialize (next round reads cache, not lineage) AND feed
+            # the round's size-adaptive join decision
+            n_active = active.count()
             if prev_persisted is not None:
                 prev_persisted.unpersist()
             prev_persisted = active
+        # Size-adaptive endpoint filter (the q110/q152 policy): the active
+        # set is an aggregate output with no Catalyst size estimate, so
+        # the planner re-shuffled AND re-sorted the persisted edge set
+        # into two SortMergeJoins EVERY round. While the survivor set is
+        # broadcastable, both endpoint filters probe the edge partitions
+        # map-side and the only exchange left per round is the groupBy.
+        def _side(col_alias: str):
+            act = active.select(F.col("id").alias(col_alias))
+            return (
+                F.broadcast(act) if n_active <= _LPA_BROADCAST_MAX else act
+            )
+
         deg = (
-            edges.join(active.select(F.col("id").alias("src")), "src")
-            .join(active.select(F.col("id").alias("dst")), "dst")
+            edges.join(_side("src"), "src")
+            .join(_side("dst"), "dst")
             .groupBy("src")
             .agg(F.count("*").alias("d"))
         )
