@@ -1,0 +1,49 @@
+"""Min-merge the current BENCH_DETAIL.json into BENCH_FLOOR.json.
+
+The floor file is bench.py's spike-rescue reference: the elementwise
+best-known CLEAN min per query. Run after a clean end-of-round capture.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    with open(os.path.join(ROOT, "BENCH_DETAIL.json")) as f:
+        cap = json.load(f)
+    path = os.path.join(ROOT, "BENCH_FLOOR.json")
+    with open(path) as f:
+        floor = json.load(f)
+    drift = cap.get("controls", {}).get("drift")
+    merged, lowered, added = dict(floor.get("queries", {})), 0, 0
+    for q, v in cap["queries"].items():
+        if q not in merged:
+            merged[q] = v
+            added += 1
+        elif v < merged[q]:
+            merged[q] = v
+            lowered += 1
+    floor["queries"] = merged
+    mm = dict(floor.get("memo_builds", {}))
+    for k, v in cap.get("memo_builds", {}).items():
+        if k not in mm or v < mm[k]:
+            mm[k] = v
+    floor["memo_builds"] = mm
+    prov = sys.argv[1] if len(sys.argv) > 1 else "capture"
+    floor["_provenance"] = (
+        f"{floor.get('_provenance', '')} Min-merged with {prov} "
+        f"(drift {drift})."
+    )
+    floor["controls_drift"] = drift
+    with open(path, "w") as f:
+        json.dump(floor, f, indent=1)
+    print(f"floor: {len(merged)} queries ({lowered} lowered, {added} added)")
+
+
+if __name__ == "__main__":
+    main()
