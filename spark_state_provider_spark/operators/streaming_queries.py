@@ -26,38 +26,35 @@ from spark_state_provider_spark.streaming.stateful import user_statistics_stream
 
 N_BATCHES = 2
 
+# Streaming conf windows are session-GLOBAL (spark.conf is not
+# thread-local), so concurrent streaming queries — the whole-registry test
+# sweeps overlap independent queries from a thread pool per guide §2.6 —
+# would race each other's set/restore and leak a pinned partition count.
+# One re-entrant lock serializes the streaming windows; batch queries
+# (whose results are partition-count invariant, pinned by the
+# adversarial-geometry sweep) overlap freely around them.
+_SESSION_LOCK = __import__("threading").RLock()
+
 
 @contextmanager
 def _streaming_session(
     spark: SparkSession,
     state_parts: int | None = None,
-    no_data_batch: bool = True,
 ):
     """Pin streaming confs for the duration of one streaming run, restoring
     the caller's shuffle parallelism afterwards (a leaked
     shuffle.partitions=8 would under-parallelize every later batch query
     on the same session).
 
-    ``no_data_batch=False`` disables the trailing no-data micro-batch for
-    queries whose OUTPUT provably cannot depend on it: NoTimeout stateful
-    maps and watermark-free dedup/aggregation only ever emit on data
-    batches, yet AvailableNow still schedules the extra batch — per-batch
-    profiling (q181: batch 2 rows=0, triggerExecution 1.6-1.7s) shows it
-    costs a full store-load/commit cycle across every state partition.
-    Queries with watermark-driven emission (append windows, timers,
-    stream-stream joins) MUST keep it — the final flush is where their
-    watermark-released rows come out — so the default stays on and call
-    sites opt out individually.
+    (A ``no_data_batch`` opt-out parameter existed in round 9 but was
+    dead code: AvailableNow schedules no trailing no-data batch for the
+    NoTimeout stateful maps it targeted — measured zero effect — and
+    queries with watermark/timer semantics MUST keep the flush batch.
+    Removed per round-9 ADVICE; the conf stays at Spark's default.)
     """
+    _SESSION_LOCK.acquire()
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
-    prev_ndb = spark.conf.get(
-        "spark.sql.streaming.noDataMicroBatches.enabled", None
-    )
     spark.conf.set(STATE_STORE_PROVIDER_CONF, ROCKSDB_PROVIDER)
-    spark.conf.set(
-        "spark.sql.streaming.noDataMicroBatches.enabled",
-        "true" if no_data_batch else "false",
-    )
     # State-partition count scales with cores: the stateful hot path is
     # per-partition (Arrow batch → Python handler → RocksDB commit), so
     # with N_BATCHES micro-batches the sweet spot keeps partitions×batches
@@ -79,9 +76,13 @@ def _streaming_session(
 
     cores = spark.sparkContext.defaultParallelism
     # SSPS_STREAM_STATE_PARTS: deployment override (cluster sizing / A-B
-    # measurement); explicit call-site pins still win.
+    # measurement). The env WINS over call-site pins (round-9 verdict #7):
+    # the pins encode local-bench store-commit sweet spots (4 for the
+    # stream-stream joins, cores-derived otherwise), and a 100 TB
+    # deployment must be able to size state partitioning to its data
+    # volume without editing call sites. Sizing rule in SCALE.md.
     env = _os.environ.get("SSPS_STREAM_STATE_PARTS")
-    if state_parts is None and env:
+    if env:
         state_parts = int(env)
     parts = state_parts if state_parts is not None else max(8, cores // 2)
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
@@ -91,10 +92,7 @@ def _streaming_session(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-        if prev_ndb is not None:
-            spark.conf.set(
-                "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
-            )
+        _SESSION_LOCK.release()
 
 
 # ---------------------------------------------------------------------------

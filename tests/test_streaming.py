@@ -142,3 +142,23 @@ def test_left_outer_stream_join_contains_inner(spark, sf_dir):
     for r in left:
         if r["purchase_id"] is None:
             assert r["click_id"] not in inner_clicks, r
+
+
+def test_state_parts_env_overrides_call_site_pin(spark, monkeypatch):
+    """SSPS_STREAM_STATE_PARTS must WIN over explicit call-site pins
+    (round-9 verdict #7): the pins are local-bench store-commit tunings,
+    and a cluster deployment sizes state partitioning to its volume via
+    the env without editing call sites."""
+    from spark_state_provider_spark.operators.streaming_queries import (
+        _streaming_session,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    monkeypatch.setenv("SSPS_STREAM_STATE_PARTS", "12")
+    with _streaming_session(spark, state_parts=4):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "12"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    monkeypatch.delenv("SSPS_STREAM_STATE_PARTS")
+    with _streaming_session(spark, state_parts=4):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
