@@ -54,6 +54,12 @@ def scratch_base() -> str:
     * the platform tempdir otherwise.
     """
     global _BASE_CACHE
+    if _BASE_CACHE == "/dev/shm" and not _shm_headroom_ok():
+        # tmpfs filled up since the last check (round-9 ADVICE: a
+        # once-per-process answer let RAM-backed scratch grow unbounded) —
+        # demote to the platform tempdir for every LATER scratch dir;
+        # existing dirs keep working and are swept on exit as usual.
+        _BASE_CACHE = tempfile.gettempdir()
     if _BASE_CACHE is not None:
         return _BASE_CACHE
     env = os.environ.get("SSPS_SCRATCH_BASE")
@@ -61,18 +67,25 @@ def scratch_base() -> str:
         os.makedirs(env, exist_ok=True)
         _BASE_CACHE = env
         return env
+    if _shm_headroom_ok():
+        _BASE_CACHE = "/dev/shm"
+        return _BASE_CACHE
+    _BASE_CACHE = tempfile.gettempdir()
+    return _BASE_CACHE
+
+
+def _shm_headroom_ok() -> bool:
+    """True iff /dev/shm is writable with ≥ 8 GiB free — re-checked on
+    every :func:`scratch_dir` creation (not once per process), so a
+    filling tmpfs falls back to disk instead of ENOSPC mid-run."""
     shm = "/dev/shm"
     try:
         if os.path.isdir(shm) and os.access(shm, os.W_OK):
             st = os.statvfs(shm)
-            free = st.f_bavail * st.f_frsize
-            if free >= 8 * 1024**3:  # plenty of headroom for bench scratch
-                _BASE_CACHE = shm
-                return shm
+            return st.f_bavail * st.f_frsize >= 8 * 1024**3
     except OSError:
         pass
-    _BASE_CACHE = tempfile.gettempdir()
-    return _BASE_CACHE
+    return False
 
 
 def _pid_alive(pid: int) -> bool:
