@@ -22,9 +22,17 @@ exactly one place.
 
 from __future__ import annotations
 
+import threading
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# One process-wide re-entrant lock: when independent queries overlap from
+# a thread pool (guide §2.6 — the whole-registry test sweeps), two
+# first-consumers of the same memo would otherwise both run the build and
+# double-persist. Re-entrant because builders legitimately nest (runs2's
+# build reads the rebuilt1 memo).
+_LOCK = threading.RLock()
 
 
 def session_key(spark: SparkSession) -> str:
@@ -52,17 +60,18 @@ def get_or_build(
     """
     app = session_key(spark)
     key = (app, *suffix)
-    stale = [k for k in cache if k[0] != app]
-    if exclusive:
-        stale += [k for k in cache if k[0] == app and k != key]
-    for k in stale:
-        val = cache.pop(k)
-        dfs = val if isinstance(val, (tuple, list)) else (val,)
-        for df in dfs:
-            try:
-                df.unpersist()
-            except Exception:
-                pass  # owning context already stopped — blocks are gone
-    if key not in cache:
-        cache[key] = build()
-    return cache[key]
+    with _LOCK:
+        stale = [k for k in cache if k[0] != app]
+        if exclusive:
+            stale += [k for k in cache if k[0] == app and k != key]
+        for k in stale:
+            val = cache.pop(k)
+            dfs = val if isinstance(val, (tuple, list)) else (val,)
+            for df in dfs:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # owning context already stopped — blocks are gone
+        if key not in cache:
+            cache[key] = build()
+        return cache[key]

@@ -120,6 +120,21 @@ def use_aerospike_state_store(
     return use_rocksdb_state_store(builder)
 
 
+def ensure_active_session(spark: SparkSession) -> None:
+    """Bind ``spark`` as the JVM-side ACTIVE session for the calling
+    thread. The JVM active session is a thread-local; a plain Python
+    worker thread (guide §2.6 job overlap) maps to a fresh JVM thread
+    with no active session, and lookups that consult it — Python data
+    sources above all: ``DataSource.lookupDataSource`` resolves
+    ``spark.dataSource.register``-ed names through the active session's
+    DataSourceManager — fail with DATA_SOURCE_NOT_FOUND even though the
+    source is registered. Call once at the top of every worker thread
+    that submits Spark work."""
+    spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+        spark._jsparkSession
+    )
+
+
 def get_spark(
     app_name: str = "spark-state-provider-spark",
     master: str | None = None,

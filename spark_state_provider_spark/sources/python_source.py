@@ -62,7 +62,7 @@ class SyntheticRowsReader(DataSourceReader):
 
 
 def register_synthetic_source(spark) -> None:
-    spark.dataSource.register(SyntheticRowsDataSource)
+    _register_once(spark, SyntheticRowsDataSource)
 
 
 # ---------------------------------------------------------------------------
@@ -127,7 +127,7 @@ class SyntheticStreamReader(SimpleDataSourceStreamReader):
 
 
 def register_synthetic_stream_source(spark) -> None:
-    spark.dataSource.register(SyntheticStreamDataSource)
+    _register_once(spark, SyntheticStreamDataSource)
 
 
 # ---------------------------------------------------------------------------
@@ -202,11 +202,7 @@ class LineFileWriter(DataSourceWriter):
 
 
 def register_linefile_sink(spark) -> None:
-    try:
-        spark.dataSource.register(LineFileDataSource)
-    except Exception as ex:  # already registered in this session
-        if "already" not in str(ex).lower():
-            raise
+    _register_once(spark, LineFileDataSource)
 
 
 # ---------------------------------------------------------------------------
@@ -270,3 +266,39 @@ def _linefile_stream_writer(self, schema, overwrite: bool) -> LineFileStreamWrit
 
 # attach the stream half to the same registered format
 LineFileDataSource.streamWriter = _linefile_stream_writer
+
+# Registration is serialized and idempotent per session: PySpark's
+# ``spark.dataSource.register`` is not safe to call concurrently (the
+# whole-registry test sweeps overlap independent queries per guide §2.6;
+# concurrent registerPython calls intermittently left the name
+# unresolvable — DATA_SOURCE_NOT_FOUND at save/start). One lock + a
+# session-keyed done set makes every later call a cheap no-op, so after
+# warm-up no register call can race a lookup.
+import threading
+
+_REG_LOCK = threading.Lock()
+_REG_DONE: set[tuple[str, str]] = set()
+
+
+def _register_once(spark, cls) -> None:
+    key = (spark.sparkContext.applicationId, cls.name())
+    if key in _REG_DONE:
+        return
+    with _REG_LOCK:
+        if key in _REG_DONE:
+            return
+        spark.dataSource.register(cls)
+        _REG_DONE.add(key)
+
+
+def register_all_python_sources(spark) -> None:
+    """Eagerly register every Python data source this package defines —
+    call once before fanning queries out over threads (tests) or at
+    session init (production), so no lazy registration can race a
+    concurrent lookup."""
+    for cls in (
+        SyntheticRowsDataSource,
+        SyntheticStreamDataSource,
+        LineFileDataSource,
+    ):
+        _register_once(spark, cls)

@@ -22,6 +22,14 @@ from pyspark.sql.window import Window
 from spark_state_provider_spark.tables import load_table
 from spark_state_provider_spark.scratch import corpus_tag, scratch_base
 
+# Slice builders are called lazily by every streaming query; when a test
+# sweep overlaps independent queries from a thread pool (guide §2.6) two
+# first-callers for the same corpus would otherwise rmtree/rewrite the
+# SAME slice dir concurrently. Double-checked done-marker under one lock.
+import threading
+
+_BUILD_LOCK = threading.Lock()
+
 EVENT_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, event_type string, "
     "value double, props string"
@@ -55,26 +63,29 @@ def split_events_dir(
     done_marker = os.path.join(base, "_SSPS_DONE")
     if os.path.exists(done_marker):
         return base
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
-    events = load_table(spark, sf_dir, "events").orderBy("ts", "event_id")
-    rows = events.count()
-    per = (rows + n_batches - 1) // n_batches
-    ranked = events.withColumn(
-        "_slice",
-        F.floor((F.row_number().over(Window.orderBy("ts", "event_id")) - 1) / per).cast(
-            "int"
-        ),
-    )
-    for k in range(n_batches):
-        (
-            ranked.where(F.col("_slice") == k)
-            .drop("_slice")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(base, f"slice={k:03d}"))
+    with _BUILD_LOCK:
+        if os.path.exists(done_marker):  # built while we waited
+            return base
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        events = load_table(spark, sf_dir, "events").orderBy("ts", "event_id")
+        rows = events.count()
+        per = (rows + n_batches - 1) // n_batches
+        ranked = events.withColumn(
+            "_slice",
+            F.floor((F.row_number().over(Window.orderBy("ts", "event_id")) - 1) / per).cast(
+                "int"
+            ),
         )
-    open(done_marker, "w").close()
+        for k in range(n_batches):
+            (
+                ranked.where(F.col("_slice") == k)
+                .drop("_slice")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(base, f"slice={k:03d}"))
+            )
+        open(done_marker, "w").close()
     return base
 
 
@@ -113,29 +124,32 @@ def split_docs_dir(
     done_marker = os.path.join(base, "_SSPS_DONE")
     if os.path.exists(done_marker):
         return base
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
-    docs = load_table(spark, sf_dir, "documents")
-    if mod is not None:
-        docs = docs.where(F.col("doc_id") % mod == 0)
-    docs = docs.orderBy("doc_id")
-    rows = docs.count()
-    per = (rows + n_batches - 1) // n_batches
-    ranked = docs.withColumn(
-        "_slice",
-        F.floor(
-            (F.row_number().over(Window.orderBy("doc_id")) - 1) / per
-        ).cast("int"),
-    )
-    for k in range(n_batches):
-        (
-            ranked.where(F.col("_slice") == k)
-            .drop("_slice")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(base, f"slice={k:03d}"))
+    with _BUILD_LOCK:
+        if os.path.exists(done_marker):  # built while we waited
+            return base
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        docs = load_table(spark, sf_dir, "documents")
+        if mod is not None:
+            docs = docs.where(F.col("doc_id") % mod == 0)
+        docs = docs.orderBy("doc_id")
+        rows = docs.count()
+        per = (rows + n_batches - 1) // n_batches
+        ranked = docs.withColumn(
+            "_slice",
+            F.floor(
+                (F.row_number().over(Window.orderBy("doc_id")) - 1) / per
+            ).cast("int"),
         )
-    open(done_marker, "w").close()
+        for k in range(n_batches):
+            (
+                ranked.where(F.col("_slice") == k)
+                .drop("_slice")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(base, f"slice={k:03d}"))
+            )
+        open(done_marker, "w").close()
     return base
 
 
@@ -172,17 +186,20 @@ def split_events_hash_dir(
     done_marker = os.path.join(base, "_SSPS_DONE")
     if os.path.exists(done_marker):
         return base
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
-    events = load_table(spark, sf_dir, "events")
-    for k in range(n_batches):
-        (
-            events.where(F.col("event_id") % n_batches == k)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(base, f"slice={k:03d}"))
-        )
-    open(done_marker, "w").close()
+    with _BUILD_LOCK:
+        if os.path.exists(done_marker):  # built while we waited
+            return base
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        events = load_table(spark, sf_dir, "events")
+        for k in range(n_batches):
+            (
+                events.where(F.col("event_id") % n_batches == k)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(base, f"slice={k:03d}"))
+            )
+        open(done_marker, "w").close()
     return base
 
 
@@ -218,17 +235,20 @@ def split_embeddings_dir(
     done_marker = os.path.join(base, "_SSPS_DONE")
     if os.path.exists(done_marker):
         return base
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
-    emb = load_table(spark, sf_dir, "embeddings")
-    for k in range(n_batches):
-        (
-            emb.where(F.col("vec_id") % n_batches == k)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(base, f"slice={k:03d}"))
-        )
-    open(done_marker, "w").close()
+    with _BUILD_LOCK:
+        if os.path.exists(done_marker):  # built while we waited
+            return base
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        emb = load_table(spark, sf_dir, "embeddings")
+        for k in range(n_batches):
+            (
+                emb.where(F.col("vec_id") % n_batches == k)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(base, f"slice={k:03d}"))
+            )
+        open(done_marker, "w").close()
     return base
 
 

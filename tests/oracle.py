@@ -59,6 +59,38 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+def compare_all(spark, sf_dir: str, names, max_workers: int = 8) -> list[str]:
+    """``compare_query`` over many names with OVERLAPPING Spark jobs
+    (guide §2.6): at tiny test scale each query's wall time is fixed
+    scheduling/collect latency, not compute, so independent queries in
+    flight together cut a whole-registry sweep several-fold. Returns the
+    sorted failure list ("name: error"). Streaming conf windows are
+    serialized by ``_streaming_session``'s internal lock; results are
+    partition-count invariant (pinned by the adversarial-geometry sweep),
+    so batch queries overlapping a pinned window stay correct."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from spark_state_provider_spark.session import ensure_active_session
+    from spark_state_provider_spark.sources.python_source import (
+        register_all_python_sources,
+    )
+
+    register_all_python_sources(spark)
+
+    def one(name: str) -> str | None:
+        # worker threads map to fresh JVM threads with NO active session;
+        # Python-data-source lookups resolve through it (session.py)
+        ensure_active_session(spark)
+        try:
+            compare_query(spark, sf_dir, name)
+            return None
+        except Exception as e:
+            return f"{name}: {str(e)[:160]}"
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return sorted(f for f in pool.map(one, names) if f)
+
+
 def compare_query(spark, sf_dir: str, name: str) -> None:
     """Assert the Spark query matches its DuckDB oracle (driver contract)."""
     from spark_state_provider_spark.operators import registry

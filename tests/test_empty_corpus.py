@@ -27,7 +27,7 @@ import pytest
 
 from spark_state_provider_spark import operators
 from spark_state_provider_spark.operators import registry
-from tests.oracle import compare_query
+from tests.oracle import compare_all
 from tests.test_advice_edges import SF_SRC
 
 operators.load_all()
@@ -51,12 +51,7 @@ def empty_sf(tmp_path_factory) -> str:
 
 
 def test_every_query_matches_oracle_on_empty_corpus(spark, empty_sf):
-    failures = []
-    for name in sorted(registry.all_queries()):
-        try:
-            compare_query(spark, empty_sf, name)
-        except Exception as e:
-            failures.append(f"{name}: {str(e)[:160]}")
+    failures = compare_all(spark, empty_sf, sorted(registry.all_queries()))
     assert not failures, (
         f"{len(failures)} queries break the empty-corpus contract:\n"
         + "\n".join(failures)
@@ -78,12 +73,7 @@ def singleton_sf(tmp_path_factory) -> str:
 
 
 def test_every_query_matches_oracle_on_singleton_corpus(spark, singleton_sf):
-    failures = []
-    for name in sorted(registry.all_queries()):
-        try:
-            compare_query(spark, singleton_sf, name)
-        except Exception as e:
-            failures.append(f"{name}: {str(e)[:160]}")
+    failures = compare_all(spark, singleton_sf, sorted(registry.all_queries()))
     assert not failures, (
         f"{len(failures)} queries break the singleton-corpus contract:\n"
         + "\n".join(failures)

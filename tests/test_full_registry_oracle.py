@@ -42,6 +42,38 @@ def _spark_rows(df):
     return cols, rows
 
 
+@pytest.fixture(scope="module")
+def prefetched(spark, sf_dir):
+    """One Spark execution per query, fanned out over a thread pool
+    (guide §2.6) — the per-test granularity (ids, -x behavior, failure
+    attribution) is unchanged: each parametrized test consumes its own
+    slot and re-raises its own stored error. Before this, every query
+    executed TWICE serially in this module (the oracle match and the
+    hashability check each re-ran the full query — for streaming queries
+    that is a complete micro-batch replay) and the module dominated the
+    suite's wall clock."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from spark_state_provider_spark.session import ensure_active_session
+    from spark_state_provider_spark.sources.python_source import (
+        register_all_python_sources,
+    )
+
+    register_all_python_sources(spark)
+
+    def run(name):
+        ensure_active_session(spark)  # thread-local JVM active session
+        try:
+            df = registry.get(name).fn(spark, sf_dir)
+            cols, rows = _spark_rows(df)
+            return name, (df.schema, cols, rows, None)
+        except Exception as e:  # stored; re-raised by the owning test
+            return name, (None, None, None, e)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return dict(pool.map(run, _ALL))
+
+
 def _duck_rows(con, sql):
     cur = con.execute(sql)
     raw = [d[0] for d in cur.description]
@@ -55,9 +87,11 @@ def _duck_rows(con, sql):
 
 
 @pytest.mark.parametrize("name", _ALL)
-def test_query_matches_oracle(name, spark, sf_dir, duck):
+def test_query_matches_oracle(name, spark, sf_dir, duck, prefetched):
     spec = registry.get(name)
-    scols, srows = _spark_rows(spec.fn(spark, sf_dir))
+    _, scols, srows, exc = prefetched[name]
+    if exc is not None:
+        raise exc
     assert srows is not None
     if not spec.oracle:
         pytest.fail(f"{name} has no oracle — registry must stay 100% checkable")
@@ -75,7 +109,7 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
 
 
 @pytest.mark.parametrize("name", _ALL)
-def test_query_output_is_driver_hashable(name, spark, sf_dir, duck):
+def test_query_output_is_driver_hashable(name, spark, sf_dir, duck, prefetched):
     """The driver's value-hash canonicalizer collects both sides to pandas
     and lexsorts every column; list/map/struct cells are unhashable there
     (round-3 red row q51: pandas ``factorize`` raised
@@ -86,10 +120,12 @@ def test_query_output_is_driver_hashable(name, spark, sf_dir, duck):
     from pyspark.sql import types as T
 
     spec = registry.get(name)
-    df = spec.fn(spark, sf_dir)
+    schema, _, _, exc = prefetched[name]
+    if exc is not None:
+        raise exc
     nested = [
         f"{f.name}:{f.dataType.simpleString()}"
-        for f in df.schema.fields
+        for f in schema.fields
         if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
     ]
     assert not nested, (

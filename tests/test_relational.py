@@ -1,4 +1,14 @@
-"""Oracle-compare every registered relational + stateful-batch query."""
+"""Bespoke relational/stateful-batch invariants (bounds, smoke, sketch
+accuracy).
+
+The per-query oracle sweep that used to live here (``test_oracle_match``
+parametrized over ``registry.all_oracles()``) was an exact duplicate of
+``test_full_registry_oracle.py::test_query_matches_oracle`` — same sf dir,
+same DuckDB comparison, same strictness, run over a SUBSET of the names
+the registry sweep covers (all_oracles ⊆ all_queries, and the registry
+sweep additionally fails any query *missing* an oracle). Round 10 removed
+the duplicate: every query still gets exactly the same oracle check, once
+(driver verify was timing out — VERDICT r9 #2)."""
 
 from __future__ import annotations
 
@@ -8,16 +18,7 @@ from pyspark.sql import functions as F
 from spark_state_provider_spark import operators
 from spark_state_provider_spark.operators import registry
 
-from tests.oracle import compare_query
-
 operators.load_all()
-
-ORACLE_QUERIES = sorted(registry.all_oracles())
-
-
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_oracle_match(spark, sf_dir, name):
-    compare_query(spark, sf_dir, name)
 
 
 def test_approx_distinct_within_bounds(spark, sf_dir):

@@ -13,7 +13,7 @@ import pytest
 
 from spark_state_provider_spark import operators
 from spark_state_provider_spark.operators import registry
-from tests.oracle import compare_query
+from tests.oracle import compare_all, compare_query
 from tests.test_advice_edges import _docs, _fixture_dir
 
 operators.load_all()
@@ -96,12 +96,7 @@ _TEXT_FAMILY = [
 
 def test_fuzz_corpus_hash_matches_oracles(spark, tmp_path):
     sf = _fixture_dir(tmp_path, _fuzz_docs())
-    failures = []
-    for name in _TEXT_FAMILY:
-        try:
-            compare_query(spark, sf, name)
-        except Exception as e:  # collect all, report together
-            failures.append(f"{name}: {str(e)[:160]}")
+    failures = compare_all(spark, sf, _TEXT_FAMILY)
     assert not failures, "\n".join(failures)
 
 
@@ -172,12 +167,7 @@ _EVENTS_FAMILY = [
 
 def test_fuzz_events_tie_storm_matches_oracles(spark, tmp_path):
     sf = _events_fixture_dir(tmp_path, _fuzz_events())
-    failures = []
-    for name in _EVENTS_FAMILY:
-        try:
-            compare_query(spark, sf, name)
-        except Exception as e:
-            failures.append(f"{name}: {str(e)[:160]}")
+    failures = compare_all(spark, sf, _EVENTS_FAMILY)
     assert not failures, "\n".join(failures)
 
 
@@ -265,12 +255,7 @@ _TPCH_FAMILY = [
 
 def test_fuzz_tpch_decimal_boundaries_match_oracles(spark, tmp_path):
     sf = _fuzz_tpch_dir(tmp_path)
-    failures = []
-    for name in _TPCH_FAMILY:
-        try:
-            compare_query(spark, sf, name)
-        except Exception as e:
-            failures.append(f"{name}: {str(e)[:160]}")
+    failures = compare_all(spark, sf, _TPCH_FAMILY)
     assert not failures, "\n".join(failures)
 
 
@@ -323,12 +308,7 @@ _EMBEDDING_FAMILY = [
 
 def test_fuzz_embeddings_magnitudes_match_oracles(spark, tmp_path):
     sf = _fuzz_embeddings_dir(tmp_path)
-    failures = []
-    for name in _EMBEDDING_FAMILY:
-        try:
-            compare_query(spark, sf, name)
-        except Exception as e:
-            failures.append(f"{name}: {str(e)[:160]}")
+    failures = compare_all(spark, sf, _EMBEDDING_FAMILY)
     assert not failures, "\n".join(failures)
 
 
@@ -352,12 +332,7 @@ _STREAMING_FAMILY = [
 
 def test_fuzz_streaming_twins_on_tie_storm(spark, tmp_path):
     sf = _events_fixture_dir(tmp_path, _fuzz_events())
-    failures = []
-    for name in _STREAMING_FAMILY:
-        try:
-            compare_query(spark, sf, name)
-        except Exception as e:
-            failures.append(f"{name}: {str(e)[:160]}")
+    failures = compare_all(spark, sf, _STREAMING_FAMILY)
     assert not failures, "\n".join(failures)
 
 
@@ -419,12 +394,7 @@ def _fuzz_dates_dir(tmp_path, seed: int = 42) -> str:
 
 def test_fuzz_calendar_boundaries_match_oracles(spark, tmp_path):
     sf = _fuzz_dates_dir(tmp_path)
-    failures = []
-    for name in _TPCH_FAMILY:
-        try:
-            compare_query(spark, sf, name)
-        except Exception as e:
-            failures.append(f"{name}: {str(e)[:160]}")
+    failures = compare_all(spark, sf, _TPCH_FAMILY)
     assert not failures, "\n".join(failures)
 
 
@@ -500,12 +470,7 @@ _NULLJOIN_FAMILY = [
 @pytest.mark.parametrize("seed", [7, 42, 1337])
 def test_fuzz_null_key_join_storm_matches_oracles(spark, tmp_path, seed):
     sf = _fuzz_nulljoin_dir(tmp_path, seed=seed)
-    failures = []
-    for name in _NULLJOIN_FAMILY:
-        try:
-            compare_query(spark, sf, name)
-        except Exception as e:
-            failures.append(f"{name}: {str(e)[:160]}")
+    failures = compare_all(spark, sf, _NULLJOIN_FAMILY)
     assert not failures, "\n".join(failures)
 
 
@@ -600,12 +565,7 @@ _MULTIBYTE_FAMILY = sorted(
 @pytest.mark.parametrize("seed", [7, 42, 1337])
 def test_fuzz_multibyte_matches_oracles(spark, tmp_path, seed):
     sf = _fixture_dir(tmp_path, _fuzz_multibyte_docs(seed))
-    failures = []
-    for name in _MULTIBYTE_FAMILY:
-        try:
-            compare_query(spark, sf, name)
-        except Exception as e:
-            failures.append(f"{name}: {str(e)[:160]}")
+    failures = compare_all(spark, sf, _MULTIBYTE_FAMILY)
     assert not failures, (
         f"{len(failures)} multibyte divergences:\n" + "\n".join(failures)
     )
