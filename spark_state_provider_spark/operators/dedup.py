@@ -1527,47 +1527,81 @@ def _truth_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _truth_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard-≥-{JACCARD_THRESHOLD} ground-truth pairs, candidates
     anchored on df≤{_TRUTH_DF_CAP} shingles (the stop-shingle cap that
-    bounds the inverted-index walk — see SCALE.md exact-truth story)."""
+    bounds the inverted-index walk — see SCALE.md exact-truth story).
+
+    Round-10 plan (§2.3/§2.4/§3.1; before: 8 exchanges, two of them the
+    FULL shingle table re-exchanged per verify join, plus a
+    |cand|×|shingles(a)| row explosion into a pair groupBy):
+
+    * candidates come from ONE groupBy over the anti-joined shingle
+      stream — grams above the df cap (the tiny stop set, broadcast by
+      AQE at its runtime size) are dropped first, so every grouped row
+      holds ≤ {_TRUTH_DF_CAP} doc ids and the pair fan-out is the same
+      JVM-side array expansion _runs_for_docs uses (no tri⋈tri
+      self-join);
+    * verification intersects PRE-COLLECTED per-doc shingle-set arrays
+      (the exact verify shape the LSH builder already uses:
+      `size(array_intersect)` over two doc-keyed joins) instead of
+      re-joining the row-level shingle table per side and re-counting —
+      the per-pair cost is O(|set_a|+|set_b|) and the set table is one
+      row per doc. Set sizes ride along (tri is distinct per doc, so
+      size(tset) == the old count(*) sizes frame).
+
+    Same candidate set, same intersection counts, same output pairs —
+    the q206 oracle replays the original inverted-index SQL and must
+    (and does) hash-match.
+    """
     tri = _trigrams_persisted(spark, sf_dir)
-    sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n"))
-    rare = (
+    stop = (
         tri.groupBy("tri")
         .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= _TRUTH_DF_CAP)
+        .where(F.col("df") > _TRUTH_DF_CAP)
         .select("tri")
     )
-    ta = tri.select(F.col("doc_id").alias("id_a"), "tri")
-    tb = tri.select(F.col("doc_id").alias("id_b"), "tri")
+    # anti(stop) ≡ the old semi/inner against the df≤cap keep list: every
+    # shingle of tri appears in the df aggregate exactly once
+    occ = (
+        tri.join(stop, "tri", "left_anti")
+        .groupBy("tri")
+        .agg(F.collect_list("doc_id").alias("ds"))
+    )
     cand = (
-        ta.join(rare, "tri")
-        .join(tb, "tri")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        occ.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, a -> "
+                    "transform(filter(ds, b -> a < b), b -> "
+                    "struct(a AS id_a, b AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
         .distinct()
     )
-    # the shingle equality must be part of the equijoin KEY — joined
-    # on id_b alone with a post-filter, the intermediate is
-    # |cand| x |shingles(a)| x |shingles(b)| (measured: filled the
-    # disk at the 10x replica); as an (id_b, tri) equijoin it is the
-    # intersection itself
-    allint = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "tri"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    sets = tri.groupBy("doc_id").agg(F.collect_set("tri").alias("tset"))
+    withA = cand.join(
+        sets.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("tset").alias("set_a"),
+            F.size("tset").alias("na"),
+        ),
+        "id_a",
+    )
+    withB = withA.join(
+        sets.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("tset").alias("set_b"),
+            F.size("tset").alias("nb"),
+        ),
+        "id_b",
     )
     return (
-        allint.join(
-            sizes.select(
-                F.col("doc_id").alias("id_a"), F.col("n").alias("na")
-            ),
+        withB.select(
             "id_a",
-        )
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("id_b"), F.col("n").alias("nb")
-            ),
             "id_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("set_a", "set_b")).alias("n_inter"),
         )
         .where(
             F.col("n_inter").cast("double")
@@ -2112,22 +2146,33 @@ def _runs_for_docs(
     # Stop-anchor df cap applied BEFORE collect_list (round-8 ADVICE):
     # filtering after the group would first materialize every occurrence
     # of a high-frequency gram corpus-wide inside ONE aggregation row —
-    # a single-row skew/OOM hazard on boilerplate-heavy corpora. The
-    # left_semi against the count_distinct df table keeps grouped rows
-    # bounded by the cap (≤ _SUB_DF_CAP docs per gram reach the
+    # a single-row skew/OOM hazard on boilerplate-heavy corpora. Grouped
+    # rows stay bounded by the cap (≤ _SUB_DF_CAP docs per gram reach the
     # collect), matching the oracle's df-CTE-then-join shape exactly.
-    # Cost: one extra slim (gram, doc_id) aggregation pass over g —
-    # measured +~7s on the once-per-corpus memo:runs build at sf0.1,
-    # per-query consumers unchanged (SCALE.md round 9); a tiered
-    # count-then-distinct variant re-scanned g a third time and lost.
-    df_ok = (
+    #
+    # Round 10 (§2.3/§3.1): the cap is applied as a LEFT ANTI join against
+    # the STOP set (df > cap) instead of round 9's left_semi against the
+    # keep set (df ≤ cap). Equivalent by construction — every gram of g
+    # appears in the df aggregate exactly once, so anti(stop) ≡ semi(ok) —
+    # but 16-char anchors are mostly unique, so the keep list is ~all
+    # distinct grams (far over any broadcast threshold: the semi planned
+    # as a sort-merge join that exchanged AND sorted both the keep list
+    # and the whole O(total chars) anchor stream) while the stop side is
+    # only the boilerplate anchors: AQE sees its real size at runtime and
+    # broadcasts it, leaving the anchor stream completely unshuffled until
+    # the one groupBy(gram) exchange. On an adversarial corpus whose stop
+    # set outgrows the broadcast threshold AQE falls back to the same SMJ
+    # as before — the cap semantics never change. Cost of the df pass
+    # itself (one slim (gram, doc_id) agg over g) is unchanged; the
+    # round-9 tiered count-then-distinct rejection still stands.
+    df_stop = (
         g.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("df"))
-        .where(F.col("df") <= _SUB_DF_CAP)
+        .where(F.col("df") > _SUB_DF_CAP)
         .select("gram")
     )
     occ = (
-        g.join(df_ok, "gram", "left_semi")
+        g.join(df_stop, "gram", "left_anti")
         .groupBy("gram")
         .agg(F.collect_list(F.struct("doc_id", "i")).alias("os"))
     )
@@ -2431,6 +2476,14 @@ def _rebuilt1_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spark_state_provider_spark.dfcache import get_or_build
 
+    # repartition before persisting: the rewrite join inherits the
+    # documents scan's partitioning (ONE single-row-group parquet file =
+    # one partition at bench scale), so without this every pass-2
+    # consumer — above all memo:runs2's anchor explode, the widest
+    # narrow stage of the whole audit family — ran single-core off the
+    # cached blocks (the same 1-task floor _substring_runs already fixes
+    # for the original corpus). Hash on doc_id: deterministic, and the
+    # audit consumers all join/aggregate by doc_id anyway.
     return get_or_build(
         _REBUILT1_CACHE,
         spark,
@@ -2441,6 +2494,7 @@ def _rebuilt1_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cleaned_text").alias("text"),
             "removed_chars",
         )
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .persist(StorageLevel.MEMORY_AND_DISK),
     )
 

@@ -989,32 +989,45 @@ def q171_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHARTRI_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _chartri_counts_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread docs across cores before the explode (the same single-file
+    # 1-task scan floor _trigrams_of/_substring_runs already fix): the
+    # corpus arrives as one row group, so without this the char-trigram
+    # explode — the widest narrow stage of the build — ran on one core
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 3)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2),"
+                    " i -> substring(text, i, 3))"
+                )
+            ).alias("tri"),
+        )
+        .groupBy("doc_id", "lang", "tri")
+        .agg(F.count("*").alias("c"))
+    )
+
+
 def _chartri_counts_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     from spark_state_provider_spark.dfcache import get_or_build
 
-    def build() -> DataFrame:
-        d = load_table(spark, sf_dir, "documents").where(
-            F.length("text") >= 3
-        )
-        return (
-            d.select(
-                "doc_id",
-                "lang",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, length(text) - 2),"
-                        " i -> substring(text, i, 3))"
-                    )
-                ).alias("tri"),
-            )
-            .groupBy("doc_id", "lang", "tri")
-            .agg(F.count("*").alias("c"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-
-    return get_or_build(_CHARTRI_CACHE, spark, (sf_dir,), build)
+    return get_or_build(
+        _CHARTRI_CACHE,
+        spark,
+        (sf_dir,),
+        lambda: _chartri_counts_build(spark, sf_dir).persist(
+            StorageLevel.MEMORY_AND_DISK
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
