@@ -1,14 +1,19 @@
-"""Capture .explain("formatted") output for headline queries into plans/r09/.
+"""Capture .explain("formatted") output for headline queries into
+plans/$SSPS_PLAN_ROUND/ (default r10).
 
 Usage:
     python scripts/plan_capture.py before q110_bfs_distances q63c_tpch_q9 ...
     python scripts/plan_capture.py after q110_bfs_distances ...
+    python scripts/plan_capture.py before memo:runs memo:truth ...
 
-Writes plans/r09/<name>_<tag>.txt. Streaming queries (whose result frame is
-a drained sink read, not the streaming plan) are captured too — the batch
-plan of the returned frame is still what the bench's noop sink executes for
-the final read, and the per-batch streaming plan is what tests pin — but
-the primary use is batch queries.
+Writes plans/<round>/<name>_<tag>.txt. Memo builders are addressed as
+``memo:<label>`` (the bench.py labels) and capture the UNPERSISTED build
+plan — the shape the once-per-snapshot materialization actually executes.
+Streaming queries (whose result frame is a drained sink read, not the
+streaming plan) are captured too — the batch plan of the returned frame is
+still what the bench's noop sink executes for the final read, and the
+per-batch streaming plan is what tests pin — but the primary use is batch
+queries.
 """
 
 from __future__ import annotations
@@ -26,8 +31,34 @@ from spark_state_provider_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r09"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SSPS_PLAN_ROUND", "r10"),
 )
+
+
+def _memo_frame(spark, label: str):
+    """The UNPERSISTED build plan of a bench.py memo builder."""
+    from spark_state_provider_spark.operators import dedup as _dedup
+    from spark_state_provider_spark.operators import text as _text
+
+    builders = {
+        "memo:trigrams": lambda: _dedup._trigrams(spark, SF_DIR),
+        "memo:pairs": lambda: _dedup.q28b_minhash_lsh(spark, SF_DIR).select(
+            "id_a", "id_b"
+        ),
+        "memo:clusters": lambda: _dedup._clusters_persisted(spark, SF_DIR),
+        "memo:truth": lambda: _dedup._truth_pairs_build(spark, SF_DIR),
+        "memo:chartri": lambda: _text._chartri_counts_build(spark, SF_DIR),
+        "memo:runs": lambda: _dedup._substring_runs(spark, SF_DIR),
+        "memo:rebuilt1": lambda: _dedup.q231_span_removal_rewrite(
+            spark, SF_DIR
+        ),
+        "memo:runs2": lambda: _dedup._runs_for_docs(
+            _dedup._rebuilt1_persisted(spark, SF_DIR).select("doc_id", "text")
+        ),
+    }
+    return builders[label]()
 
 
 def main() -> None:
@@ -40,8 +71,12 @@ def main() -> None:
     spark = get_spark(app_name="plan-capture", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:
-        fn = registry.get(name).fn
-        df = fn(spark, SF_DIR)
+        if name.startswith("memo:"):
+            df = _memo_frame(spark, name)
+            name = name.replace(":", "_")
+        else:
+            fn = registry.get(name).fn
+            df = fn(spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")

@@ -2734,6 +2734,87 @@ _FUNNEL_STAGES = (
 )
 
 
+def _lm_flag_udf(model_pairs: list[tuple[str, int]], total: int):
+    """Vectorized in-distribution LM gate as ONE Python crossing per Arrow
+    batch (guide §4.2), replacing the per-batch char-trigram explode +
+    broadcast-model join + per-doc aggregate (the q220 funnel's measured
+    per-batch floor: the explode alone was ~1.05s of the 1.53s LM stage).
+
+    Exact same integer arithmetic as the join plan: for each doc,
+    S = Σ model_n(tri) and C = count over the doc's trigram OCCURRENCES
+    that match the model; f_lm = (S·K ≥ C·total), and docs with no
+    matched occurrence are False (the join plan drops them and the
+    caller coalesces to False). Implementation: the whole pandas batch
+    of texts is decoded to one codepoint array (utf-32, so multibyte
+    text indexes exactly like substring()) with an out-of-range
+    sentinel between docs — boundary-spanning trigrams contain the
+    sentinel and can never match — then every trigram is packed into
+    one int64 (3 × 22 bits; max codepoint 0x10FFFF < 2^21), matched
+    against the sorted model codes with searchsorted, and S/C fold back
+    per doc with add.reduceat. No shuffle, no join, no per-row Python.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # sentinel: above every valid codepoint (max 0x10FFFF) yet still
+    # inside 21 bits, so three packed fields (top bit 20+42=62) fit int64
+    _SENT = np.int64(0x110000)
+    codes = np.empty(len(model_pairs), dtype=np.int64)
+    ns = np.empty(len(model_pairs), dtype=np.int64)
+    for j, (t, n) in enumerate(model_pairs):
+        a, b, c = (ord(ch) for ch in t)
+        codes[j] = (np.int64(a) << 42) | (np.int64(b) << 21) | np.int64(c)
+        ns[j] = n
+    order = np.argsort(codes)
+    m_codes, m_ns = codes[order], ns[order]
+    k, tot = int(_CUR_LM_K), int(total)
+
+    @pandas_udf("boolean")
+    def f_lm(texts: pd.Series) -> pd.Series:
+        n_docs = len(texts)
+        if n_docs == 0:
+            return pd.Series([], dtype="bool")
+        bufs = [
+            (t if isinstance(t, str) else "").encode("utf-32-le")
+            for t in texts
+        ]
+        lens = np.fromiter(
+            (len(b) // 4 for b in bufs), dtype=np.int64, count=n_docs
+        )
+        # one flat codepoint array, sentinel-separated (trailing sentinel
+        # pads the last doc's tail so every doc owns len(doc)+1 slots)
+        n_tot = int(lens.sum()) + n_docs
+        flat = np.full(n_tot, _SENT, dtype=np.int64)
+        starts = np.zeros(n_docs, dtype=np.int64)
+        pos = 0
+        for i, b in enumerate(bufs):
+            starts[i] = pos
+            cp = np.frombuffer(b, dtype=np.uint32).astype(np.int64)
+            flat[pos : pos + len(cp)] = cp
+            pos += len(cp) + 1
+        if n_tot < 3:
+            return pd.Series(np.zeros(n_docs, dtype=bool))
+        tri = (flat[:-2] << 42) | (flat[1:-1] << 21) | flat[2:]
+        idx = np.searchsorted(m_codes, tri)
+        np.clip(idx, 0, len(m_codes) - 1, out=idx)
+        hit = m_codes[idx] == tri
+        contrib = np.where(hit, m_ns[idx], 0)
+        # reduceat over doc start offsets folds S and C per doc; the
+        # sentinel slots between docs contribute 0 to both
+        bounds = np.minimum(starts, len(tri) - 1)
+        s = np.add.reduceat(contrib, bounds)
+        c = np.add.reduceat(hit.astype(np.int64), bounds)
+        # reduceat quirk: a doc whose start offset equals the next one
+        # (empty doc at the array tail) still gets the next segment's
+        # sum — mask those to 0 via the hit count of an empty segment
+        empty = lens < 3
+        ok = (~empty) & (c > 0) & (s * k >= c * tot)
+        return pd.Series(ok)
+
+    return f_lm
+
+
 def _curation_lm_model(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -2758,6 +2839,7 @@ def _curation_flags(
     tot: DataFrame,
     preagg_lm: bool = True,
     dtc: DataFrame | None = None,
+    lm_udf=None,
 ) -> DataFrame:
     """Per-document gate flags (doc_id, est_tokens, f_lang, f_lm, f_rep,
     f_clf) over any documents-shaped frame (doc_id, text, lang). All four
@@ -2807,7 +2889,11 @@ def _curation_flags(
         "text",
     )
     # corpus-LM in-distribution (q188's model, integer cross-multiplied)
-    if preagg_lm:
+    if lm_udf is not None:
+        # vectorized single-crossing gate (guide §4.2): f_lm is a column
+        # of base — no explode, no model join, no per-gate left join
+        lm = None
+    elif preagg_lm:
         if dtc is None:
             dtc = (
                 d.where(F.length("text") >= 3)
@@ -2893,15 +2979,19 @@ def _curation_flags(
             ).alias("f_clf")
         )
     )
+    out = base if lm is None else base.join(lm, "doc_id", "left")
     return (
-        base.join(lm, "doc_id", "left")
-        .join(rep, "doc_id", "left")
+        out.join(rep, "doc_id", "left")
         .join(clf, "doc_id", "left")
         .select(
             "doc_id",
             "est_tokens",
             F.coalesce("f_lang", F.lit(False)).alias("f_lang"),
-            F.coalesce("f_lm", F.lit(False)).alias("f_lm"),
+            (
+                lm_udf("text")
+                if lm_udf is not None
+                else F.coalesce("f_lm", F.lit(False))
+            ).alias("f_lm"),
             F.coalesce("f_rep", F.lit(False)).alias("f_rep"),
             F.coalesce("f_clf", F.lit(False)).alias("f_clf"),
         )
