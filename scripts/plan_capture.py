@@ -37,25 +37,56 @@ OUT_DIR = os.path.join(
 )
 
 
-def _memo_frame(spark, label: str):
+def _memo_frame(spark, label: str, sf_dir: str | None = None):
     """The UNPERSISTED build plan of a bench.py memo builder."""
     from spark_state_provider_spark.operators import dedup as _dedup
     from spark_state_provider_spark.operators import text as _text
 
+    sf = sf_dir or SF_DIR
+    if label == "q174:round":
+        # One k-core pruning round AS EXECUTED (round-9 verdict #4: the
+        # committed q174 plans captured only the post-localCheckpoint
+        # Scan ExistingRDD — zero evidence). Reconstructs round 1 exactly
+        # as q174_kcore_pruning's loop does: persisted bidirectional edge
+        # set filtered by the size-adaptive broadcast survivor set on both
+        # endpoints, then the degree aggregate.
+        from pyspark.sql import functions as F
+
+        from spark_state_provider_spark.operators.graph import (
+            _LPA_BROADCAST_MAX,
+            _lpa_graph,
+        )
+
+        edges_aug, nodes = _lpa_graph(spark, sf)
+        edges = edges_aug.where(F.col("src") != F.col("dst"))
+        n_active = nodes.count()
+
+        def _side(col_alias):
+            act = nodes.select(F.col("id").alias(col_alias))
+            return (
+                F.broadcast(act) if n_active <= _LPA_BROADCAST_MAX else act
+            )
+
+        return (
+            edges.join(_side("src"), "src")
+            .join(_side("dst"), "dst")
+            .groupBy("src")
+            .agg(F.count("*").alias("d"))
+        )
     builders = {
-        "memo:trigrams": lambda: _dedup._trigrams(spark, SF_DIR),
-        "memo:pairs": lambda: _dedup.q28b_minhash_lsh(spark, SF_DIR).select(
+        "memo:trigrams": lambda: _dedup._trigrams(spark, sf),
+        "memo:pairs": lambda: _dedup.q28b_minhash_lsh(spark, sf).select(
             "id_a", "id_b"
         ),
-        "memo:clusters": lambda: _dedup._clusters_persisted(spark, SF_DIR),
-        "memo:truth": lambda: _dedup._truth_pairs_build(spark, SF_DIR),
-        "memo:chartri": lambda: _text._chartri_counts_build(spark, SF_DIR),
-        "memo:runs": lambda: _dedup._substring_runs(spark, SF_DIR),
+        "memo:clusters": lambda: _dedup._clusters_persisted(spark, sf),
+        "memo:truth": lambda: _dedup._truth_pairs_build(spark, sf),
+        "memo:chartri": lambda: _text._chartri_counts_build(spark, sf),
+        "memo:runs": lambda: _dedup._substring_runs(spark, sf),
         "memo:rebuilt1": lambda: _dedup.q231_span_removal_rewrite(
-            spark, SF_DIR
+            spark, sf
         ),
         "memo:runs2": lambda: _dedup._runs_for_docs(
-            _dedup._rebuilt1_persisted(spark, SF_DIR).select("doc_id", "text")
+            _dedup._rebuilt1_persisted(spark, sf).select("doc_id", "text")
         ),
     }
     return builders[label]()
@@ -71,7 +102,7 @@ def main() -> None:
     spark = get_spark(app_name="plan-capture", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:
-        if name.startswith("memo:"):
+        if name.startswith("memo:") or name == "q174:round":
             df = _memo_frame(spark, name)
             name = name.replace(":", "_")
         else:

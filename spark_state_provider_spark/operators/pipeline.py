@@ -2770,8 +2770,7 @@ def _lm_flag_udf(model_pairs: list[tuple[str, int]], total: int):
     m_codes, m_ns = codes[order], ns[order]
     k, tot = int(_CUR_LM_K), int(total)
 
-    @pandas_udf("boolean")
-    def f_lm(texts: pd.Series) -> pd.Series:
+    def f_lm(texts):
         n_docs = len(texts)
         if n_docs == 0:
             return pd.Series([], dtype="bool")
@@ -2812,7 +2811,11 @@ def _lm_flag_udf(model_pairs: list[tuple[str, int]], total: int):
         ok = (~empty) & (c > 0) & (s * k >= c * tot)
         return pd.Series(ok)
 
-    return f_lm
+    # `from __future__ import annotations` stringifies hints module-wide
+    # and pandas_udf's signature inspection rejects string annotations —
+    # attach real objects instead
+    f_lm.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(f_lm, "boolean")
 
 
 def _curation_lm_model(

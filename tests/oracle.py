@@ -59,7 +59,7 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
-def compare_all(spark, sf_dir: str, names, max_workers: int = 8) -> list[str]:
+def compare_all(spark, sf_dir: str, names, max_workers: int = 12) -> list[str]:
     """``compare_query`` over many names with OVERLAPPING Spark jobs
     (guide §2.6): at tiny test scale each query's wall time is fixed
     scheduling/collect latency, not compute, so independent queries in

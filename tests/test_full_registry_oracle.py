@@ -70,7 +70,7 @@ def prefetched(spark, sf_dir):
         except Exception as e:  # stored; re-raised by the owning test
             return name, (None, None, None, e)
 
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    with ThreadPoolExecutor(max_workers=12) as pool:
         return dict(pool.map(run, _ALL))
 
 
