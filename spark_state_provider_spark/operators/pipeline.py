@@ -2757,6 +2757,15 @@ def _lm_flag_udf(model_pairs: list[tuple[str, int]], total: int):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if not model_pairs or total is None:
+        # empty corpus/model (n=0 contract): the join plan produces no lm
+        # rows and every doc coalesces to False — mirror that exactly
+        def f_false(texts):
+            return pd.Series(np.zeros(len(texts), dtype=bool))
+
+        f_false.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+        return pandas_udf(f_false, "boolean")
+
     # sentinel: above every valid codepoint (max 0x10FFFF) yet still
     # inside 21 bits, so three packed fields (top bit 20+42=62) fit int64
     _SENT = np.int64(0x110000)

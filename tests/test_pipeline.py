@@ -343,3 +343,52 @@ def test_vocab_coverage_head_properties(spark, sf_dir):
     assert head / total >= _VOCAB_COVERAGE
     assert (head - rows[-1].n) / total < _VOCAB_COVERAGE
     assert abs(rows[-1].cum_share - head / total) < 1e-12
+
+
+def test_lm_flag_udf_matches_join_plan_semantics(spark):
+    """The vectorized LM gate (q220's per-batch scorer) must reproduce the
+    explode+join plan's integer arithmetic exactly: S·K >= C·total over
+    MATCHED trigram occurrences, docs with no matched occurrence (or no
+    trigrams at all) False, and an EMPTY model (n=0 corpus) all-False."""
+    import pandas as pd
+
+    from spark_state_provider_spark.operators.pipeline import (
+        _CUR_LM_K,
+        _lm_flag_udf,
+    )
+
+    model = [("abc", 400), ("bcd", 1), ("日本語", 50)]
+    total = 1000
+    docs = [
+        (1, "abcd"),            # S=401, C=2: 401K >= 2*1000 -> True
+        (2, "zzzz"),            # no matched occurrence -> False
+        (3, None),              # NULL text -> False
+        (4, ""),                # empty -> False
+        (5, "ab"),              # shorter than a trigram -> False
+        (6, "x日本語y"),         # multibyte match: S=50,C=1 -> 50K >= 1000
+        (7, "bcd"),             # S=1, C=1: K >= 1000 -> False (K=172)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", _lm_flag_udf(model, total)("text").alias("f")
+        ).collect()
+    }
+    def ref(t):
+        if not t or len(t) < 3:
+            return False
+        m = dict(model)
+        s = c = 0
+        for i in range(len(t) - 2):
+            g = t[i : i + 3]
+            if g in m:
+                s += m[g]
+                c += 1
+        return c > 0 and s * _CUR_LM_K >= c * total
+    assert out == {d: ref(t) for d, t in docs}
+    # empty model / NULL total (the n=0 corpus edge that broke the first
+    # cut): everything False, no crash
+    empty = _lm_flag_udf([], None)
+    got = df.select(empty("text").alias("f")).collect()
+    assert [r["f"] for r in got] == [False] * len(docs)
