@@ -2476,14 +2476,17 @@ def q182_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 # q184 — INCREMENTAL Merkle maintenance: q178's integrity tree kept fresh
 # while the corpus streams in. Per micro-batch, only the leaf buckets the
-# batch TOUCHED are re-hashed (leaf store partitioned by bucket →
-# partition-pruned read; dynamic partition overwrite rewrites only those
-# L1 directories); the closing L2+root fold runs over the L1 store —
-# thousands-fold smaller than the corpus. Certification: the oracle is
-# q178's BATCH tree — the incrementally-maintained root must equal the
-# from-scratch root, which is the invariant that makes continuous
-# integrity auditing sound at 100 TB (per-batch cost ∝ batch, never
-# corpus).
+# batch TOUCHED are re-hashed (leaf store kept as bucket-clustered plain
+# parquet — row-group min/max stats prune the re-read to the touched
+# buckets; a hive dir per 64-doc bucket would be millions of directories
+# at scale, the over-partitioning anti-pattern q48 documents); the fresh
+# L1 hashes APPEND to a log-structured L1 store (b1, h, batch_id) and the
+# closing L2+root fold reduces latest-per-bucket before folding — LSM-
+# style maintenance, still ∝ touched buckets per batch. Certification:
+# the oracle is q178's BATCH tree — the incrementally-maintained root
+# must equal the from-scratch root, which is the invariant that makes
+# continuous integrity auditing sound at 100 TB (per-batch cost ∝ batch,
+# never corpus).
 # ---------------------------------------------------------------------------
 
 
@@ -2523,11 +2526,17 @@ def q184_stream_merkle_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     q178 from-scratch tree exactly.
 
     Per batch: leaf-hash the batch (narrow map), append to the
-    bucket-partitioned leaf store, re-hash ONLY the touched buckets
-    (partition-pruned read + dynamic partition overwrite of their L1
-    dirs). Nothing in the loop reads the whole corpus.
+    b1-clustered leaf store (plain parquet, row-group stats prune the
+    touched-bucket re-read — NOT a hive dir per bucket, which is one dir
+    per {_MERKLE_FAN} docs = over-partitioning at scale), re-hash ONLY
+    the touched buckets and append them to the L1 log; latest-per-bucket
+    wins at fold time. The touched set rides the leaf-write job itself
+    as an ``observe()`` metric — one job, no second pass over the batch.
+    Nothing in the loop reads the whole corpus.
     """
     import os
+
+    from pyspark.sql import Observation
 
     from spark_state_provider_spark.operators.pipeline import _MERKLE_FAN
     from spark_state_provider_spark.scratch import scratch_dir
@@ -2540,10 +2549,8 @@ def q184_stream_merkle_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     l1_dir = os.path.join(base, "l1")
     ckpt = os.path.join(base, "_ckpt")
 
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
     def maintain(batch_df, batch_id: int) -> None:
+        obs = Observation()
         leaves = batch_df.select(
             "doc_id",
             F.expr(f"doc_id div {_MERKLE_FAN}").alias("b1"),
@@ -2552,11 +2559,14 @@ def q184_stream_merkle_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
                     F.col("doc_id").cast("string"), F.lit(":"), F.md5("text")
                 )
             ).alias("h"),
-        ).persist()
-        leaves.write.mode("append").partitionBy("b1").parquet(leaf_dir)
-        touched = [r.b1 for r in leaves.select("b1").distinct().collect()]
-        leaves.unpersist()
-        # partition-pruned reread of ONLY the touched buckets (explicit
+        ).observe(obs, F.collect_set("b1").alias("touched"))
+        # doc_id-ordered batches are already b1-clustered; the sort is a
+        # narrow no-op locally and pins the row-group-pruning contract
+        leaves.sortWithinPartitions("b1", "doc_id").write.mode(
+            "append"
+        ).parquet(leaf_dir)
+        touched = obs.get["touched"]
+        # row-group-pruned reread of ONLY the touched buckets (explicit
         # schema: an all-empty batch appends no files — empty-corpus
         # contract)
         all_leaves = spark.read.schema(
@@ -2572,9 +2582,11 @@ def q184_stream_merkle_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
                     "",
                 )
             ).alias("h")
-        )
-        # dynamic overwrite: only the touched buckets' directories rewrite
-        l1.write.mode("overwrite").partitionBy("b1").parquet(l1_dir)
+        ).withColumn("bid", F.lit(batch_id).cast("long"))
+        # log-structured L1: append the touched buckets' fresh hashes;
+        # the fold reduces latest-per-bucket (max bid). Still ∝ touched
+        # buckets per batch — and no per-bucket directory churn.
+        l1.write.mode("append").parquet(l1_dir)
 
     with _streaming_session(spark):
         sdf = stream_docs(spark, sf_dir, N_BATCHES)
@@ -2588,15 +2600,13 @@ def q184_stream_merkle_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
             q.awaitTermination(180)
         finally:
             q.stop()
-            if prev_mode is not None:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev_mode
-                )
-            else:
-                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
-    l1 = spark.read.schema("h string, b1 bigint").parquet(l1_dir).withColumn(
-        "b2", F.expr(f"b1 div {_MERKLE_FAN}")
+    l1 = (
+        spark.read.schema("b1 bigint, h string, bid bigint")
+        .parquet(l1_dir)
+        .groupBy("b1")
+        .agg(F.max_by("h", "bid").alias("h"))
+        .withColumn("b2", F.expr(f"b1 div {_MERKLE_FAN}"))
     )
     l2 = l1.groupBy("b2").agg(
         F.md5(
