@@ -2339,7 +2339,14 @@ def _merged_removal_intervals(spans: DataFrame) -> DataFrame:
     """(doc_id, s, e) spans → per-doc merged disjoint intervals (the same
     gaps-and-islands construction as the oracle's ordd/isl2/merged CTEs).
     Overlapping AND adjacent intervals merge; output intervals are
-    pairwise disjoint with at least one kept char between them."""
+    pairwise disjoint with at least one kept char between them.
+
+    No input distinct (the oracle's ordd CTE has one): the merge is
+    idempotent to duplicate spans — duplicates sort adjacent under
+    (s, e), a copy's prev_max ≥ its own e so it never opens an island
+    (increment 0 whichever copy sorts first), and island min(s)/max(e)
+    are unchanged by repeats — so deduplicating first would only add a
+    full-width exchange of the span stream for the same merged output."""
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("s", "e")
@@ -2350,7 +2357,7 @@ def _merged_removal_intervals(spans: DataFrame) -> DataFrame:
         .orderBy("s", "e")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ordd = spans.distinct().withColumn("prev_max", F.max("e").over(w_prev))
+    ordd = spans.withColumn("prev_max", F.max("e").over(w_prev))
     isl2 = ordd.withColumn(
         "island",
         F.sum(
